@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (one entry per SURVEY.md §2
+  * operator); `oracleSql` the DuckDB-equivalent SQL for the hash compare.
+  * Query functions are lazy plans end-to-end: no collect, no caching —
+  * the driver decides the action (parquet dump in Verify, count in Bench).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Preprocessed canonical relation over the `events` table. */
+  private def prep(s: SparkSession, dir: String): DataFrame =
+    Preprocess.preprocessEvents(Tables.events(s, dir))
+
+  /** Flagship query on /root/testdata/sf0.001: hourly query volume per
+    * status class — the reference's headline "queries over time" chart
+    * (reference: process.py:100-104, plot.py:182-187). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    prep(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("HOUR", col("ts")).as("ts_hour"), col("status_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("ts_hour", "status_type")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_totals"              -> ((s, d) => Stats.totals(prep(s, d))),
+    "a03_time_range"          -> ((s, d) => Stats.timeRange(prep(s, d))),
+    "a04_top_client"          -> ((s, d) => Stats.topClient(prep(s, d))),
+    "a04_top_client_by_class" -> ((s, d) => Stats.topClientByClass(prep(s, d))),
+    "a05_top_domain_allowed"  -> ((s, d) => Stats.topDomainOfClass(prep(s, d), "Allowed")),
+    "a05_top_domain_blocked"  -> ((s, d) => Stats.topDomainOfClass(prep(s, d), "Blocked")),
+    "a06_persistent_client"   -> ((s, d) => Stats.persistentClient(prep(s, d))),
+    "a07_daily_counts"        -> ((s, d) => Stats.dailyCounts(prep(s, d))),
+    "a08_hourly_counts"       -> ((s, d) => Stats.hourlyCounts(prep(s, d))),
+    "a09_weekday_avg"         -> ((s, d) => Stats.weekdayAvg(prep(s, d))),
+    "a10_day_night_totals"    -> ((s, d) => Stats.dayNightTotals(prep(s, d))),
+    "a10_day_night_top_client" -> ((s, d) => Stats.dayNightTopClient(prep(s, d))),
+    "a11_distinct_counts"     -> ((s, d) => Stats.distinctCounts(prep(s, d))),
+    "a11_approx_distinct"     -> ((s, d) => Stats.approxDistinct(prep(s, d))),
+    "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
+    "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),
+    "a14_slowest_domain"      -> ((s, d) => Stats.slowestDomain(prep(s, d))),
+    "a15_reply_by_date"       -> ((s, d) => Stats.replyByDate(prep(s, d))),
+    "a22_inter_arrival"       -> ((s, d) => Stats.interArrival(prep(s, d)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (sketches, hash-dependent signatures) → driver records a weaker
+    * rows-only check. */
+  def oracleSql: Map[String, String] = Oracles.all
 }

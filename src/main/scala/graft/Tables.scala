@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver testdata star schema + events /
+  * documents / embeddings (see TESTDATA.md, FIXTURES.md §4).
+  *
+  * Scale note: each loader is a plain parquet scan — Catalyst pushes
+  * filters and prunes columns into the scan, so callers compose
+  * `select`/`filter` freely without materializing. At cluster scale the
+  * same paths would be partitioned directories (e.g. events by date);
+  * nothing here assumes a single file.
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The testdata writes events.ts as parquet TIMESTAMP(NANOS), which
+    // Spark 4 rejects outright. Read nanos as long (dynamic conf, so this
+    // works under any driver-created session too) and truncate to
+    // microseconds below — the DuckDB oracle mirrors the same floor
+    // division (make_timestamp(epoch_ns(ts)//1000), Oracles.Prep).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "region")
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar-stats queries (reference: stats.py:474-528 runs
+  * ~40 of these sequentially), re-expressed as independent declarative
+  * aggregations over the preprocessed relation ([[graft.Preprocess]]).
+  *
+  * Each returns a SMALL DataFrame (1..k rows) rather than a collected
+  * scalar so the driver's Verify can dump it; at cluster scale each is a
+  * partial+final hash aggregate (map-side combine) with only the tiny
+  * final groups shuffled — no operator here materializes the input.
+  *
+  * Determinism: every top-1 / top-k carries a total-order sort
+  * (count DESC, key ASC) because pandas breaks ties positionally while a
+  * distributed engine must pin its own tie-break (SURVEY.md §7.3-1).
+  */
+object Stats {
+
+  /** A1+A2: total / blocked / allowed counts and percentages
+    * (reference: stats.py:14,39-48). Single full-scan aggregate; at scale
+    * this is one map-side-combined pass. */
+  def totals(prep: DataFrame): DataFrame =
+    prep.agg(
+      count(lit(1)).as("total"),
+      count(when(col("status_type") === "Blocked", 1)).as("blocked_cnt"),
+      count(when(col("status_type") === "Allowed", 1)).as("allowed_cnt")
+    ).select(
+      col("total"), col("blocked_cnt"), col("allowed_cnt"),
+      when(col("total") === 0, 0.0)
+        .otherwise(round(lit(100.0) * col("blocked_cnt") / col("total"), 4)).as("blocked_pct"),
+      when(col("total") === 0, 0.0)
+        .otherwise(round(lit(100.0) * col("allowed_cnt") / col("total"), 4)).as("allowed_pct")
+    )
+
+  /** A3/S5: global time range + span decomposition (reference:
+    * stats.py:19-29; probe db.py:54-61). Parquet footer min/max stats make
+    * this near-free at any scale. */
+  def timeRange(prep: DataFrame): DataFrame =
+    prep.agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .withColumn("span_us", unix_micros(col("max_ts")) - unix_micros(col("min_ts")))
+      .select(
+        col("min_ts"), col("max_ts"),
+        expr("span_us div 86400000000").as("span_days"),
+        expr("(span_us % 86400000000) div 3600000000").as("span_hours"),
+        expr("(span_us % 3600000000) div 60000000").as("span_minutes"))
+
+  private def top1(df: DataFrame, key: String, cntCol: String = "cnt"): DataFrame =
+    df.orderBy(desc(cntCol), asc(key)).limit(1)
+
+  /** A4: most active client overall (reference: stats.py:60-62). */
+  def topClient(prep: DataFrame): DataFrame =
+    top1(prep.groupBy("client").agg(count(lit(1)).as("cnt")), "client")
+
+  /** A4 (per class): top client within each status_type
+    * (reference: stats.py:63-67). One shuffle on (status_type, client),
+    * then a per-class window rank over the already-small aggregate. */
+  def topClientByClass(prep: DataFrame): DataFrame = {
+    val agg = prep.groupBy("status_type", "client").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("status_type").orderBy(desc("cnt"), asc("client"))
+    agg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").orderBy("status_type")
+  }
+
+  /** A5 + P9 quirk: top domain of one class, its count across ALL statuses
+    * (the reference filters only on domain for the count — stats.py:84-87),
+    * and its top querying client WITH the class filter re-applied
+    * (stats.py:93-99). The asymmetry is intentional (SURVEY.md §2.2 quirk).
+    * The 1-row argmax side is broadcast into the re-scan joins. */
+  def topDomainOfClass(prep: DataFrame, statusType: String): DataFrame = {
+    val inClass = prep.filter(col("status_type") === statusType)
+    val top = top1(inClass.groupBy("domain").agg(count(lit(1)).as("class_cnt")), "domain", "class_cnt")
+    val allCnt = prep.join(broadcast(top), Seq("domain"))
+      .groupBy("domain", "class_cnt").agg(count(lit(1)).as("all_cnt"))
+    val topClientForDomain = top1(
+      inClass.join(broadcast(top.select("domain")), Seq("domain"))
+        .groupBy("domain", "client").agg(count(lit(1)).as("client_cnt")),
+      "client", "client_cnt")
+    allCnt.join(topClientForDomain, Seq("domain"))
+      .select("domain", "class_cnt", "all_cnt", "client", "client_cnt")
+  }
+
+  /** A6: most persistent client — top (client, domain) pair among Blocked
+    * rows (reference: stats.py:123-139). */
+  def persistentClient(prep: DataFrame): DataFrame =
+    prep.filter(col("status_type") === "Blocked")
+      .groupBy("client", "domain").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("client"), asc("domain")).limit(1)
+
+  /** A7: per-date total/blocked/allowed counts (reference: stats.py:154-185
+    * computes argmax/argmin over these; we return the full per-date table,
+    * which subsumes both and stays tiny — one row per day). */
+  def dailyCounts(prep: DataFrame): DataFrame =
+    prep.groupBy("date").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("status_type") === "Blocked", 1)).as("blocked_cnt"),
+      count(when(col("status_type") === "Allowed", 1)).as("allowed_cnt")
+    ).orderBy("date")
+
+  /** A8: per-hour-of-day counts, 0..23 (reference: stats.py:189-193). */
+  def hourlyCounts(prep: DataFrame): DataFrame =
+    prep.groupBy("hour").agg(count(lit(1)).as("cnt")).orderBy("hour")
+
+  /** A9: average queries per weekday — two-level aggregate: count per
+    * (date, day_name), then mean per day_name (reference: stats.py:197-205).
+    * Second aggregate reuses the first's partitioning: AQE coalesces the
+    * tiny intermediate. */
+  def weekdayAvg(prep: DataFrame): DataFrame =
+    prep.groupBy("date", "day_name").agg(count(lit(1)).as("cnt"))
+      .groupBy("day_name").agg(round(avg(col("cnt")), 4).as("avg_cnt"))
+      .orderBy("day_name")
+
+  /** A10: the day/night stat block — totals per day_period partition
+    * (reference: stats.py:211-321 re-runs A1/A4/A5 per partition; a single
+    * pass with day_period in the grouping key replaces 2 full scans). */
+  def dayNightTotals(prep: DataFrame): DataFrame =
+    prep.groupBy("day_period").agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("status_type") === "Blocked", 1)).as("blocked_cnt"),
+      count(when(col("status_type") === "Allowed", 1)).as("allowed_cnt")
+    ).orderBy("day_period")
+
+  /** A10 (top client per period), one window pass (reference: stats.py:222-233). */
+  def dayNightTopClient(prep: DataFrame): DataFrame = {
+    val agg = prep.groupBy("day_period", "client").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("day_period").orderBy(desc("cnt"), asc("client"))
+    agg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").orderBy("day_period")
+  }
+
+  /** A11: exact distinct domain/client counts (reference: stats.py:422-423).
+    * Exact countDistinct = expand+two-phase agg; at 100 TB swap in
+    * approx_count_distinct (HLL) — see [[approxDistinct]]. */
+  def distinctCounts(prep: DataFrame): DataFrame =
+    prep.agg(
+      countDistinct(col("domain")).as("n_domains"),
+      countDistinct(col("client")).as("n_clients"))
+
+  /** A11 at scale: HLL sketch version — constant memory per partition, one
+    * pass, no expand. Not oracle-comparable (sketch), driver records
+    * rows-only. */
+  def approxDistinct(prep: DataFrame): DataFrame =
+    prep.agg(
+      approx_count_distinct(col("domain")).as("approx_domains"),
+      approx_count_distinct(col("client")).as("approx_clients"))
+
+  /** A12: most diverse client = argmax of countDistinct(domain) per client
+    * (reference: stats.py:424-431). */
+  def diverseClient(prep: DataFrame): DataFrame =
+    prep.groupBy("client").agg(countDistinct(col("domain")).as("n_domains"))
+      .orderBy(desc("n_domains"), asc("client")).limit(1)
+
+  /** A13: reply-time stats in ms — mean/max/min of abs(reply_time)*1000
+    * rounded to 3, nulls skipped, 0.0 sentinels when all-null
+    * (reference: stats.py:446-455; abs() here but NOT in A14 — quirk). */
+  def replyStats(prep: DataFrame): DataFrame =
+    prep.agg(
+      coalesce(round(avg(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("avg_reply_ms"),
+      coalesce(round(max(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("max_reply_ms"),
+      coalesce(round(min(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("min_reply_ms"))
+
+  /** A14: slowest domain by mean reply_time — no abs(), matching the
+    * reference asymmetry (stats.py:457-467). */
+  def slowestDomain(prep: DataFrame): DataFrame =
+    prep.filter(col("reply_time").isNotNull)
+      .groupBy("domain").agg(avg(col("reply_time")).as("avg_reply"))
+      .orderBy(desc("avg_reply"), asc("domain")).limit(1)
+      .select(col("domain"), round(col("avg_reply") * 1000, 3).as("avg_reply_ms"))
+
+  /** A15: average reply time per date, ms (reference: plot.py:77-82). */
+  def replyByDate(prep: DataFrame): DataFrame =
+    prep.groupBy("date").agg(round(avg(col("reply_time")) * 1000, 3).as("avg_reply_ms"))
+      .orderBy("date")
+
+  /** A22/W5: mean inter-arrival seconds per class, diff over each class's
+    * own time-ordered subset (reference: stats.py:382-388). Window is
+    * partitioned by status_type → parallel, scales (unlike W1-W4's global
+    * window; see [[Streaks]] for the scalable treatment there).
+    * Microsecond-long arithmetic keeps the oracle comparison exact. */
+  def interArrival(prep: DataFrame): DataFrame = {
+    val w = Window.partitionBy("status_type").orderBy("ts", "id")
+    prep.filter(col("status_type").isin("Allowed", "Blocked"))
+      .select(col("status_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("status_type")
+      .agg(round(avg(col("gap_us")) / 1e6, 4).as("mean_gap_s"))
+      .orderBy("status_type")
+  }
+}
