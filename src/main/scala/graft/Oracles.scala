@@ -134,6 +134,104 @@ topc AS (SELECT p.domain, p.client, count(*) AS client_cnt
 SELECT a.domain, a.class_cnt, a.all_cnt, c.client, c.client_cnt
 FROM allc a JOIN topc c USING(domain)"""
 
+  /** Streak-run CTE body for one class, shared by w01/w02 — mirrors
+    * [[graft.operators.Streaks.streakRuns]]: IS DISTINCT FROM covers the
+    * null first lag exactly like Spark's `isNull || =!=`. */
+  private def runsSql(statusType: String): String =
+    s"""SELECT grp, count(*) AS streak_len, min(ts) AS start_ts FROM (
+       |  SELECT ts, flag,
+       |         CAST(sum(chg) OVER (ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp FROM (
+       |    SELECT ts, id, flag,
+       |           CASE WHEN lag(flag) OVER (ORDER BY ts, id) IS DISTINCT FROM flag THEN 1 ELSE 0 END AS chg
+       |    FROM (SELECT ts, id, status_type = '$statusType' AS flag FROM prep)))
+       |WHERE flag GROUP BY grp""".stripMargin
+
+  private val heatmapCols: String =
+    (0 to 23).map(h => s"count(*) FILTER (WHERE hour = $h) AS h$h").mkString(",\n  ")
+
+  val plot: Map[String, String] = Map(
+    "a16_hourly_view" -> p(
+      """SELECT date_trunc('hour', ts) AS ts_hour, status_type, client, count(*) AS cnt
+        |FROM prep GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "a17_view_by_status" -> p(
+      """SELECT date_trunc('hour', ts) AS ts_hour, status_type, count(*) AS cnt
+        |FROM prep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "a17_client_activity" -> p(
+      """SELECT date_trunc('hour', ts) AS ts_hour, client, count(*) AS cnt
+        |FROM prep WHERE client IN (
+        |  SELECT client FROM (SELECT client, count(*) AS total_cnt FROM prep
+        |                      GROUP BY client ORDER BY total_cnt DESC, client LIMIT 10))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "j03_gap_filled" -> (Prep + """,
+      |view AS (SELECT date_trunc('hour', ts) AS ts_hour, status_type, count(*) AS cnt
+      |         FROM prep GROUP BY 1, 2),
+      |grid AS (SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+      |                                       date_trunc('hour', max(ts)),
+      |                                       INTERVAL 1 HOUR)) AS ts_hour FROM prep),
+      |st AS (SELECT * FROM (VALUES ('Allowed'), ('Blocked'), ('Other')) s(status_type))
+      |SELECT g.ts_hour, s.status_type, coalesce(v.cnt, 0) AS cnt
+      |FROM grid g CROSS JOIN st s
+      |LEFT JOIN view v ON v.ts_hour = g.ts_hour AND v.status_type = s.status_type
+      |ORDER BY 1, 2""".stripMargin),
+
+    "a18_stacked_client_bar" -> (Prep + """,
+      |topc AS (SELECT client, count(*) AS total_cnt FROM prep GROUP BY client
+      |         ORDER BY total_cnt DESC, client LIMIT 10)
+      |SELECT p.client, t.total_cnt, p.status_type, count(*) AS cnt
+      |FROM prep p JOIN topc t USING (client)
+      |GROUP BY 1, 2, 3 ORDER BY t.total_cnt DESC, p.client, p.status_type""".stripMargin),
+
+    "a19_client_domain_scatter" -> (Prep + """,
+      |topc AS (SELECT client FROM (SELECT client, count(*) AS c FROM prep
+      |                             GROUP BY client ORDER BY c DESC, client LIMIT 10)),
+      |topd AS (SELECT domain FROM (SELECT domain, count(*) AS c FROM prep
+      |                             GROUP BY domain ORDER BY c DESC, domain LIMIT 10)),
+      |agg AS (SELECT client, domain, status_type, count(*) AS cnt FROM prep
+      |        WHERE client IN (SELECT client FROM topc) AND domain IN (SELECT domain FROM topd)
+      |        GROUP BY 1, 2, 3)
+      |SELECT client,
+      |       CASE WHEN length(domain) > 8
+      |            THEN substr(domain, 1, 3) || '...' || substr(domain, length(domain) - 2, 3)
+      |            ELSE domain END AS domain,
+      |       status_type, cnt
+      |FROM agg ORDER BY cnt, client, domain, status_type""".stripMargin),
+
+    "a20_heatmap_all" -> p(
+      s"SELECT day_name,\n  $heatmapCols\nFROM prep GROUP BY day_name ORDER BY day_name"),
+
+    "a20_heatmap_blocked" -> p(
+      s"""SELECT day_name,
+         |  $heatmapCols
+         |FROM prep WHERE status_type = 'Blocked' GROUP BY day_name ORDER BY day_name""".stripMargin),
+
+    "p02_regex_filter" -> p(
+      """SELECT status_type, count(*) AS cnt FROM prep
+        |WHERE NOT regexp_matches(domain, '\d{2}\}$')
+        |GROUP BY status_type ORDER BY status_type""".stripMargin)
+  )
+
+  val streaks: Map[String, String] = Map(
+    "w01_streak_runs_blocked" -> p(runsSql("Blocked") + " ORDER BY grp"),
+
+    "w02_longest_streaks" -> p(
+      s"""SELECT * FROM (
+         |  SELECT 'Allowed' AS status_type, streak_len, start_ts FROM (
+         |    ${runsSql("Allowed")} ORDER BY streak_len DESC, start_ts LIMIT 1)
+         |  UNION ALL
+         |  SELECT 'Blocked' AS status_type, streak_len, start_ts FROM (
+         |    ${runsSql("Blocked")} ORDER BY streak_len DESC, start_ts LIMIT 1))
+         |ORDER BY status_type""".stripMargin),
+
+    "w03_longest_idle" -> p(
+      """SELECT round(gap_s, 6) AS gap_s, prev_ts AS before_gap, ts AS after_gap FROM (
+        |  SELECT ts, prev_ts, (epoch_us(ts) - epoch_us(prev_ts)) / 1e6 AS gap_s FROM (
+        |    SELECT ts, lag(ts) OVER (ORDER BY ts, id) AS prev_ts FROM prep))
+        |WHERE gap_s IS NOT NULL ORDER BY gap_s DESC, ts LIMIT 1""".stripMargin)
+  )
+
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
-  def all: Map[String, String] = stats
+  def all: Map[String, String] = stats ++ plot ++ streaks
 }

@@ -46,7 +46,23 @@ object SparkEntry {
     "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),
     "a14_slowest_domain"      -> ((s, d) => Stats.slowestDomain(prep(s, d))),
     "a15_reply_by_date"       -> ((s, d) => Stats.replyByDate(prep(s, d))),
-    "a22_inter_arrival"       -> ((s, d) => Stats.interArrival(prep(s, d)))
+    "a22_inter_arrival"       -> ((s, d) => Stats.interArrival(prep(s, d))),
+    // plot-data layer (SURVEY.md §2.4 A16-A20, §2.3 J3, §2.2 P2/P5, §2.8 F10)
+    "a16_hourly_view"         -> ((s, d) => PlotData.hourlyView(prep(s, d))),
+    "a17_view_by_status"      -> ((s, d) => PlotData.viewByStatus(prep(s, d))),
+    "a17_client_activity"     -> ((s, d) => PlotData.clientActivity(prep(s, d), 10)),
+    "j03_gap_filled"          -> ((s, d) => PlotData.gapFilledByStatus(prep(s, d))),
+    "a18_stacked_client_bar"  -> ((s, d) => PlotData.stackedClientBar(prep(s, d), 10)),
+    "a19_client_domain_scatter" -> ((s, d) => PlotData.clientDomainScatter(prep(s, d), 10, 10, maxLen = 8, keep = 3)),
+    "a20_heatmap_all"         -> ((s, d) => PlotData.dayHourHeatmap(prep(s, d), None)),
+    "a20_heatmap_blocked"     -> ((s, d) => PlotData.dayHourHeatmap(prep(s, d), Some("Blocked"))),
+    "p02_regex_filter"        -> ((s, d) =>
+      Preprocess.regexAntiFilter(prep(s, d), "domain", Seq("""\d{2}\}$""", "["))
+        .groupBy("status_type").agg(count(lit(1)).as("cnt")).orderBy("status_type")),
+    // order-dependent layer (SURVEY.md §2.5 W1-W4)
+    "w01_streak_runs_blocked" -> ((s, d) => Streaks.streakRuns(prep(s, d), "Blocked")),
+    "w02_longest_streaks"     -> ((s, d) => Streaks.longestStreaks(prep(s, d))),
+    "w03_longest_idle"        -> ((s, d) => Streaks.longestIdle(prep(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's chart-feeding aggregate tables (reference: plot.py:12-162,
+  * process.py:86-113) as declarative Spark plans over the preprocessed
+  * relation ([[graft.Preprocess]]).
+  *
+  * Scale design: every query here is groupBy→agg (partial+final hash agg,
+  * one shuffle on the grouping key); the top-k relations are tiny (≤ n rows)
+  * and explicitly `broadcast()` into semi-joins, so the big fact relation is
+  * never shuffled for a join. The hourly view (A16) is the materialized-view
+  * analog of the reference's interactive cache: at cluster scale you'd write
+  * it once (partitioned by day) and serve A17-style re-aggregations from it
+  * — its cardinality is hours × statuses × clients, orders of magnitude
+  * below the event count, so re-aggs never touch the fact table.
+  */
+object PlotData {
+
+  /** F10: shorten long strings to `first(keep) + "..." + last(keep)` when
+    * longer than maxLen (reference: plot.py:26-27 with maxLen=45, keep=20).
+    * Pure expression — stays in codegen. */
+  def shorten(c: Column, maxLen: Int, keep: Int): Column =
+    when(length(c) > maxLen,
+      concat(substring(c, 1, keep), lit("..."), substr(c, length(c) - (keep - 1), lit(keep))))
+      .otherwise(c)
+
+  /** Top-k clients by total count, deterministic tie-break
+    * (reference: plot.py:29, process.py:107). */
+  def topClients(prep: DataFrame, n: Int): DataFrame =
+    prep.groupBy("client").agg(count(lit(1)).as("total_cnt"))
+      .orderBy(desc("total_cnt"), asc("client")).limit(n)
+
+  /** Top-k domains by count within the frame (reference: plot.py:56-58, 89). */
+  def topDomains(prep: DataFrame, n: Int): DataFrame =
+    prep.groupBy("domain").agg(count(lit(1)).as("total_cnt"))
+      .orderBy(desc("total_cnt"), asc("domain")).limit(n)
+
+  /** A16: the hourly (ts_hour, status_type, client) rollup — the reference's
+    * materialized view for all interactive charts (process.py:100-104). */
+  def hourlyView(prep: DataFrame): DataFrame =
+    prep.groupBy(
+      date_trunc("HOUR", col("ts")).as("ts_hour"),
+      col("status_type"), col("client")
+    ).agg(count(lit(1)).as("cnt"))
+
+  /** A17: re-aggregation of the view to (ts_hour, status_type)
+    * (reference: plot.py:182-187). */
+  def viewByStatus(prep: DataFrame): DataFrame =
+    hourlyView(prep).groupBy("ts_hour", "status_type")
+      .agg(sum("cnt").as("cnt")).orderBy("ts_hour", "status_type")
+
+  /** A17/P5: per-client activity restricted to the top-n clients — the
+    * left-semi join against the broadcast top-k relation
+    * (reference: plot.py:291-294). */
+  def clientActivity(prep: DataFrame, n: Int): DataFrame =
+    hourlyView(prep)
+      .join(broadcast(topClients(prep, n).select("client")), Seq("client"), "left_semi")
+      .groupBy("ts_hour", "client").agg(sum("cnt").as("cnt"))
+      .orderBy("ts_hour", "client")
+
+  /** J3: dense hourly grid × the three status classes LEFT JOIN the A17
+    * aggregate, missing buckets → 0 (reference: plot.py:212-225).
+    * The grid is generated from the 1-row min/max aggregate via
+    * sequence+explode — never collected to the driver — and both grid and
+    * aggregate are tiny relative to the fact table, so the join broadcasts. */
+  def gapFilledByStatus(prep: DataFrame): DataFrame = {
+    val grid = prep
+      .agg(date_trunc("HOUR", min(col("ts"))).as("lo"), date_trunc("HOUR", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("ts_hour"))
+    val statuses = grid.sparkSession
+      .sql("SELECT explode(array('Allowed','Blocked','Other')) AS status_type")
+    grid.crossJoin(broadcast(statuses))
+      .join(viewByStatus(prep), Seq("ts_hour", "status_type"), "left")
+      .select(col("ts_hour"), col("status_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("ts_hour", "status_type")
+  }
+
+  /** A18/O4: stacked per-client bar — counts per (client, status_type) on
+    * the top-n clients, carrying the client total used for categorical
+    * ordering (reference: plot.py:30-48). */
+  def stackedClientBar(prep: DataFrame, n: Int): DataFrame =
+    prep.join(broadcast(topClients(prep, n)), Seq("client"))
+      .groupBy("client", "total_cnt", "status_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("total_cnt"), asc("client"), asc("status_type"))
+
+  /** A19: client-domain scatter on top-n clients ∧ top-m domains, count
+    * ascending, domains shortened for display (reference: plot.py:88-101;
+    * shorten applied plot.py:94). maxLen/keep parameterized so the testdata
+    * (short keys) still exercises the shortening path. */
+  def clientDomainScatter(prep: DataFrame, nClients: Int, nDomains: Int,
+                          maxLen: Int = 45, keep: Int = 20): DataFrame =
+    prep
+      .join(broadcast(topClients(prep, nClients).select("client")), Seq("client"), "left_semi")
+      .join(broadcast(topDomains(prep, nDomains).select("domain")), Seq("domain"), "left_semi")
+      .groupBy("client", "domain", "status_type").agg(count(lit(1)).as("cnt"))
+      .select(col("client"), shorten(col("domain"), maxLen, keep).as("domain"),
+        col("status_type"), col("cnt"))
+      .orderBy(asc("cnt"), asc("client"), asc("domain"), asc("status_type"))
+
+  /** A20: day×hour heatmap — pivot hour 0..23 into columns, zero-filled,
+    * optionally restricted to one status class
+    * (reference: plot.py:104-139 builds all/Allowed/Blocked variants). */
+  def dayHourHeatmap(prep: DataFrame, statusType: Option[String]): DataFrame = {
+    val base = statusType.fold(prep)(s => prep.filter(col("status_type") === s))
+    val pivoted = base.groupBy("day_name")
+      .pivot("hour", (0 to 23).map(h => h: Any)).agg(count(lit(1)))
+    val hourCols = (0 to 23).map(h => coalesce(col(s"$h"), lit(0L)).as(s"h$h"))
+    pivoted.select(col("day_name") +: hourCols: _*).orderBy("day_name")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-dependent operators — streaks (gaps-and-islands) and idle gaps
+  * (reference: stats.py:500-528 builds the sorted flags/groups,
+  * stats.py:323-365 streak aggregation, stats.py:369-415 idle gaps).
+  *
+  * The reference relies on one global pandas sort; in Spark these are the
+  * only operators that need a total order. Expressed with an unpartitioned
+  * `Window.orderBy(ts, id)`: Spark range-partitions the sort, but the
+  * running-sum window then coalesces to a single task — acceptable at bench
+  * scale and flagged in SURVEY.md §7.3-3. The scalable treatment for the
+  * 100 TB design point is the classic two-pass trick: (1) per-partition
+  * run-length encoding via mapPartitions after a repartitionByRange(ts),
+  * (2) a driver-side prefix-merge of the ≤ numPartitions boundary runs.
+  * Because stage 2's input is 2 rows per partition, it is O(partitions),
+  * not O(rows) — see [[streakRuns]]' doc for why we keep the window form
+  * here: its output IS the per-run relation the merge would produce, and
+  * correctness at driver scale is oracle-checked.
+  */
+object Streaks {
+
+  /** W1+A21: per-run relation for one class flag. Group id = running count
+    * of flag flips over the time order (pandas: cumsum of
+    * `flag != flag.shift()`, stats.py:507-514); keep only the runs where
+    * the flag holds and aggregate run length + first timestamp
+    * (stats.py:328-335; first-on-sorted = min(ts)). */
+  def streakRuns(prep: DataFrame, statusType: String): DataFrame = {
+    val w = Window.orderBy("ts", "id")
+    val run = Window.orderBy("ts", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flag = (col("status_type") === statusType).as("flag")
+    prep.select(col("ts"), col("id"), flag)
+      .withColumn("chg",
+        when(lag(col("flag"), 1).over(w).isNull || lag(col("flag"), 1).over(w) =!= col("flag"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(run))
+      .filter(col("flag"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("streak_len"), min(col("ts")).as("start_ts"))
+      .select("grp", "streak_len", "start_ts")
+  }
+
+  /** W2: longest streak of a class — argmax run by length, earliest start
+    * on ties (pandas idxmax returns the first = earliest group,
+    * stats.py:337-344). */
+  def longestStreak(prep: DataFrame, statusType: String): DataFrame =
+    streakRuns(prep, statusType)
+      .orderBy(desc("streak_len"), asc("start_ts")).limit(1)
+      .select(lit(statusType).as("status_type"), col("streak_len"), col("start_ts"))
+
+  /** W2 both classes in one result (reference computes blocked + allowed,
+    * stats.py:336-359). */
+  def longestStreaks(prep: DataFrame): DataFrame =
+    longestStreak(prep, "Allowed").unionByName(longestStreak(prep, "Blocked"))
+      .orderBy("status_type")
+
+  /** W3+W4: the largest inter-arrival gap over the full ordered relation,
+    * with the timestamps bounding it (reference: idle_gap stats.py:515,
+    * argmax + before/after stats.py:369-402). Ties broken by earliest
+    * occurrence (pandas idxmax → first). Gap reported in seconds — the
+    * reference's `max_idle_ms` key actually holds seconds (SURVEY.md
+    * §7.3-4); we use an honest column name. */
+  def longestIdle(prep: DataFrame): DataFrame = {
+    val w = Window.orderBy("ts", "id")
+    prep.select(col("ts"), col("id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(1e6))
+      .filter(col("gap_s").isNotNull)
+      .orderBy(desc("gap_s"), asc("ts")).limit(1)
+      .select(round(col("gap_s"), 6).as("gap_s"),
+        col("prev_ts").as("before_gap"), col("ts").as("after_gap"))
+  }
+}
