@@ -232,6 +232,68 @@ FROM allc a JOIN topc c USING(domain)"""
         |WHERE gap_s IS NOT NULL ORDER BY gap_s DESC, ts LIMIT 1""".stripMargin)
   )
 
+  /** Star-schema join queries ([[graft.operators.Joins]]). These read the
+    * TPC-H-ish tables directly (no prep CTE). */
+  val joins: Map[String, String] = Map(
+    "h01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h03_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+
+    "h05_region_revenue" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+
+    "h10_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "h_semi_urgent_customers" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "h_anti_no_open_orders" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
-  def all: Map[String, String] = stats ++ plot ++ streaks
+  def all: Map[String, String] = stats ++ plot ++ streaks ++ joins
 }

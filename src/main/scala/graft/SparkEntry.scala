@@ -62,7 +62,14 @@ object SparkEntry {
     // order-dependent layer (SURVEY.md §2.5 W1-W4)
     "w01_streak_runs_blocked" -> ((s, d) => Streaks.streakRuns(prep(s, d), "Blocked")),
     "w02_longest_streaks"     -> ((s, d) => Streaks.longestStreaks(prep(s, d))),
-    "w03_longest_idle"        -> ((s, d) => Streaks.longestIdle(prep(s, d)))
+    "w03_longest_idle"        -> ((s, d) => Streaks.longestIdle(prep(s, d))),
+    // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
+    "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),
+    "h03_shipping_priority"   -> ((s, d) => Joins.shippingPriority(s, d)),
+    "h05_region_revenue"      -> ((s, d) => Joins.regionRevenue(s, d)),
+    "h10_returned_revenue"    -> ((s, d) => Joins.returnedRevenue(s, d)),
+    "h_semi_urgent_customers" -> ((s, d) => Joins.urgentCustomers(s, d)),
+    "h_anti_no_open_orders"   -> ((s, d) => Joins.noOpenOrderCustomers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Equi-join queries over the driver's star schema — the "real joins" layer
+  * the reference lacks (SURVEY.md §2.3: the FTL table is denormalized, so
+  * joins only appear in the engine build). Shapes follow the classic TPC-H
+  * patterns since the testdata is TPC-H-ish.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *   - dimension tables (region 5 rows, nation 25) are ALWAYS broadcast —
+  *     `broadcast()` hints pin it rather than trusting the 10 MB autoBroadcast
+  *     threshold at cluster configs we don't control;
+  *   - customer/orders/lineitem joins are shuffle joins on the key; we do NOT
+  *     hint those — AQE picks SMJ vs shuffled-hash from runtime sizes, and at
+  *     100 TB a forced broadcast would OOM the executors;
+  *   - filters are applied BEFORE joins so Catalyst pushes them into the
+  *     parquet scan (PushedFilters) and the join inputs shrink first;
+  *   - aggregations sit on top of the join keys where possible so the shuffle
+  *     for the join is reused by the aggregate (same hash partitioning).
+  */
+object Joins {
+
+  /** TPC-H Q1 shape: pricing summary over lineitem alone — the canonical
+    * map-side-combined aggregate; no join, included as the bench anchor. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        // rounded on BOTH sides (here and in the oracle SQL): double
+        // summation is order-dependent, and a distributed sum will not
+        // bit-match a sequential one (SURVEY.md §7.3-1)
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: top unshipped orders by revenue for one market
+    * segment. customer⋈orders⋈lineitem with pre-join filters; the
+    * (filtered) customer side is small → broadcast into orders, then one
+    * shuffle join with lineitem on orderkey. */
+  def shippingPriority(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey")).limit(n)
+  }
+
+  /** TPC-H Q5 shape: revenue per nation for one region and date window —
+    * the 5-way join chain. region and nation broadcast (tiny, always);
+    * customer⋈orders⋈lineitem shuffle on their keys. */
+  def regionRevenue(s: SparkSession, dir: String, region: String = "ASIA"): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top n.
+    * orders⋈lineitem(R-flagged) shuffle join; nation broadcast. */
+  def returnedRevenue(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey")).limit(n)
+  }
+
+  /** Left-semi: customers having at least one urgent order, counted per
+    * market segment. The semi-join keeps only the probe side — no row
+    * explosion, and the urgent-orders key set is deduped inside the join. */
+  def urgentCustomers(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti: customers with no open ('P') orders, per market segment —
+    * the NOT EXISTS pattern as one anti-join instead of a subquery scan. */
+  def noOpenOrderCustomers(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P").select("o_custkey")
+    Tables.customer(s, dir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+}
