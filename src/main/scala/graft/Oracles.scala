@@ -294,6 +294,132 @@ FROM allc a JOIN topc c USING(domain)"""
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
+  // ---- dedup / similarity oracles (documents, embeddings tables) ----
+  // These mirror graft.operators.{Dedup, Similarity} stage by stage; all
+  // hashes are md5 (bit-identical across engines) and all floats are
+  // rounded identically, so the full pipelines hash-compare.
+
+  /** Shingle + MinHash-signature + LSH-band CTE chain (k=16, 4 bands,
+    * 5-char shingles) — mirrors Dedup.shingles/minhashSignatures/
+    * lshCandidates. */
+  private val minhashCtes: String = {
+    val sigCols = (0 until 16).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n         ")
+    val bandCase = (0 until 4).map { b =>
+      val slice = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      if (b < 3) s"WHEN $b THEN md5($slice)" else s"ELSE md5($slice)"
+    }.mkString("\n      ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       |       unnest(generate_series(1, len(w) - 2)) t(i)
+       |  WHERE len(w) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.band_idx,
+       |    CASE b.band_idx
+       |      $bandCase
+       |    END AS band_key
+       |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_idx)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** SimHash CTE chain — mirrors Dedup.simhash: md5 per token, nibble per
+    * hex position, ±1 vote sums per bit, majority reassembly. */
+  private val simhashCte: String = {
+    val nibCols = (0 until 16)
+      .map(p => s"strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS n$p")
+      .mkString(",\n         ")
+    val voteCols = (for (p <- 0 until 16; b <- 3 to 0 by -1)
+      yield s"sum(CASE WHEN ((n$p >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v${p}_$b")
+      .mkString(",\n         ")
+    val digitExprs = (0 until 16).map { p =>
+      val d = (3 to 0 by -1).map(b => s"(CASE WHEN v${p}_$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', ($d) + 1, 1)"
+    }.mkString(" ||\n         ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(w) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |nibs AS (
+       |  SELECT doc_id,
+       |         $nibCols
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |         $voteCols
+       |  FROM nibs GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id,
+       |         $digitExprs AS simhash
+       |  FROM votes)""".stripMargin
+  }
+
+  val dedup: Map[String, String] = Map(
+    "d01_exact_summary" ->
+      """SELECT count(*) AS total_docs,
+        |       count(DISTINCT md5(text)) AS distinct_texts,
+        |       count(*) - count(DISTINCT md5(text)) AS removed
+        |FROM documents""".stripMargin,
+
+    "d01_exact_groups" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d02_minhash_cands" -> (minhashCtes + "\nSELECT i, j FROM cands ORDER BY i, j"),
+
+    "d03_jaccard_dups" -> (minhashCtes + """,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.i, c.j, count(*) AS common
+      |  FROM cands c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+      |  GROUP BY c.i, c.j)
+      |SELECT m.i, m.j, m.common,
+      |       round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) AS jaccard
+      |FROM common m
+      |JOIN sizes si ON si.doc_id = m.i
+      |JOIN sizes sj ON sj.doc_id = m.j
+      |WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8
+      |ORDER BY m.i, m.j""".stripMargin),
+
+    "d04_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
+
+    "d05_simhash_cands" -> (simhashCte + """,
+      |ch AS (
+      |  SELECT doc_id, c.chunk_idx, substr(simhash, c.chunk_idx * 4 + 1, 4) AS chunk
+      |  FROM sim, (VALUES (0), (1), (2), (3)) c(chunk_idx))
+      |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |ORDER BY i, j""".stripMargin)
+  )
+
+  val similarity: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "s03_embedding_near_dups" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
+        |ORDER BY a.label, i, j""".stripMargin
+  )
+
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
-  def all: Map[String, String] = stats ++ plot ++ streaks ++ joins
+  def all: Map[String, String] = stats ++ plot ++ streaks ++ joins ++ dedup ++ similarity
 }

@@ -69,7 +69,18 @@ object SparkEntry {
     "h05_region_revenue"      -> ((s, d) => Joins.regionRevenue(s, d)),
     "h10_returned_revenue"    -> ((s, d) => Joins.returnedRevenue(s, d)),
     "h_semi_urgent_customers" -> ((s, d) => Joins.urgentCustomers(s, d)),
-    "h_anti_no_open_orders"   -> ((s, d) => Joins.noOpenOrderCustomers(s, d))
+    "h_anti_no_open_orders"   -> ((s, d) => Joins.noOpenOrderCustomers(s, d)),
+    // training-data pipeline: dedup over documents
+    "d01_exact_summary"       -> ((s, d) => Dedup.exactSummary(Tables.documents(s, d))),
+    "d01_exact_groups"        -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
+    "d02_minhash_cands"       -> ((s, d) => Dedup.lshCandidates(Tables.documents(s, d))),
+    "d03_jaccard_dups"        -> ((s, d) => Dedup.jaccardVerified(Tables.documents(s, d), 0.8)),
+    "d04_simhash"             -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "d05_simhash_cands"       -> ((s, d) => Dedup.simhashCandidates(Tables.documents(s, d))),
+    // training-data pipeline: similarity search over embeddings
+    "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
+    "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),
+    "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite over `documents(doc_id, text, ...)` — the
+  * training-data-pipeline layer (no reference counterpart). Four families:
+  * exact (hash groupBy), MinHash+LSH (shingle → signature → band →
+  * bucket-join), SimHash (bit-majority fingerprint), and exact n-gram
+  * Jaccard verification over the LSH candidates.
+  *
+  * Hash choice: md5 — not for speed but because it is bit-identical across
+  * engines, which makes every stage DuckDB-oracle-checkable. At production
+  * scale you'd swap in xxhash64 (Spark-codegen'd, ~20× faster) behind the
+  * same plan shapes; the shuffle structure below is the part that matters.
+  *
+  * Scale design:
+  *   - shingling explodes each doc into ~len(text) rows — embarrassingly
+  *     parallel, no shuffle until the per-doc signature aggregate;
+  *   - the MinHash signature is ONE groupBy(doc_id) computing all k mins
+  *     (single shuffle, map-side partial min);
+  *   - LSH banding turns all-pairs O(n²) into a self-join on (band, key):
+  *     only near-dup docs collide, so the join output is ~|dup pairs|, and
+  *     the shuffle key (band_key) is uniform unless the corpus is
+  *     pathologically self-similar;
+  *   - exact Jaccard runs only on LSH candidates — the verify step touches
+  *     |candidates| × shingle rows, never n².
+  */
+object Dedup {
+
+  /** Distinct character n-gram shingles per doc — (doc_id, s). Docs
+    * shorter than n drop out (no n-shingle → never-duplicate). */
+  def charShingles(docs: DataFrame, n: Int = 5): DataFrame = shingleRel(docs, n)
+
+  /** Distinct word 3-gram shingles per doc — the default unit for MinHash.
+    * ~6× fewer rows than char 5-grams on prose (one shingle per word, not
+    * per char), which directly scales down every downstream hash/join.
+    * Spark arrays are 0-indexed (`w[i]`); the DuckDB oracle mirrors with
+    * its 1-based lists. */
+  def wordShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("w[i]"), expr("w[i+1]"), expr("w[i+2]")).as("s"))
+      .distinct()
+
+  /** Exact duplicate groups by content hash: md5(text) → group size +
+    * canonical (min) doc_id. `n_copies > 1` rows are the duplicate sets;
+    * the summary row count equals countDistinct(text). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy("text_hash")
+
+  /** Exact-dedup summary: total docs, distinct texts, docs removed. */
+  def exactSummary(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("total_docs"),
+        countDistinct(md5(col("text"))).as("distinct_texts"))
+      .select(col("total_docs"), col("distinct_texts"),
+        (col("total_docs") - col("distinct_texts")).as("removed"))
+
+  /** MinHash signature: k independent hash mins per doc in ONE aggregate
+    * pass. h_i(s) = md5("<i>:" || s), minimized lexicographically — a
+    * string-valued MinHash, engine-portable. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame = {
+    val sh = wordShingles(docs)
+    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: k mins split into `bands` bands of k/bands rows; band
+    * key = md5 of the concatenated band slice. Docs sharing ANY band key
+    * are candidates. */
+  def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(docs, k)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
+    a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
+      .select("i", "j").distinct().orderBy("i", "j")
+  }
+
+  /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
+    * of the MinHash pipeline). Jaccard is a ratio of integers — exact
+    * across engines, no float rounding concerns. */
+  def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = wordShingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cands = lshCandidates(docs, k, bands)
+    val common = cands
+      .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .select(col("i"), col("j"), col("common"),
+        round(col("common").cast("double") / (col("ni") + col("nj") - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("i", "j")
+  }
+
+  /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
+    * emitted as 16 hex chars. Near-identical docs differ in few bits. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    // nibble value of hex char p (0-indexed): conv base16→10
+    val nib = (p: Int) => expr(s"cast(conv(substr(h, ${p + 1}, 1), 16, 10) as int)")
+    val withNibs = tok.select(
+      col("doc_id") +: (0 until 16).map(p => nib(p).as(s"n$p")): _*)
+    // per (hex pos, bit): sum of ±1 votes
+    val votes = for (p <- 0 until 16; b <- 3 to 0 by -1)
+      yield sum(when(expr(s"(shiftright(n$p, $b) & 1) = 1"), 1).otherwise(-1)).as(s"v${p}_$b")
+    val agg = withNibs.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    // reassemble: majority bit per position, 4 bits → hex digit via lookup
+    val digits = (0 until 16).map { p =>
+      val d = (3 to 0 by -1).map { b =>
+        when(col(s"v${p}_$b") > 0, 1 << b).otherwise(0): Column
+      }.reduce(_ + _)
+      lower(conv(d.cast("string"), 10, 16))
+    }
+    agg.select(col("doc_id"), concat(digits: _*).as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash candidate pairs: docs agreeing on at least one of 4 hex
+    * chunks (4 chars = 16 bits). Hamming ≤ 3 guarantees some chunk is
+    * equal (pigeonhole) — the banding trick again, on bit-chunks. */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    val sig = simhash(docs)
+    val chunks = (0 until 4).map(cn =>
+      struct(lit(cn).as("chunk_idx"), expr(s"substr(simhash, ${cn * 4 + 1}, 4)").as("chunk")))
+    val chunked = sig.select(col("doc_id"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("i"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("j"))
+    a.join(b, Seq("chunk_idx", "chunk")).filter(col("i") < col("j"))
+      .select("i", "j").distinct().orderBy("i", "j")
+  }
+
+  /** Correct shingle relation (doc_id, s) — distinct n-gram per doc. */
+  private def shingleRel(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
+      .select(col("doc_id"), expr(s"substr(text, i, $n)").as("s"))
+      .distinct()
+}

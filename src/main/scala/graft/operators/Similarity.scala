@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * training-data-pipeline layer. No reference counterpart; designed
+  * Spark-first for the 100 TB case.
+  *
+  * Numeric determinism: every dot/norm is computed in DOUBLE, element-wise
+  * in array order (`zip_with` + `aggregate` fold — sequential, same order
+  * as the DuckDB oracle's DOUBLE[] computation), so results hash-match
+  * after rounding. float32 arithmetic would differ ~1e-7 between engines
+  * and flap rounded comparisons.
+  *
+  * Scale design:
+  *   - brute-force kNN is O(|Q|·|C|): fine when the query side is small
+  *     (broadcast) — that IS the production shape for "find neighbors of
+  *     this batch"; the candidate scan stays partition-parallel and never
+  *     shuffles the corpus;
+  *   - for corpus×corpus the LSH path ([[hyperplaneBuckets]]) buckets by
+  *     sign-pattern so only same-bucket pairs join — the shuffle is on the
+  *     bucket key and skew is bounded by 2^planes buckets; an IVF variant
+  *     would swap the hash for learned centroids (same join shape).
+  */
+object Similarity {
+
+  /** Element-wise fold dot product in double; arrays must be equal length. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from a precomputed-norm pair — one fold per pair instead of
+    * three (dot + both norms); the norms are attached per VECTOR before
+    * the pair join, which is the difference between O(pairs) and
+    * O(3·pairs) interpreted-lambda folds in the hot path. Same arithmetic
+    * as [[cosine]], so oracle-identical. */
+  private def pairCos(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dot(va, vb) / (na * nb)
+
+  /** Brute-force top-k cosine neighbors for a small query set (vec_id in
+    * [0, nQueries)). Query side broadcast; rank window partitioned by
+    * query id so it parallelizes. Self-matches excluded. */
+  def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pairCos(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component p[j][i] — a pure
+    * arithmetic formula (sin of an index mix) so any engine reproduces it
+    * without shipping weights. */
+  private def planeComponent(plane: Int, i: Column): Column =
+    sin(i * lit(12.9898 + plane) + lit(78.233 * (plane + 1))) * lit(43758.5453) % lit(1.0)
+
+  /** Sign-pattern LSH bucket id from `planes` hyperplanes: bit j = sign of
+    * dot(v, p_j). Buckets corpus vectors for corpus×corpus candidate
+    * generation without the O(n²) join. */
+  def bucketId(v: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via hyperplane-LSH buckets: same-bucket pairs scored exactly,
+    * then top-k per query among candidates. Recall < 1 by construction
+    * (driver records rows-only; recall asserted in ScalaTest vs brute). */
+  def knnLsh(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    val q = withB.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), col("bucket"))
+    val c = withB.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pairCos(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Pairwise cosine above `threshold` within label blocks — embedding
+    * near-duplicate detection with an explicit blocking key, the standard
+    * way to bound the pair join (block × block instead of n²). At 100 TB
+    * the label would be an LSH bucket or cluster id; the join shape — a
+    * self-join shuffled on the block key — is identical. */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("i"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val b = emb.select(col("label"), col("vec_id").as("j"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
+    a.join(b, Seq("label")).filter(col("i") < col("j"))
+      .select(col("label"), col("i"), col("j"),
+        round(pairCos(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") > threshold)
+      .orderBy("label", "i", "j")
+  }
+}
