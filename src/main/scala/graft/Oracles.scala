@@ -420,6 +420,68 @@ FROM allc a JOIN topc c USING(domain)"""
         |ORDER BY a.label, i, j""".stripMargin
   )
 
+  // ---- text-analysis oracles (documents table) ----
+
+  /** Per-language hit-count subquery shared by t01/t02 — patterns must
+    * stay byte-identical with TextAnalysis.LangPatterns. */
+  private val langHitsSub: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|was)\b')) AS en_hits,
+      |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS de_hits,
+      |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|pas|pour|que|une|dans)\b')) AS fr_hits,
+      |  len(regexp_extract_all(lower(text), '\b(el|los|las|de|que|y|en|un|es|por)\b')) AS es_hits,
+      |  len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS zh_hits
+      |FROM documents""".stripMargin
+
+  val text: Map[String, String] = Map(
+    "t01_lang_id" ->
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+         |  CASE WHEN zh_hits >= greatest(en_hits, de_hits, fr_hits, es_hits) AND zh_hits > 0 THEN 'zh'
+         |       WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |       WHEN es_hits >= fr_hits THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM ($langHitsSub) ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      """SELECT doc_id, n_chars_m, n_tokens, punct_cnt, stop_hits,
+        |  round(CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_word_len,
+        |  round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+        |  CAST(floor((least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.4
+        |      + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(CAST(punct_cnt AS DOUBLE) / greatest(n_tokens, 1) * 10.0, 1.0)) * 0.3
+        |    ) * 1e6) AS DOUBLE) / 1e6 AS quality_score
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_chars_m,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
+        |         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|was)\b')) AS stop_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t03_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t03_corpus_totals" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+        |  round(avg(re_tokens), 6) AS avg_re_tokens
+        |FROM (SELECT len(string_split(text, ' ')) AS ws_tokens,
+        |             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+        |      FROM documents)""".stripMargin,
+
+    "t04_fingerprint_groups" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |GROUP BY fp ORDER BY fp""".stripMargin
+  )
+
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
-  def all: Map[String, String] = stats ++ plot ++ streaks ++ joins ++ dedup ++ similarity
+  def all: Map[String, String] =
+    stats ++ plot ++ streaks ++ joins ++ dedup ++ similarity ++ text
 }

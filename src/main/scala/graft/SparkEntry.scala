@@ -80,7 +80,14 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
     "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),
-    "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4))
+    "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
+    // training-data pipeline: text analysis over documents
+    "t01_lang_id"             -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "t02_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "t03_token_counts"        -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "t03_corpus_totals"       -> ((s, d) => TextAnalysis.corpusTokenTotals(Tables.documents(s, d))),
+    "t04_fingerprint_groups"  -> ((s, d) => TextAnalysis.fingerprintGroups(Tables.documents(s, d))),
+    "t05_rolling_fp"          -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents(doc_id, text, lang, ...)` —
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * `Column` expressions (regexp_count / split / md5 / arithmetic): no UDFs,
+  * every operator stays in whole-stage codegen and the scan reads only
+  * (doc_id, text). Each computation is a single map-side pass — no shuffle
+  * except the final tiny aggregate where one exists.
+  */
+object TextAnalysis {
+
+  /** Language-marker patterns: stopword alternations (word-bounded) per
+    * language + a CJK codepoint class. Both Java regex and RE2 (DuckDB)
+    * support \b and \x{...} identically for these. */
+  val LangPatterns: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|a|of|and|to|in|is|that|it|was)\b""",
+    "de" -> """\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b""",
+    "fr" -> """\b(le|la|les|et|est|pas|pour|que|une|dans)\b""",
+    "es" -> """\b(el|los|las|de|que|y|en|un|es|por)\b""",
+    "zh" -> """[\x{4e00}-\x{9fff}]"""
+  )
+
+  /** T1: n-gram/stopword language-ID heuristic — hit counts per language
+    * plus a deterministic argmax (zh wins on any CJK presence; then a
+    * fixed en→de→es→fr preference chain on ties). */
+  def langId(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val hits = LangPatterns.map { case (l, p) => regexp_count(lowered, lit(p)).as(s"${l}_hits") }
+    val pred =
+      when(col("zh_hits") >= greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
+        && col("zh_hits") > 0, "zh")
+        .when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+        .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+        .when(col("es_hits") >= col("fr_hits"), "es")
+        .otherwise("fr")
+    docs.select(col("doc_id") +: hits: _*)
+      .withColumn("pred_lang", pred)
+      .orderBy("doc_id")
+  }
+
+  /** T2: quality scoring — length/punctuation/stopword-density features
+    * and a bounded composite score. The formula is arbitrary but fixed;
+    * the point is the feature extraction shape (all codegen'd scalar
+    * expressions over one scan). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTokens = size(split(col("text"), " "))
+    val punctCnt = regexp_count(col("text"), lit("[.,!?;:]"))
+    val stopHits = regexp_count(lower(col("text")), lit(LangPatterns.head._2))
+    val nChars = length(col("text"))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      punctCnt.as("punct_cnt"),
+      stopHits.as("stop_hits"))
+      .withColumn("avg_word_len",
+        round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double")
+          / greatest(col("n_tokens"), lit(1)), 6))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1)), 6))
+      .withColumn("quality_score", {
+        // floor-truncate instead of round: the weighted sum of small
+        // rationals lands EXACTLY on round-half boundaries (e.g.
+        // 0.5529365), where Spark's and DuckDB's round() disagree; floor
+        // of bit-identical doubles (identical op order) cannot.
+        val raw = least(col("n_tokens").cast("double"), lit(200.0)) / 200.0 * 0.4 +
+          least(col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1)) * 5.0,
+            lit(1.0)) * 0.3 +
+          (lit(1.0) - least(col("punct_cnt").cast("double")
+            / greatest(col("n_tokens"), lit(1)) * 10.0, lit(1.0))) * 0.3
+        floor(raw * 1e6).cast("double") / 1e6
+      })
+      .orderBy("doc_id")
+  }
+
+  /** T3: token counting — whitespace tokens and a BPE-ish lexer count
+    * (letter runs | digit runs | single non-alnum-non-space), per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit("""[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]""")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** T3 corpus totals: one-row rollup of the per-doc counts. */
+  def corpusTokenTotals(docs: DataFrame): DataFrame =
+    tokenCounts(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum("ws_tokens").as("total_ws_tokens"),
+      sum("re_tokens").as("total_re_tokens"),
+      round(avg("re_tokens"), 6).as("avg_re_tokens"))
+
+  /** T4: content fingerprint = md5 of the whitespace-normalized,
+    * lowercased text; groups = near-trivially-duplicate docs (case /
+    * spacing variants). */
+  def fingerprintGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("fp")
+
+  /** T5: Rabin-Karp rolling-hash fingerprint via the native
+    * [[graft.functions.RollingHash]] codegen expression (driver records
+    * rows-only — the hash has no DuckDB equivalent; ScalaTest pins exact
+    * values). */
+  def rollingFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.rolling_hash(col("text")).as("rh"))
+      .orderBy("doc_id")
+}
