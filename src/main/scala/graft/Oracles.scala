@@ -481,7 +481,27 @@ FROM allc a JOIN topc c USING(domain)"""
         |GROUP BY fp ORDER BY fp""".stripMargin
   )
 
+  /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure
+    * derivations; the binary feature extraction (m02) is rows-only. */
+  val multimodal: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
+        |  CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
+        |  octet_length(encode(text)) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m03_sampled_frames" ->
+      """SELECT doc_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
+        |       CAST(f AS INTEGER) AS frame_idx
+        |FROM documents, unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 5)) t(f)
+        |WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] = 'video'
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
   def all: Map[String, String] =
-    stats ++ plot ++ streaks ++ joins ++ dedup ++ similarity ++ text
+    stats ++ plot ++ streaks ++ joins ++ dedup ++ similarity ++ text ++ multimodal
 }

@@ -87,7 +87,11 @@ object SparkEntry {
     "t03_token_counts"        -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t03_corpus_totals"       -> ((s, d) => TextAnalysis.corpusTokenTotals(Tables.documents(s, d))),
     "t04_fingerprint_groups"  -> ((s, d) => TextAnalysis.fingerprintGroups(Tables.documents(s, d))),
-    "t05_rolling_fp"          -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d)))
+    "t05_rolling_fp"          -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    // training-data pipeline: multimodal binary-column plumbing
+    "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    "m03_sampled_frames"      -> ((s, d) => Multimodal.sampledFrames(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

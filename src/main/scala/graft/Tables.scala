@@ -22,12 +22,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
+  /** Raw events frame — `ts` still a nanosecond long if the file uses
+    * TIMESTAMP(NANOS). Streaming reads need this shape for their schema. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+
+  /** Nanos-long → microsecond timestamp normalization, shared by the
+    * batch and streaming readers. */
+  def normalizeTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else raw
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(eventsRaw(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
