@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+
+  private val docsDdl = "doc_id BIGINT, text STRING"
+  private def docs(texts: (Long, String)*) =
+    df(docsDdl, texts.map { case (i, t) => Row(i, t) })
+
+  private val corpus = docs(
+    0L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank today", // exact dup of 0
+    2L -> "the quick brown fox jumps over the lazy dog near the river bend today", // near dup
+    3L -> "completely different content about spark query engines and big data systems",
+    4L -> "short text")
+
+  test("exact dedup: groups and summary") {
+    val s = Dedup.exactSummary(corpus).head
+    assert(s.getLong(0) == 5 && s.getLong(1) == 4 && s.getLong(2) == 1)
+    val g = Dedup.exactGroups(corpus).filter("n_copies > 1").head
+    assert(g.getLong(1) == 2 && g.getLong(2) == 0) // keep_id = min(0,1)
+  }
+
+  test("minhash/LSH finds exact and near dups, not unrelated docs") {
+    val cands = rowsOf(Dedup.lshCandidates(corpus)).map(r => (r(0), r(1))).toSet
+    assert(cands.contains((0L, 1L)))          // identical → all bands match
+    assert(!cands.exists { case (i, j) => i == 3L || j == 3L }) // unrelated never pairs
+  }
+
+  test("jaccard verification: identical docs score 1.0") {
+    val v = Dedup.jaccardVerified(corpus, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(v((0L, 1L)) == 1.0)
+    v.get((0L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("simhash: identical docs share fingerprints; format is 16 hex chars") {
+    val fp = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp.values.forall(_.matches("[0-9a-f]{16}")))
+    assert(fp(0L) != fp(3L))
+    val cands = rowsOf(Dedup.simhashCandidates(corpus)).map(r => (r(0), r(1))).toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("rolling hash: exact Rabin-Karp values, codegen path") {
+    val expected = corpus.collect().map { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      r.getLong(0) -> bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    }.toMap
+    val got = TextAnalysis.rollingFingerprint(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("knn: brute returns exactly k ranked neighbors; LSH is a subset scored identically") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.knnBrute(emb, 3, 5)
+    val perQuery = brute.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.length == 3 && perQuery.forall(_ == 5))
+    // ranks are 1..5 and cos is non-increasing within each query
+    val byQ = brute.orderBy("query_id", "rank").collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).toSeq == (1 to 5))
+      val cs = rs.map(_.getDouble(2)).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // LSH candidates score identically to brute force for same pairs
+    val lsh = Similarity.knnLsh(emb, 3, 5, planes = 2)
+      .select("query_id", "neighbor_id", "cos")
+    val joined = lsh.join(brute.select(col("query_id"), col("neighbor_id"),
+        col("cos").as("bcos")), Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("cos") =!= col("bcos")).count() == 0)
+  }
+}

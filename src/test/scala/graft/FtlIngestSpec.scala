@@ -1,0 +1,69 @@
+package graft
+
+import java.time.{Instant, LocalDate}
+import java.nio.file.Files
+
+import graft.sources.FtlIngest
+
+class FtlIngestSpec extends SparkSpec {
+
+  test("explicit date range: display-TZ midnights, end-exclusive +1 day (db.py:84-88)") {
+    val (from, to) = FtlIngest.timeRangeEpochs(
+      Some(LocalDate.of(2024, 1, 10)), Some(LocalDate.of(2024, 1, 12)),
+      days = 31, tz = "UTC", nowUtc = Instant.EPOCH)
+    assert(from == LocalDate.of(2024, 1, 10).atStartOfDay(java.time.ZoneId.of("UTC")).toEpochSecond)
+    assert(to == LocalDate.of(2024, 1, 13).atStartOfDay(java.time.ZoneId.of("UTC")).toEpochSecond)
+  }
+
+  test("timezone shifts the midnight boundary (db.py:101-102)") {
+    val (utcFrom, _) = FtlIngest.timeRangeEpochs(
+      Some(LocalDate.of(2024, 1, 10)), Some(LocalDate.of(2024, 1, 10)), 31, "UTC", Instant.EPOCH)
+    val (tokyoFrom, _) = FtlIngest.timeRangeEpochs(
+      Some(LocalDate.of(2024, 1, 10)), Some(LocalDate.of(2024, 1, 10)), 31, "Asia/Tokyo", Instant.EPOCH)
+    assert(utcFrom - tokyoFrom == 9 * 3600) // Tokyo midnight is 9h earlier in UTC
+  }
+
+  test("invalid timezone falls back to UTC (db.py:70-74)") {
+    assert(FtlIngest.zoneOrUtc("Not/AZone").getId == "UTC")
+    val (a, b) = FtlIngest.timeRangeEpochs(
+      Some(LocalDate.of(2024, 1, 10)), Some(LocalDate.of(2024, 1, 10)), 31, "Not/AZone", Instant.EPOCH)
+    val (c, d) = FtlIngest.timeRangeEpochs(
+      Some(LocalDate.of(2024, 1, 10)), Some(LocalDate.of(2024, 1, 10)), 31, "UTC", Instant.EPOCH)
+    assert((a, b) == (c, d))
+  }
+
+  test("no explicit range → [now - days, now] (db.py:89-95)") {
+    val now = Instant.parse("2024-06-15T12:00:00Z")
+    val (from, to) = FtlIngest.timeRangeEpochs(None, None, 31, "UTC", now)
+    assert(to == now.getEpochSecond && from == now.getEpochSecond - 31L * 86400)
+  }
+
+  test("multi-database union keeps duplicates and pushes the range (README.md:56, db.py:130-135)") {
+    val dir = Files.createTempDirectory("graft_ftl").toString
+    val f1 = FtlFixture.frame(spark, 1, 300)
+    f1.write.parquet(s"$dir/db1")
+    f1.write.parquet(s"$dir/db2") // identical copy — duplicates must survive
+    val (from, to) = (1704067200L, 1706659200L + 1)
+    val out = FtlIngest.readParquet(spark, Seq(s"$dir/db1", s"$dir/db2"), from, to)
+    assert(out.count() == 600)
+    assert(out.columns.toSeq == FtlIngest.SourceColumns)
+    // range is half-open: shrink the window and check the boundary drops
+    val firstTs = 1704067200L
+    val narrowed = FtlIngest.readParquet(spark, Seq(s"$dir/db1"), firstTs, firstTs + 1)
+    assert(narrowed.count() == 1) // only the row AT from; to is exclusive
+  }
+
+  test("jdbc path fails with a clear contract when no driver is present") {
+    val e = intercept[IllegalStateException] {
+      FtlIngest.readJdbc(spark, Seq("/tmp/nope.db"), 0L, 1L)
+    }
+    assert(e.getMessage.contains("readParquet"))
+  }
+
+  test("probe returns global min/max (db.py:54-61)") {
+    val dir = Files.createTempDirectory("graft_probe").toString
+    FtlFixture.frame(spark, 1, 100).write.parquet(s"$dir/db")
+    val r = FtlIngest.probeRange(spark.read.parquet(s"$dir/db")).head
+    assert(r.getLong(0) == 1704067200L && r.getLong(1) == 1706659200L)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Mirrors the reference's stats edge-case matrix
+  * (reference: tests/test_stats.py; FIXTURES.md §5). */
+class StatsSpec extends SparkSpec {
+
+  private def prepOf(rows: Seq[Row]): DataFrame =
+    Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL, rows))
+
+  private val emptyPrep = prepOf(Seq.empty)
+
+  test("empty relation: no throw, zero totals (test_stats.py:293-318)") {
+    val t = Stats.totals(emptyPrep).head
+    assert(t.getLong(0) == 0 && t.getLong(1) == 0 && t.getLong(2) == 0)
+    assert(t.getDouble(3) == 0.0 && t.getDouble(4) == 0.0)
+    // every stat query must yield a plan that executes on empty input
+    assert(Stats.topClient(emptyPrep).count() == 0)
+    assert(Stats.dailyCounts(emptyPrep).count() == 0)
+    assert(Stats.replyStats(emptyPrep).head.getDouble(0) == 0.0)
+    assert(graft.operators.Streaks.longestIdle(emptyPrep).count() == 0)
+  }
+
+  test("single row: totals=1, class count correct (test_stats.py:320-343)") {
+    val t = Stats.totals(prepOf(Seq(Row(1, 1704067200L, 1, 2, "d.com", "c", 1.0)))).head
+    assert(t.getLong(0) == 1 && t.getLong(1) == 0 && t.getLong(2) == 1)
+    assert(t.getDouble(4) == 100.0)
+  }
+
+  test("all blocked → pct exactly 100/0 (test_stats.py:345-393)") {
+    val rows = (1 to 50).map(i => Row(i, 1704067200L + i, 1, 1, "b.com", "c", 1.0))
+    val t = Stats.totals(prepOf(rows)).head
+    assert(t.getDouble(3) == 100.0 && t.getDouble(4) == 0.0)
+  }
+
+  test("only Other statuses → zero class counts (test_stats.py:395-418)") {
+    val rows = (1 to 20).map(i => Row(i, 1704067200L + i, 1, 99, "o.com", "c", 1.0))
+    val t = Stats.totals(prepOf(rows)).head
+    assert(t.getLong(1) == 0 && t.getLong(2) == 0 && t.getDouble(3) == 0.0)
+  }
+
+  test("all-null reply times → 0.0 sentinels (test_stats.py:420-442)") {
+    val rows = (1 to 10).map(i => Row(i, 1704067200L + i, 1, 2, "d.com", "c", null))
+    val r = Stats.replyStats(prepOf(rows)).head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(Stats.slowestDomain(prepOf(rows)).count() == 0)
+  }
+
+  test("single client+domain → distinct counts 1 (test_stats.py:444-467)") {
+    val rows = (1 to 10).map(i => Row(i, 1704067200L + i, 1, 2, "only.com", "c1", 1.0))
+    val d = Stats.distinctCounts(prepOf(rows)).head
+    assert(d.getLong(0) == 1 && d.getLong(1) == 1)
+  }
+
+  test("invariants on a fixture: counts sum ≤ total, pcts sum to 100, hour bounds") {
+    val prep = FtlFixture.prep(spark, 1, 2000)
+    val t = Stats.totals(prep).head
+    assert(t.getLong(1) + t.getLong(2) <= t.getLong(0))
+    assert(math.abs(t.getDouble(3) + t.getDouble(4) - 100.0) < 1e-6) // generator emits no Other
+    val hours = Stats.hourlyCounts(prep).select("hour").collect().map(_.getInt(0))
+    assert(hours.forall(h => h >= 0 && h <= 23))
+    val wd = Stats.weekdayAvg(prep)
+    assert(wd.count() <= 7)
+  }
+
+  test("top-1 tie-break is deterministic: smallest key wins (SURVEY.md §7.3-1)") {
+    // two clients with identical counts
+    val rows = Seq(
+      Row(1, 1704067200L, 1, 2, "d.com", "zz-client", 1.0),
+      Row(2, 1704067201L, 1, 2, "d.com", "aa-client", 1.0))
+    assert(Stats.topClient(prepOf(rows)).head.getString(0) == "aa-client")
+  }
+
+  test("A5 asymmetry quirk: all-status count for the class argmax domain (stats.py:84-99)") {
+    // domain X: 2 allowed + 3 blocked rows; domain Y: 1 allowed.
+    // top allowed domain = X (2 > 1); its all-status count must be 5.
+    val rows = Seq(
+      Row(1, 1704067200L, 1, 2, "x.com", "c1", 1.0),
+      Row(2, 1704067201L, 1, 3, "x.com", "c2", 1.0),
+      Row(3, 1704067202L, 1, 1, "x.com", "c1", 1.0),
+      Row(4, 1704067203L, 1, 4, "x.com", "c1", 1.0),
+      Row(5, 1704067204L, 1, 5, "x.com", "c3", 1.0),
+      Row(6, 1704067205L, 1, 2, "y.com", "c1", 1.0))
+    val r = graft.operators.Stats.topDomainOfClass(prepOf(rows), "Allowed").head
+    assert(r.getString(0) == "x.com")
+    assert(r.getLong(1) == 2)  // class_cnt: allowed only
+    assert(r.getLong(2) == 5)  // all_cnt: ALL statuses — the quirk
+    assert(r.getString(3) == "c1") // top client within class (2 allowed? c1:1, c2:1 → tie → asc → c1)
+  }
+
+  test("inter-arrival means per class (stats.py:382-388)") {
+    // Allowed at t=0,10,30 → gaps 10,20 → mean 15; Blocked at t=5,6 → gap 1
+    val rows = Seq(
+      Row(1, 1704067200L, 1, 2, "d", "c", 1.0),
+      Row(2, 1704067210L, 1, 2, "d", "c", 1.0),
+      Row(3, 1704067230L, 1, 2, "d", "c", 1.0),
+      Row(4, 1704067205L, 1, 1, "d", "c", 1.0),
+      Row(5, 1704067206L, 1, 1, "d", "c", 1.0))
+    val m = Stats.interArrival(prepOf(rows)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("Allowed") == 15.0 && m("Blocked") == 1.0)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Streaks
+
+/** Hand-built gaps-and-islands cases (reference: stats.py:500-528). */
+class StreaksSpec extends SparkSpec {
+
+  // B B A B B B A A → blocked streaks [2,3], allowed streaks [1,2]
+  private val statuses = Seq(1, 1, 2, 1, 1, 1, 2, 2)
+  private val prep = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL,
+    statuses.zipWithIndex.map { case (st, i) =>
+      Row(i + 1, 1704067200L + i * 10L, 1, st, "d", "c", 1.0)
+    }))
+
+  test("streak run lengths match the pandas cumsum semantics (stats.py:507-514)") {
+    val blocked = Streaks.streakRuns(prep, "Blocked")
+      .orderBy("start_ts").select("streak_len").collect().map(_.getLong(0)).toSeq
+    assert(blocked == Seq(2, 3))
+    val allowed = Streaks.streakRuns(prep, "Allowed")
+      .orderBy("start_ts").select("streak_len").collect().map(_.getLong(0)).toSeq
+    assert(allowed == Seq(1, 2))
+  }
+
+  test("longest streak per class with start timestamp (stats.py:337-359)") {
+    val rows = Streaks.longestStreaks(prep).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).toInstant.getEpochSecond)).toSeq
+    assert(rows == Seq(
+      ("Allowed", 2L, 1704067200L + 60),
+      ("Blocked", 3L, 1704067200L + 30)))
+  }
+
+  test("longest streak ties resolve to the earliest run (pandas idxmax=first)") {
+    // A A B A A → two allowed runs of length 2; earliest starts at t0
+    val sts = Seq(2, 2, 1, 2, 2)
+    val p2 = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL,
+      sts.zipWithIndex.map { case (st, i) =>
+        Row(i + 1, 1704067200L + i * 10L, 1, st, "d", "c", 1.0)
+      }))
+    val r = Streaks.longestStreak(p2, "Allowed").head
+    assert(r.getLong(1) == 2 &&
+      r.getTimestamp(2).toInstant.getEpochSecond == 1704067200L)
+  }
+
+  test("longest idle gap with bounding timestamps (stats.py:369-408)") {
+    // gaps: 10,10,100,10 → max 100 between t=20 and t=120
+    val ts = Seq(0L, 10L, 20L, 120L, 130L)
+    val p2 = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL,
+      ts.zipWithIndex.map { case (t, i) =>
+        Row(i + 1, 1704067200L + t, 1, 2, "d", "c", 1.0)
+      }))
+    val r = Streaks.longestIdle(p2).head
+    assert(r.getDouble(0) == 100.0)
+    assert(r.getTimestamp(1).toInstant.getEpochSecond == 1704067220L)
+    assert(r.getTimestamp(2).toInstant.getEpochSecond == 1704067320L)
+  }
+}
