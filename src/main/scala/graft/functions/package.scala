@@ -10,4 +10,10 @@ package object functions {
     * Native expression with codegen — see [[RollingHash]]. */
   def rolling_hash(c: Column, base: Long = 31L, mod: Long = 1000000007L): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c), base, mod))
+
+  /** Codegen'd element-order dot product of two numeric arrays → double.
+    * Bit-equal to the zip_with/aggregate fold it replaces — see
+    * [[DotProduct]]. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise fold dot product in double; arrays must be equal length. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Element-order dot product in double — the native codegen expression
+    * ([[graft.functions.DotProduct]]); bit-equal to the lambda fold
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` it replaces. */
+  def dot(a: Column, b: Column): Column = graft.functions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
