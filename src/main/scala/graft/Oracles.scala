@@ -92,6 +92,17 @@ object Oracles {
         |  FROM prep GROUP BY day_period, client)
         |WHERE rn = 1 ORDER BY day_period""".stripMargin),
 
+    "a10_day_night_top_domain" -> (Prep + """,
+      |top AS (
+      |  SELECT day_period, domain, class_cnt FROM (
+      |    SELECT day_period, domain, count(*) AS class_cnt,
+      |           row_number() OVER (PARTITION BY day_period ORDER BY count(*) DESC, domain) AS rn
+      |    FROM prep WHERE status_type = 'Blocked' GROUP BY day_period, domain)
+      |  WHERE rn = 1)
+      |SELECT p.day_period, p.domain, t.class_cnt, count(*) AS all_cnt
+      |FROM prep p JOIN top t ON p.day_period = t.day_period AND p.domain = t.domain
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+
     "a11_distinct_counts" -> p(
       "SELECT count(DISTINCT domain) AS n_domains, count(DISTINCT client) AS n_clients FROM prep"),
 
@@ -224,6 +235,23 @@ FROM allc a JOIN topc c USING(domain)"""
          |  SELECT 'Blocked' AS status_type, streak_len, start_ts FROM (
          |    ${runsSql("Blocked")} ORDER BY streak_len DESC, start_ts LIMIT 1))
          |ORDER BY status_type""".stripMargin),
+
+    "w02_longest_streaks_fmt" -> p(
+      s"""SELECT status_type, streak_len,
+         |  strftime(start_ts, '%d %B %Y') AS streak_date,
+         |  strftime(start_ts, '%H:%M') AS streak_hour
+         |FROM (
+         |  SELECT 'Allowed' AS status_type, streak_len, start_ts FROM (
+         |    ${runsSql("Allowed")} ORDER BY streak_len DESC, start_ts LIMIT 1)
+         |  UNION ALL
+         |  SELECT 'Blocked' AS status_type, streak_len, start_ts FROM (
+         |    ${runsSql("Blocked")} ORDER BY streak_len DESC, start_ts LIMIT 1))
+         |ORDER BY status_type""".stripMargin),
+
+    "w04_streak_runs_scalable" -> p(
+      s"""SELECT row_number() OVER (ORDER BY start_ts) AS run_no, streak_len, start_ts
+         |FROM (${runsSql("Blocked")})
+         |ORDER BY run_no""".stripMargin),
 
     "w03_longest_idle" -> p(
       """SELECT round(gap_s, 6) AS gap_s, prev_ts AS before_gap, ts AS after_gap FROM (

@@ -40,6 +40,7 @@ object SparkEntry {
     "a09_weekday_avg"         -> ((s, d) => Stats.weekdayAvg(prep(s, d))),
     "a10_day_night_totals"    -> ((s, d) => Stats.dayNightTotals(prep(s, d))),
     "a10_day_night_top_client" -> ((s, d) => Stats.dayNightTopClient(prep(s, d))),
+    "a10_day_night_top_domain" -> ((s, d) => Stats.dayNightTopDomain(prep(s, d), "Blocked")),
     "a11_distinct_counts"     -> ((s, d) => Stats.distinctCounts(prep(s, d))),
     "a11_approx_distinct"     -> ((s, d) => Stats.approxDistinct(prep(s, d))),
     "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
@@ -62,7 +63,9 @@ object SparkEntry {
     // order-dependent layer (SURVEY.md §2.5 W1-W4)
     "w01_streak_runs_blocked" -> ((s, d) => Streaks.streakRuns(prep(s, d), "Blocked")),
     "w02_longest_streaks"     -> ((s, d) => Streaks.longestStreaks(prep(s, d))),
+    "w02_longest_streaks_fmt" -> ((s, d) => Streaks.longestStreaksFormatted(prep(s, d))),
     "w03_longest_idle"        -> ((s, d) => Streaks.longestIdle(prep(s, d))),
+    "w04_streak_runs_scalable" -> ((s, d) => Streaks.streakRunsScalable(prep(s, d), "Blocked")),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),
     "h03_shipping_priority"   -> ((s, d) => Joins.shippingPriority(s, d)),

@@ -130,6 +130,22 @@ object Stats {
       .drop("rn").orderBy("day_period")
   }
 
+  /** A10 (top domain of one class per period) — the day/night variant of
+    * [[topDomainOfClass]] including the same count asymmetry: per-class
+    * argmax domain, then its count over ALL statuses within that period
+    * (reference: stats.py:236-243 vs 245-254). One window pass per stage
+    * instead of the reference's two full re-scans. */
+  def dayNightTopDomain(prep: DataFrame, statusType: String): DataFrame = {
+    val inClass = prep.filter(col("status_type") === statusType)
+    val w = Window.partitionBy("day_period").orderBy(desc("class_cnt"), asc("domain"))
+    val top = inClass.groupBy("day_period", "domain").agg(count(lit(1)).as("class_cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    prep.join(broadcast(top), Seq("day_period", "domain"))
+      .groupBy("day_period", "domain", "class_cnt")
+      .agg(count(lit(1)).as("all_cnt"))
+      .orderBy("day_period")
+  }
+
   /** A11: exact distinct domain/client counts (reference: stats.py:422-423).
     * Exact countDistinct = expand+two-phase agg; at 100 TB swap in
     * approx_count_distinct (HLL) — see [[approxDistinct]]. */

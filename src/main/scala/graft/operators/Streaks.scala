@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
 
 /** Order-dependent operators — streaks (gaps-and-islands) and idle gaps
   * (reference: stats.py:500-528 builds the sorted flags/groups,
@@ -56,6 +59,83 @@ object Streaks {
   def longestStreaks(prep: DataFrame): DataFrame =
     longestStreak(prep, "Allowed").unionByName(longestStreak(prep, "Blocked"))
       .orderBy("status_type")
+
+  private val runSchema = StructType(Seq(
+    StructField("pid", IntegerType, nullable = false),
+    StructField("run_idx", IntegerType, nullable = false),
+    StructField("flag", BooleanType, nullable = false),
+    StructField("run_len", LongType, nullable = false),
+    StructField("start_ts", TimestampType, nullable = false)))
+
+  /** The SCALE-PATH streak computation (SURVEY.md §7.3-3): identical
+    * semantics to [[streakRuns]] but no global single-task window.
+    *
+    * Two passes:
+    *   1. `repartitionByRange(ts)` + per-partition run-length encoding in
+    *     `mapPartitions` — the O(rows) work is fully parallel; each
+    *     partition emits only its RUNS (for DNS logs, runs ≪ rows);
+    *   2. a window over the runs relation merges runs that continue
+    *     across partition boundaries — O(runs) on one task, which is the
+    *     classic boundary-merge prefix step, not a full-data sort.
+    *
+    * Output is renumbered by start time (`run_no`) so it is deterministic
+    * and engine-comparable; the degenerate worst case (alternating flags,
+    * runs ≈ rows) falls back to window-like cost and is the documented
+    * limit of the approach.
+    */
+  def streakRunsScalable(prep: DataFrame, statusType: String,
+                         numPartitions: Int = 32): DataFrame = {
+    val spark = prep.sparkSession
+    val sorted = prep
+      .select(col("ts"), col("id"), (col("status_type") === statusType).as("flag"))
+      .repartitionByRange(numPartitions, col("ts"), col("id"))
+      .sortWithinPartitions("ts", "id")
+    val runsRdd = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val out = ArrayBuffer.empty[Row]
+      var runIdx = -1
+      var flag = false
+      var len = 0L
+      var start: java.sql.Timestamp = null
+      rows.foreach { r =>
+        val f = r.getBoolean(2)
+        if (runIdx < 0 || f != flag) {
+          if (runIdx >= 0) out += Row(pid, runIdx, flag, len, start)
+          runIdx += 1; flag = f; len = 0L; start = r.getTimestamp(0)
+        }
+        len += 1
+      }
+      if (runIdx >= 0) out += Row(pid, runIdx, flag, len, start)
+      out.iterator
+    }
+    val runs = spark.createDataFrame(runsRdd, runSchema)
+    // boundary merge over the (small) runs relation
+    val w = Window.orderBy("pid", "run_idx")
+    val acc = Window.orderBy("pid", "run_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = runs
+      .withColumn("chg",
+        when(lag(col("flag"), 1).over(w).isNull || lag(col("flag"), 1).over(w) =!= col("flag"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(acc))
+      .groupBy("grp")
+      .agg(first(col("flag")).as("flag"), sum(col("run_len")).as("streak_len"),
+        min(col("start_ts")).as("start_ts"))
+      .filter(col("flag"))
+    merged.select(
+      row_number().over(Window.orderBy("start_ts")).as("run_no"),
+      col("streak_len"), col("start_ts"))
+  }
+
+  /** F13: the display-formatted longest-streak block — the reference
+    * renders start date as "%d %B %Y" and hour as "%H:%M"
+    * (stats.py:342-355); Java patterns "dd MMMM yyyy" / "HH:mm" under the
+    * UTC session zone. Kept as a separate query so the unformatted W2
+    * result stays the canonical comparison surface. */
+  def longestStreaksFormatted(prep: DataFrame): DataFrame =
+    longestStreaks(prep).select(
+      col("status_type"), col("streak_len"),
+      date_format(col("start_ts"), "dd MMMM yyyy").as("streak_date"),
+      date_format(col("start_ts"), "HH:mm").as("streak_hour"))
 
   /** W3+W4: the largest inter-arrival gap over the full ordered relation,
     * with the timestamps bounding it (reference: idle_gap stats.py:515,

@@ -42,6 +42,19 @@ class StreaksSpec extends SparkSpec {
       r.getTimestamp(2).toInstant.getEpochSecond == 1704067200L)
   }
 
+  test("scalable two-pass streaks equal the window implementation at any partition count") {
+    val prep2000 = FtlFixture.prep(spark, 3, 2000)
+    val expected = Streaks.streakRuns(prep2000, "Blocked")
+      .select("streak_len", "start_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Streaks.streakRunsScalable(prep2000, "Blocked", parts)
+        .select("streak_len", "start_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("longest idle gap with bounding timestamps (stats.py:369-408)") {
     // gaps: 10,10,100,10 → max 100 between t=20 and t=120
     val ts = Seq(0L, 10L, 20L, 120L, 130L)
