@@ -1,0 +1,293 @@
+package graft
+
+import java.time.format.DateTimeFormatter
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PlotData, Stats, Streaks}
+
+/** The user-facing facade: everything a user of the reference dashboard
+  * calls, re-expressed over Spark. `computeStats` assembles the
+  * reference's scalar dictionary (stats.py:474-528, ~75 keys, same names,
+  * same sentinels, same display formats, same quirks); `plotData` the
+  * chart-table dictionary (plot.py:12-162).
+  *
+  * Execution model: each entry collects a SMALL aggregate (1..k rows) to
+  * the driver — dashboard latency, ~15 Spark jobs per call, each a
+  * partial+final aggregate over one scan. The 100 TB pattern is to cache
+  * or materialize `prep` once (`prep.cache()` / write the hourly view)
+  * and let the jobs share it; the plans themselves never materialize the
+  * fact table on the driver.
+  */
+object Engine {
+
+  /** Load + filter + derive: the reference's startup pipeline
+    * (app.py:144-178) for parquet-exported FTL data. */
+  def load(spark: SparkSession, paths: Seq[String], fromEpoch: Long, toEpoch: Long,
+           ignoreDomains: Seq[String] = Nil): DataFrame = {
+    val raw = sources.FtlIngest.readParquet(spark, paths, fromEpoch, toEpoch)
+    Preprocess.regexAntiFilter(Preprocess.preprocessFtl(raw), "domain", ignoreDomains)
+  }
+
+  private val MinMaxFmt = DateTimeFormatter.ofPattern("d-M-yyyy (HH:mm)", Locale.ENGLISH)
+  private val DayFmt = DateTimeFormatter.ofPattern("dd MMMM yyyy", Locale.ENGLISH)
+  private val HourFmt = DateTimeFormatter.ofPattern("HH:mm", Locale.ENGLISH)
+  private val GapSecFmt = DateTimeFormatter.ofPattern("dd-MMM yyyy HH:mm:ss", Locale.ENGLISH)
+
+  private def utc(ts: java.sql.Timestamp) =
+    ts.toInstant.atZone(java.time.ZoneId.of("UTC"))
+
+  /** "%d-%b %Y %H:%M:%S.%f" truncated to 2 fraction digits
+    * (stats.py:390-402: `[:-4]` on a 6-digit microsecond suffix). */
+  private def gapFmt(ts: java.sql.Timestamp): String = {
+    val z = utc(ts)
+    f"${z.format(GapSecFmt)}.${z.getNano / 10000000}%02d"
+  }
+
+  /** The reference's full stats dictionary. Keys, sentinel values ("N/A",
+    * 0, 0.0), tie-breaks (pandas idxmax = first in key order) and quirks
+    * (max_idle_ms holding SECONDS, stats.py:404; slowest_avg_reply_time
+    * unscaled, stats.py:465) are preserved exactly. */
+  def computeStats(prep: DataFrame): Map[String, Any] = {
+    val m = scala.collection.mutable.Map.empty[String, Any]
+
+    // ---- headings + totals (stats.py:10-52) ----
+    val tr = Stats.timeRange(prep).collect()
+    val t = Stats.totals(prep).head
+    val total = t.getLong(0)
+    m("n_data_points") = total
+    m("total_queries") = total
+    m("blocked_count") = t.getLong(1)
+    m("allowed_count") = t.getLong(2)
+    m("blocked_pct") = if (total > 0) t.getLong(1).toDouble / total * 100 else 0.0
+    m("allowed_pct") = if (total > 0) t.getLong(2).toDouble / total * 100 else 0.0
+    if (tr.nonEmpty && tr.head.get(0) != null) {
+      val r = tr.head
+      val lo = r.getTimestamp(0); val hi = r.getTimestamp(1)
+      m("min_date") = utc(lo).format(MinMaxFmt)
+      m("max_date") = utc(hi).format(MinMaxFmt)
+      m("oldest_data_point") = m("min_date")
+      m("latest_data_point") = m("max_date")
+      m("data_span_days") = r.getLong(2)
+      m("data_span_str") = s"${r.getLong(2)}d,${r.getLong(3)}h and ${r.getLong(4)}min"
+    } else {
+      Seq("min_date", "max_date", "oldest_data_point", "latest_data_point")
+        .foreach(m(_) = "N/A")
+      m("data_span_days") = 0L
+      m("data_span_str") = "0d,0h and 0min"
+    }
+
+    // ---- top clients overall and per class (stats.py:56-72) ----
+    m("top_client") = Stats.topClient(prep).collect()
+      .headOption.map(_.getString(0)).getOrElse("N/A")
+    val byClass = Stats.topClientByClass(prep).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    m("top_allowed_client") = byClass.getOrElse("Allowed", "N/A")
+    m("top_blocked_client") = byClass.getOrElse("Blocked", "N/A")
+
+    // ---- top domains + quirky counts (stats.py:74-115) ----
+    def domainBlock(prefix: String, statusType: String): Unit =
+      Stats.topDomainOfClass(prep, statusType).collect().headOption match {
+        case Some(r) =>
+          m(s"${prefix}_domain") = r.getString(0)
+          m(s"${prefix}_domain_count") = r.getLong(2) // ALL statuses — quirk
+          m(s"${prefix}_domain_client") = r.getString(3)
+        case None =>
+          m(s"${prefix}_domain") = "N/A"
+          m(s"${prefix}_domain_count") = 0L
+          m(s"${prefix}_domain_client") = "N/A"
+      }
+    domainBlock("top_allowed", "Allowed")
+    domainBlock("top_blocked", "Blocked")
+
+    // ---- most persistent client (stats.py:119-139) ----
+    Stats.persistentClient(prep).collect().headOption match {
+      case Some(r) =>
+        m("most_persistent_client") = r.getString(0)
+        m("blocked_domain") = r.getString(1)
+        m("repeat_attempts") = r.getLong(2)
+      case None =>
+        m("most_persistent_client") = "N/A"; m("blocked_domain") = "N/A"
+        m("repeat_attempts") = 0L
+    }
+
+    // ---- activity by date / hour / weekday (stats.py:148-205) ----
+    val daily = Stats.dailyCounts(prep).collect() // date-ascending
+    // pandas idxmax/idxmin take the FIRST max/min in date order; the
+    // blocked/allowed groupbys only contain dates with >0 such rows
+    def argDateNonZero(measure: Row => Long, most: Boolean): String = {
+      val rows = daily.filter(measure(_) > 0)
+      if (rows.isEmpty) "N/A"
+      else {
+        val vals = rows.map(measure)
+        val target = if (most) vals.max else vals.min
+        rows(vals.indexOf(target)).getDate(0).toLocalDate.format(DayFmt)
+      }
+    }
+    m("date_most_queries") = argDateNonZero(_.getLong(1), most = true)
+    m("date_least_queries") = argDateNonZero(_.getLong(1), most = false)
+    m("date_most_blocked") = argDateNonZero(_.getLong(2), most = true)
+    m("date_least_blocked") = argDateNonZero(_.getLong(2), most = false)
+    m("date_most_allowed") = argDateNonZero(_.getLong(3), most = true)
+    m("date_least_allowed") = argDateNonZero(_.getLong(3), most = false)
+
+    val hourly = Stats.hourlyCounts(prep).collect() // hour-ascending
+    if (hourly.nonEmpty) {
+      val vals = hourly.map(_.getLong(1))
+      m("most_active_hour") = hourly(vals.indexOf(vals.max)).getInt(0)
+      m("least_active_hour") = hourly(vals.indexOf(vals.min)).getInt(0)
+      m("avg_queries_most") = vals.max
+      m("avg_queries_least") = vals.min
+    } else {
+      m("most_active_hour") = 0; m("least_active_hour") = 0
+      m("avg_queries_most") = 0L; m("avg_queries_least") = 0L
+    }
+
+    val weekly = Stats.weekdayAvg(prep).collect() // day_name-ascending (pandas index order)
+    if (weekly.nonEmpty) {
+      val vals = weekly.map(_.getDouble(1))
+      m("most_active_day") = weekly(vals.indexOf(vals.max)).getString(0)
+      m("most_active_avg") = vals.max.toLong
+      m("least_active_day") = weekly(vals.indexOf(vals.min)).getString(0)
+      m("least_active_avg") = vals.min.toLong
+    } else {
+      m("most_active_day") = "N/A"; m("least_active_day") = "N/A"
+      m("most_active_avg") = 0L; m("least_active_avg") = 0L
+    }
+
+    // ---- day/night block (stats.py:211-321) ----
+    val dnTotals = Stats.dayNightTotals(prep).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dnClient = Stats.dayNightTopClient(prep).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dnClassClient = dayNightTopClientByClass(prep).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    def dnDomain(statusType: String) = dayNightDomainBlock(prep, statusType).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    val dnAllowedDom = dnDomain("Allowed")
+    val dnBlockedDom = dnDomain("Blocked")
+    for ((period, prefix) <- Seq("Day" -> "day", "Night" -> "night")) {
+      m(s"${prefix}_total_queries") = dnTotals.getOrElse(period, 0L)
+      m(s"${prefix}_top_client") = dnClient.getOrElse(period, "N/A")
+      m(s"${prefix}_top_allowed_client") = dnClassClient.getOrElse((period, "Allowed"), "N/A")
+      m(s"${prefix}_top_blocked_client") = dnClassClient.getOrElse((period, "Blocked"), "N/A")
+      for ((cls, cname) <- Seq("Allowed" -> "allowed", "Blocked" -> "blocked")) {
+        val dom = (if (cls == "Allowed") dnAllowedDom else dnBlockedDom).get(period)
+        m(s"${prefix}_top_${cname}_domain") = dom.map(_._1).getOrElse("N/A")
+        m(s"${prefix}_top_${cname}_domain_count") = dom.map(_._2).getOrElse(0L)
+        m(s"${prefix}_top_${cname}_domain_client") = dom.map(_._3).getOrElse("N/A")
+      }
+    }
+
+    // ---- uniques (stats.py:420-440) ----
+    val u = Stats.distinctCounts(prep).head
+    m("unique_domains") = u.getLong(0)
+    m("unique_clients") = u.getLong(1)
+    Stats.diverseClient(prep).collect().headOption match {
+      case Some(r) =>
+        m("most_diverse_client") = r.getString(0)
+        m("unique_domains_count") = r.getLong(1)
+      case None =>
+        m("most_diverse_client") = "N/A"; m("unique_domains_count") = 0L
+    }
+
+    // ---- reply times (stats.py:444-467) ----
+    val rt = Stats.replyStats(prep).head
+    m("avg_reply_time") = rt.getDouble(0)
+    m("max_reply_time") = rt.getDouble(1)
+    m("min_reply_time") = rt.getDouble(2)
+    // slowest_avg_reply_time is UNSCALED seconds in the reference — quirk
+    prep.filter(col("reply_time").isNotNull)
+      .groupBy("domain").agg(avg(col("reply_time")).as("avg_reply"))
+      .orderBy(desc("avg_reply"), asc("domain")).limit(1).collect().headOption match {
+      case Some(r) =>
+        m("slowest_domain") = r.getString(0)
+        m("slowest_avg_reply_time") = r.getDouble(1)
+      case None =>
+        m("slowest_domain") = "N/A"; m("slowest_avg_reply_time") = 0.0
+    }
+
+    // ---- streaks (stats.py:323-365) ----
+    val streaks = Streaks.longestStreaks(prep).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getTimestamp(2)))).toMap
+    for ((cls, cname) <- Seq("Allowed" -> "allowed", "Blocked" -> "blocked"))
+      streaks.get(cls) match {
+        case Some((len, start)) =>
+          m(s"longest_streak_length_$cname") = len
+          m(s"streak_date_$cname") = utc(start).format(DayFmt)
+          m(s"streak_hour_$cname") = utc(start).format(HourFmt)
+        case None =>
+          m(s"longest_streak_length_$cname") = 0L
+          m(s"streak_date_$cname") = "N/A"
+          m(s"streak_hour_$cname") = "N/A"
+      }
+
+    // ---- idle gaps (stats.py:369-415) ----
+    Streaks.longestIdle(prep).collect().headOption match {
+      case Some(r) =>
+        m("max_idle_ms") = r.getDouble(0) // seconds, reference-faithful misnomer
+        m("before_gap") = gapFmt(r.getTimestamp(1))
+        m("after_gap") = gapFmt(r.getTimestamp(2))
+      case None =>
+        m("max_idle_ms") = null; m("before_gap") = null; m("after_gap") = null
+    }
+    val gaps = Stats.interArrivalRaw(prep).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m("avg_time_between_allowed") = gaps.get("Allowed").orNull
+    m("avg_time_between_blocked") = gaps.get("Blocked").orNull
+
+    m.toMap
+  }
+
+  /** Per-period per-class top client — one window pass
+    * (reference: stats.py:222-233, 270-281 does 4 filtered re-scans). */
+  private def dayNightTopClientByClass(prep: DataFrame): DataFrame = {
+    val w = Window.partitionBy("day_period", "status_type").orderBy(desc("cnt"), asc("client"))
+    prep.filter(col("status_type").isin("Allowed", "Blocked"))
+      .groupBy("day_period", "status_type", "client").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("day_period", "status_type", "client")
+  }
+
+  /** Per-period top domain of a class with the quirky all-status count
+    * AND its top in-class client (stats.py:236-265 semantics). */
+  private def dayNightDomainBlock(prep: DataFrame, statusType: String): DataFrame = {
+    val top = Stats.dayNightTopDomain(prep, statusType) // day_period, domain, class_cnt, all_cnt
+      .select("day_period", "domain", "all_cnt")
+    val w = Window.partitionBy("day_period").orderBy(desc("ccnt"), asc("client"))
+    val topClient = prep.filter(col("status_type") === statusType)
+      .join(broadcast(top.select("day_period", "domain")), Seq("day_period", "domain"))
+      .groupBy("day_period", "domain", "client").agg(count(lit(1)).as("ccnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("day_period", "domain", "client")
+    top.join(topClient, Seq("day_period", "domain"))
+      .select("day_period", "domain", "all_cnt", "client")
+  }
+
+  /** The reference's plot-data dictionary (plot.py:12-162): named small
+    * aggregate tables, all lazy DataFrames. */
+  def plotData(prep: DataFrame, nClients: Int = 10, nDomains: Int = 10): Map[String, DataFrame] = {
+    val nScatter = math.min(nClients, nDomains)
+    Map(
+      "top_clients_stacked" -> PlotData.stackedClientBar(prep, nClients),
+      "blocked_df" -> PlotData.topDomainsOfClass(prep, "Blocked", nDomains),
+      "allowed_df" -> PlotData.topDomainsOfClass(prep, "Allowed", nDomains),
+      "reply_time_df" -> Stats.replyByDate(prep),
+      "client_domain_scatter_df" -> PlotData.clientDomainScatter(prep, nScatter, nScatter),
+      "day_hour_heatmap" -> PlotData.dayHourHeatmap(prep, None),
+      "blocked_day_hour_heatmap" -> PlotData.dayHourHeatmap(prep, Some("Blocked")),
+      "allowed_day_hour_heatmap" -> PlotData.dayHourHeatmap(prep, Some("Allowed")))
+  }
+
+  /** plot.py:85 client_list — distinct clients. */
+  def clientList(prep: DataFrame): Seq[String] =
+    prep.select("client").distinct().orderBy("client").collect().map(_.getString(0)).toSeq
+
+  /** The interactive cache (process.py:86-113): hourly view + top-client
+    * list; callers cache/materialize and re-slice (app.py:1107-1136). */
+  def hourlyAggregatedData(prep: DataFrame, nClients: Int = 10): (DataFrame, DataFrame) =
+    (PlotData.hourlyView(prep), PlotData.topClients(prep, nClients))
+}

@@ -199,16 +199,23 @@ FROM allc a JOIN topc c USING(domain)"""
       |topc AS (SELECT client FROM (SELECT client, count(*) AS c FROM prep
       |                             GROUP BY client ORDER BY c DESC, client LIMIT 10)),
       |topd AS (SELECT domain FROM (SELECT domain, count(*) AS c FROM prep
-      |                             GROUP BY domain ORDER BY c DESC, domain LIMIT 10)),
-      |agg AS (SELECT client, domain, status_type, count(*) AS cnt FROM prep
-      |        WHERE client IN (SELECT client FROM topc) AND domain IN (SELECT domain FROM topd)
-      |        GROUP BY 1, 2, 3)
+      |                             GROUP BY domain ORDER BY c DESC, domain LIMIT 10))
       |SELECT client,
       |       CASE WHEN length(domain) > 8
       |            THEN substr(domain, 1, 3) || '...' || substr(domain, length(domain) - 2, 3)
       |            ELSE domain END AS domain,
-      |       status_type, cnt
-      |FROM agg ORDER BY cnt, client, domain, status_type""".stripMargin),
+      |       status_type, count(*) AS cnt
+      |FROM prep
+      |WHERE client IN (SELECT client FROM topc) AND domain IN (SELECT domain FROM topd)
+      |GROUP BY 1, 2, 3 ORDER BY cnt, client, domain, status_type""".stripMargin),
+
+    "p05_top_domains_blocked" -> p(
+      """SELECT CASE WHEN length(domain) > 8
+        |            THEN substr(domain, 1, 3) || '...' || substr(domain, length(domain) - 2, 3)
+        |            ELSE domain END AS domain,
+        |       count(*) AS cnt
+        |FROM prep WHERE status_type = 'Blocked'
+        |GROUP BY 1 ORDER BY cnt DESC, domain LIMIT 10""".stripMargin),
 
     "a20_heatmap_all" -> p(
       s"SELECT day_name,\n  $heatmapCols\nFROM prep GROUP BY day_name ORDER BY day_name"),

@@ -55,6 +55,7 @@ object SparkEntry {
     "j03_gap_filled"          -> ((s, d) => PlotData.gapFilledByStatus(prep(s, d))),
     "a18_stacked_client_bar"  -> ((s, d) => PlotData.stackedClientBar(prep(s, d), 10)),
     "a19_client_domain_scatter" -> ((s, d) => PlotData.clientDomainScatter(prep(s, d), 10, 10, maxLen = 8, keep = 3)),
+    "p05_top_domains_blocked" -> ((s, d) => PlotData.topDomainsOfClass(prep(s, d), "Blocked", 10, maxLen = 8, keep = 3)),
     "a20_heatmap_all"         -> ((s, d) => PlotData.dayHourHeatmap(prep(s, d), None)),
     "a20_heatmap_blocked"     -> ((s, d) => PlotData.dayHourHeatmap(prep(s, d), Some("Blocked"))),
     "p02_regex_filter"        -> ((s, d) =>

@@ -85,18 +85,29 @@ object PlotData {
       .groupBy("client", "total_cnt", "status_type").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("total_cnt"), asc("client"), asc("status_type"))
 
+  /** O2/F10: top-n domains of one status class with shortening applied
+    * BEFORE counting — reference order of operations (plot.py:52-72
+    * shortens, then value_counts), so post-shorten collisions merge. */
+  def topDomainsOfClass(prep: DataFrame, statusType: String, n: Int,
+                        maxLen: Int = 45, keep: Int = 20): DataFrame =
+    prep.filter(col("status_type") === statusType)
+      .groupBy(shorten(col("domain"), maxLen, keep).as("domain"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("domain")).limit(n)
+
   /** A19: client-domain scatter on top-n clients ∧ top-m domains, count
-    * ascending, domains shortened for display (reference: plot.py:88-101;
-    * shorten applied plot.py:94). maxLen/keep parameterized so the testdata
-    * (short keys) still exercises the shortening path. */
+    * ascending. Shorten is applied BEFORE the aggregation, matching the
+    * reference (plot.py:94 rewrites the column, then groups).
+    * maxLen/keep parameterized so the testdata (short keys) still
+    * exercises the shortening path. */
   def clientDomainScatter(prep: DataFrame, nClients: Int, nDomains: Int,
                           maxLen: Int = 45, keep: Int = 20): DataFrame =
     prep
       .join(broadcast(topClients(prep, nClients).select("client")), Seq("client"), "left_semi")
       .join(broadcast(topDomains(prep, nDomains).select("domain")), Seq("domain"), "left_semi")
-      .groupBy("client", "domain", "status_type").agg(count(lit(1)).as("cnt"))
-      .select(col("client"), shorten(col("domain"), maxLen, keep).as("domain"),
-        col("status_type"), col("cnt"))
+      .groupBy(col("client"), shorten(col("domain"), maxLen, keep).as("domain"),
+        col("status_type"))
+      .agg(count(lit(1)).as("cnt"))
       .orderBy(asc("cnt"), asc("client"), asc("domain"), asc("status_type"))
 
   /** A20: day×hour heatmap — pivot hour 0..23 into columns, zero-filled,

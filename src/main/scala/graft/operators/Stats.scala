@@ -205,4 +205,17 @@ object Stats {
       .agg(round(avg(col("gap_us")) / 1e6, 4).as("mean_gap_s"))
       .orderBy("status_type")
   }
+
+  /** A22 without display rounding — the raw mean the reference stores in
+    * `avg_time_between_*` (stats.py:382-388). */
+  def interArrivalRaw(prep: DataFrame): DataFrame = {
+    val w = Window.partitionBy("status_type").orderBy("ts", "id")
+    prep.filter(col("status_type").isin("Allowed", "Blocked"))
+      .select(col("status_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("status_type")
+      .agg((avg(col("gap_us")) / 1e6).as("mean_gap_s"))
+      .orderBy("status_type")
+  }
 }
