@@ -269,6 +269,43 @@ FROM allc a JOIN topc c USING(domain)"""
 
   /** Star-schema join queries ([[graft.operators.Joins]]). These read the
     * TPC-H-ish tables directly (no prep CTE). */
+  val sessions: Map[String, String] = Map(
+    "w05_sessionize" -> p(
+      """SELECT client, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end FROM (
+        |  SELECT client, ts,
+        |         sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_no FROM (
+        |    SELECT client, ts, id,
+        |           CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
+        |      SELECT client, ts, id,
+        |             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
+        |      FROM prep)))
+        |GROUP BY client, session_no ORDER BY client, session_no""".stripMargin),
+
+    "w05_session_summary" -> p(
+      """SELECT client, count(*) AS n_sessions,
+        |       round(avg(n_events), 4) AS avg_session_events,
+        |       CAST(max(n_events) AS BIGINT) AS max_session_events FROM (
+        |  SELECT client, session_no, count(*) AS n_events FROM (
+        |    SELECT client, ts,
+        |           sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM (
+        |      SELECT client, ts, id,
+        |             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
+        |        SELECT client, ts, id,
+        |               (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
+        |        FROM prep)))
+        |  GROUP BY client, session_no)
+        |GROUP BY client ORDER BY client""".stripMargin),
+
+    "a23_reply_percentiles" -> p(
+      """SELECT round(quantile_cont(reply_time, 0.5) * 1000, 4) AS p50_ms,
+        |       round(quantile_cont(reply_time, 0.9) * 1000, 4) AS p90_ms,
+        |       round(quantile_cont(reply_time, 0.99) * 1000, 4) AS p99_ms
+        |FROM prep WHERE reply_time IS NOT NULL""".stripMargin)
+  )
+
   val joins: Map[String, String] = Map(
     "h01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -538,5 +575,5 @@ FROM allc a JOIN topc c USING(domain)"""
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
   def all: Map[String, String] =
-    stats ++ plot ++ streaks ++ joins ++ dedup ++ similarity ++ text ++ multimodal
+    stats ++ plot ++ streaks ++ sessions ++ joins ++ dedup ++ similarity ++ text ++ multimodal
 }

@@ -67,6 +67,9 @@ object SparkEntry {
     "w02_longest_streaks_fmt" -> ((s, d) => Streaks.longestStreaksFormatted(prep(s, d))),
     "w03_longest_idle"        -> ((s, d) => Streaks.longestIdle(prep(s, d))),
     "w04_streak_runs_scalable" -> ((s, d) => Streaks.streakRunsScalable(prep(s, d), "Blocked")),
+    "w05_sessionize"          -> ((s, d) => Streaks.sessionize(prep(s, d), 1800)),
+    "w05_session_summary"     -> ((s, d) => Streaks.sessionSummary(prep(s, d), 1800)),
+    "a23_reply_percentiles"   -> ((s, d) => Stats.replyPercentiles(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),
     "h03_shipping_priority"   -> ((s, d) => Joins.shippingPriority(s, d)),
@@ -84,6 +87,7 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
     "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),
+    "s04_knn_ivf"             -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d), 5, 10)),
     "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
     // training-data pipeline: text analysis over documents
     "t01_lang_id"             -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

@@ -98,6 +98,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN, the learned-partition scale path: vectors are
+    * assigned to their nearest "centroid" cell once (a write-time batch
+    * job at scale), and a query probes only its `nProbe` nearest cells —
+    * the candidate join is on the cell id, touching |probed cells| /
+    * |cells| of the corpus instead of all of it.
+    *
+    * Centroid TRAINING is stubbed (first `nCells` vectors serve as
+    * centroids — k-means would slot in here); the assignment and probe
+    * plumbing — broadcast centroid table, argmax-cell window, cell-keyed
+    * candidate join — is the real production shape. */
+  def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centv"),
+        norm(col("embedding")).as("centn"))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vn"))
+    // cell assignment: nearest centroid per vector (broadcast × argmax)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    val assigned = vecs.join(broadcast(cents), expr("true"))
+      .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
+        (dot(col("embedding"), col("centv")) / (col("vn") * col("centn"))).as("sim"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select("vec_id", "embedding", "vn", "cell")
+    // probe list: nProbe nearest cells per query
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("vn").as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cell"))
+    val probes = q.join(broadcast(cents), expr("true"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        (dot(col("qv"), col("centv")) / (col("qn") * col("centn"))).as("sim"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "qn", "cell")
+    // exact scoring within probed cells only
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(pairCos(col("qv"), col("embedding"), col("qn"), col("vn")), 6).as("cos"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Pairwise cosine above `threshold` within label blocks — embedding
     * near-duplicate detection with an explicit blocking key, the standard
     * way to bound the pair join (block × block instead of n²). At 100 TB

@@ -206,6 +206,18 @@ object Stats {
       .orderBy("status_type")
   }
 
+  /** Beyond-reference: reply-time distribution — exact interpolated
+    * percentiles (both engines implement the same linear interpolation,
+    * values rounded for cross-engine compare). At 100 TB swap `percentile`
+    * for `percentile_approx` (t-digest style sketch, single pass,
+    * constant memory) — same query shape. */
+  def replyPercentiles(prep: DataFrame): DataFrame =
+    prep.filter(col("reply_time").isNotNull)
+      .agg(
+        round(expr("percentile(reply_time, 0.5)") * 1000, 4).as("p50_ms"),
+        round(expr("percentile(reply_time, 0.9)") * 1000, 4).as("p90_ms"),
+        round(expr("percentile(reply_time, 0.99)") * 1000, 4).as("p99_ms"))
+
   /** A22 without display rounding — the raw mean the reference stores in
     * `avg_time_between_*` (stats.py:382-388). */
   def interArrivalRaw(prep: DataFrame): DataFrame = {

@@ -126,6 +126,38 @@ object Streaks {
       col("streak_len"), col("start_ts"))
   }
 
+  /** Sessionization per client: a new session starts when the gap to the
+    * previous event of the SAME client exceeds `gapSeconds` — the
+    * per-natural-partition order-dependent pattern from SURVEY.md §7.3-3:
+    * the window is partitioned by client, so unlike W1-W4 it parallelizes
+    * across the cluster with no global order. Returns per-session rows
+    * (client, session_no, n_events, start/end). */
+  def sessionize(prep: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy("client").orderBy("ts", "id")
+    val acc = Window.partitionBy("client").orderBy("ts", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prep.select(col("client"), col("ts"), col("id"))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)) / lit(1e6))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_sess")).over(acc))
+      .groupBy("client", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("client", "session_no")
+  }
+
+  /** Per-client session summary — sessions per client + mean session
+    * length, the aggregate a dashboard would show. */
+  def sessionSummary(prep: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    sessionize(prep, gapSeconds)
+      .groupBy("client")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 4).as("avg_session_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("client")
+
   /** F13: the display-formatted longest-streak block — the reference
     * renders start date as "%d %B %Y" and hour as "%H:%M"
     * (stats.py:342-355); Java patterns "dd MMMM yyyy" / "HH:mm" under the

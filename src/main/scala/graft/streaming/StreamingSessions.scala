@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Session analytics in streaming form.
+  *
+  * Two mechanisms, each the idiomatic choice for its job:
+  *   - [[sessionWindowCounts]]: Spark's native `session_window` gap
+  *     aggregation — works identically over batch and streaming frames
+  *     (compose-existing-ops wins over custom state when semantics
+  *     allow); with a watermark the engine evicts closed sessions.
+  *   - [[runningClientTotals]]: `mapGroupsWithState` custom state — the
+  *     escape hatch for state machines `session_window` can't express
+  *     (here a running per-client profile, updated per micro-batch).
+  *     State is per client, O(|clients|), and lives in the state store —
+  *     checkpointed, recoverable, partitioned by the grouping key.
+  */
+object StreamingSessions {
+
+  /** Gap-based session counts per client. `df` may be a batch or
+    * streaming frame with (client, ts); in streaming callers add
+    * `withWatermark("ts", ...)` upstream so state for closed sessions is
+    * dropped. Semantics vs the window-function sessionizer
+    * ([[graft.operators.Streaks.sessionize]]): identical except at an
+    * exact-boundary gap (== gapSeconds), which is measure-zero on real
+    * timestamps. */
+  def sessionWindowCounts(df: DataFrame, gapSeconds: Long): DataFrame =
+    df.groupBy(
+      session_window(col("ts"), s"$gapSeconds seconds").as("sw"),
+      col("client"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("client"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  case class ClientState(nEvents: Long, lastSeenMicros: Long)
+  case class ClientTotal(client: String, nEvents: Long, lastSeenMicros: Long)
+
+  /** Running per-client totals via explicit state — emitted once per
+    * group per micro-batch (update mode). */
+  def runningClientTotals(events: Dataset[(String, Long)]): Dataset[ClientTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (client: String, batch: Iterator[(String, Long)], state: GroupState[ClientState]) =>
+          val prev = state.getOption.getOrElse(ClientState(0L, Long.MinValue))
+          var n = prev.nEvents
+          var last = prev.lastSeenMicros
+          batch.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+          val next = ClientState(n, last)
+          state.update(next)
+          ClientTotal(client, next.nEvents, next.lastSeenMicros)
+      }
+  }
+
+  /** Streaming sessionized counts over the events directory: watermark →
+    * session_window, append mode (sessions emit once closed). */
+  def streamSessionCounts(prepStream: DataFrame, gapSeconds: Long): DataFrame =
+    sessionWindowCounts(prepStream.withWatermark("ts", "2 hours"), gapSeconds)
+
+  /** Drain a streaming session count into a memory sink. */
+  def toMemorySink(df: DataFrame, name: String, checkpoint: String, outputMode: String) =
+    df.writeStream.queryName(name).outputMode(outputMode)
+      .format("memory").option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{StreamingHourly, StreamingSessions}
+
+class StreamingSpec extends SparkSpec {
+
+  test("batch session_window equals the window-function sessionizer") {
+    val prep = FtlFixture.prep(spark, 5, 1500)
+    val viaSessionWindow = StreamingSessions.sessionWindowCounts(
+      prep.select(col("client"), col("ts")), 1800)
+      .select("client", "session_start", "n_events")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val viaWindowFn = graft.operators.Streaks.sessionize(prep, 1800)
+      .select("client", "session_start", "n_events")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(viaSessionWindow == viaWindowFn)
+  }
+
+  test("mapGroupsWithState running totals converge to batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingSessions.runningClientTotals(input.toDS())
+      .writeStream.queryName("client_totals").outputMode(OutputMode.Update())
+      .format("memory").start()
+    try {
+      input.addData(("c1", 10L), ("c2", 20L), ("c1", 30L))
+      q.processAllAvailable()
+      input.addData(("c1", 40L), ("c3", 50L))
+      q.processAllAvailable()
+      // latest state per client (update mode appends each revision)
+      val totals = spark.table("client_totals")
+        .groupBy("client").agg(max("nEvents").as("n"), max("lastSeenMicros").as("last"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(totals("c1") == ((3L, 40L)))
+      assert(totals("c2") == ((1L, 20L)))
+      assert(totals("c3") == ((1L, 50L)))
+    } finally q.stop()
+  }
+
+  test("streaming session counts drain equals batch session_window (all on-time)") {
+    val dir = "/root/testdata/sf0.001"
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val stream = StreamingHourly.eventsStream(spark, dir).select("client", "ts")
+    val q = StreamingSessions.toMemorySink(
+      StreamingSessions.streamSessionCounts(stream, 1800),
+      "stream_sessions", checkpoint, "append").start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_sessions")
+    val batch = StreamingSessions.sessionWindowCounts(
+      Preprocess.preprocessEvents(Tables.events(spark, dir)).select("client", "ts"), 1800)
+    // append mode emits only sessions closed by the final watermark; all
+    // emitted rows must match the batch result exactly
+    val joined = streamed.join(batch,
+      Seq("client", "session_start", "session_end", "n_events"), "left_anti")
+    assert(streamed.count() > 0 && joined.count() == 0)
+  }
+}
