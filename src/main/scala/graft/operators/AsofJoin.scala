@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row with
+  * `right.ts <= left.ts` within the same key. Spark has no native ASOF;
+  * the naive formulations are a non-equi join (O(n·m) nested loop) or a
+  * groupBy-collect (state explosion). This is the scalable form:
+  *
+  * UNION the two sides tagged by origin, sort within key by
+  * (ts, origin) — right rows first on ties, giving <= semantics — and
+  * take `last_value(right payload) ignoreNulls` over the running window.
+  * ONE shuffle on the key, no pair blowup, spill-safe: exactly the plan
+  * a purpose-built ASOF operator would produce, composed from existing
+  * operators (preference (a) of the custom-operator ladder).
+  */
+object AsofJoin {
+
+  /** Left rows (keyCol, tsCol, leftCols...) each gain `asof_<payload>`
+    * columns from the latest right row at-or-before their ts (null when
+    * none). Right side: (keyCol, tsCol, payload...). */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           payloadCols: Seq[String]): DataFrame = {
+    val leftTagged = left.withColumn("_is_left", lit(1))
+      .withColumns(payloadCols.map(c => s"_r_$c" -> lit(null)).toMap)
+    val rightTagged = right
+      .select(Seq(col(keyCol), col(tsCol)) ++ payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn("_is_left", lit(0))
+    val unioned = leftTagged.columns.foldLeft(rightTagged) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(leftTagged.columns.map(col): _*).unionByName(leftTagged)
+    // right rows (_is_left=0) sort before left rows on equal ts → "<="
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_left") === 1)
+      .drop("_is_left").drop(payloadCols.map(c => s"_r_$c"): _*)
+  }
+
+  /** The analytic built on it: for each Blocked event, the most recent
+    * prior-or-simultaneous Allowed event of the same client, and the gap
+    * — "time since last success before this failure". */
+  def blockedAfterAllowed(prep: DataFrame): DataFrame = {
+    val blocked = prep.filter(col("status_type") === "Blocked")
+      .select("client", "ts", "id")
+    val allowed = prep.filter(col("status_type") === "Allowed")
+      .select(col("client"), col("ts"), col("ts").as("allowed_ts"))
+    asof(blocked, allowed, "client", "ts", Seq("allowed_ts"))
+      .select(col("client"), col("id"), col("ts"),
+        col("asof_allowed_ts").as("prev_allowed_ts"),
+        round((unix_micros(col("ts")) - unix_micros(col("asof_allowed_ts"))) / lit(1e6), 6)
+          .as("gap_s"))
+      .orderBy("client", "ts", "id")
+  }
+}
+
+/** Interval (range) join — match point rows to [start, end] intervals.
+  * The naive plan is a broadcast-nested-loop over a range predicate;
+  * binning makes it an equi-join: explode each interval into the fixed-
+  * size bins it covers, bin the points, equi-join on (key, bin), then
+  * re-check exact containment. Shuffle key gains the bin → work
+  * proportional to |points| + |interval bins|, not |points|×|intervals|.
+  */
+object RangeJoin {
+
+  def binned(points: DataFrame, intervals: DataFrame, keyCol: String,
+             tsCol: String, startCol: String, endCol: String,
+             binSeconds: Long): DataFrame = {
+    val p = points.withColumn("_bin", floor(unix_micros(col(tsCol)) / (binSeconds * 1000000L)))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / (binSeconds * 1000000L)),
+        floor(unix_micros(col(endCol)) / (binSeconds * 1000000L)))))
+    p.join(iv, Seq(keyCol, "_bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bin")
+  }
+}
