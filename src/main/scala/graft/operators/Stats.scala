@@ -162,6 +162,19 @@ object Stats {
       approx_count_distinct(col("domain")).as("approx_domains"),
       approx_count_distinct(col("client")).as("approx_clients"))
 
+  /** A11 at 100 TB, the mergeable-sketch rollup pattern: one Datasketches
+    * HLL per day (partial state constant-size, map-side combined), then a
+    * single union+estimate for the global distinct count — the shape that
+    * lets daily sketches be PERSISTED and re-merged for any date range
+    * without rescanning events. Estimates, so rows-only for the driver;
+    * accuracy asserted in ScalaTest. */
+  def hllDailyDomains(prep: DataFrame): DataFrame = {
+    val daily = prep.groupBy("date").agg(hll_sketch_agg(col("domain")).as("sk"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_domains"))
+  }
+
   /** A12: most diverse client = argmax of countDistinct(domain) per client
     * (reference: stats.py:424-431). */
   def diverseClient(prep: DataFrame): DataFrame =

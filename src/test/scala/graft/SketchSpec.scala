@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Sketch scale-paths: accuracy bounds that make them usable stand-ins
+  * for the exact operators at 100 TB. */
+class SketchSpec extends SparkSpec {
+
+  private lazy val prep = FtlFixture.prep(spark, 9, 3000)
+
+  test("HLL daily rollup estimate is within 5% of the exact distinct count") {
+    val exact = prep.select(countDistinct("domain")).head.getLong(0)
+    val est = Stats.hllDailyDomains(prep).head.getLong(1)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+  }
+
+  test("approx_count_distinct is within its documented error bound") {
+    val exact = prep.select(countDistinct("client")).head.getLong(0)
+    val approx = Stats.approxDistinct(prep).head.getLong(1)
+    assert(math.abs(approx - exact).toDouble / math.max(exact, 1) < 0.1)
+  }
+
+  test("count-min sketch frequency estimates are upper bounds that are tight for heavy hitters") {
+    val cmsRow = prep.agg(
+      count_min_sketch(col("domain"), lit(0.01), lit(0.99), lit(42)).as("cms")).head
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsRow.getAs[Array[Byte]](0)))
+    val trueCounts = prep.groupBy("domain").count()
+      .orderBy(desc("count"), asc("domain")).limit(5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    trueCounts.foreach { case (d, c) =>
+      val est = cms.estimateCount(d)
+      assert(est >= c, s"CMS must never under-count: $d $est < $c")
+      assert(est <= c + (0.01 * 3000).toLong, s"CMS too loose for heavy hitter $d")
+    }
+  }
+}
