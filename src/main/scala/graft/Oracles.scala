@@ -188,6 +188,19 @@ FROM allc a JOIN topc c USING(domain)"""
       |LEFT JOIN view v ON v.ts_hour = g.ts_hour AND v.status_type = s.status_type
       |ORDER BY 1, 2""".stripMargin),
 
+    "j04_gap_filled_client" -> (Prep + """,
+      |topc AS (SELECT client FROM (SELECT client, count(*) AS c FROM prep
+      |                             GROUP BY client ORDER BY c DESC, client LIMIT 10)),
+      |act AS (SELECT date_trunc('hour', ts) AS ts_hour, client, count(*) AS cnt
+      |        FROM prep WHERE client IN (SELECT client FROM topc) GROUP BY 1, 2),
+      |grid AS (SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+      |                                       date_trunc('hour', max(ts)),
+      |                                       INTERVAL 1 HOUR)) AS ts_hour FROM prep)
+      |SELECT g.ts_hour, t.client, coalesce(a.cnt, 0) AS cnt
+      |FROM grid g CROSS JOIN topc t
+      |LEFT JOIN act a ON a.ts_hour = g.ts_hour AND a.client = t.client
+      |ORDER BY 1, 2""".stripMargin),
+
     "a18_stacked_client_bar" -> (Prep + """,
       |topc AS (SELECT client, count(*) AS total_cnt FROM prep GROUP BY client
       |         ORDER BY total_cnt DESC, client LIMIT 10)

@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The dedup DAGs are diamonds: the shingle/signature relation feeds
+    * 3-5 downstream branches, and Catalyst does NOT reuse non-identical
+    * exchanges — without this, the md5-heavy subtree recomputes per
+    * branch (verified via Explain: 12 scans, 0 ReusedExchange). At
+    * production scale the signatures are MATERIALIZED to storage
+    * (SCALE.md); `persist` is the in-process analog. The relations are
+    * per-doc-scale (≪ corpus bytes), so MEMORY_AND_DISK is safe. */
+  private def shared(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Distinct character n-gram shingles per doc — (doc_id, s). Docs
     * shorter than n drop out (no n-shingle → never-duplicate). */
   def charShingles(docs: DataFrame, n: Int = 5): DataFrame = shingleRel(docs, n)
@@ -75,7 +85,7 @@ object Dedup {
     * are candidates. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(docs, k)
+    val sig = shared(minhashSignatures(docs, k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
@@ -92,9 +102,9 @@ object Dedup {
     * of the MinHash pipeline). Jaccard is a ratio of integers — exact
     * across engines, no float rounding concerns. */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sh = wordShingles(docs)
+    val sh = shared(wordShingles(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cands = lshCandidates(docs, k, bands)
+    val cands = shared(lshCandidates(docs, k, bands))
     val common = cands
       .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
       .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
@@ -137,7 +147,7 @@ object Dedup {
     * chunks (4 chars = 16 bits). Hamming ≤ 3 guarantees some chunk is
     * equal (pigeonhole) — the banding trick again, on bit-chunks. */
   def simhashCandidates(docs: DataFrame): DataFrame = {
-    val sig = simhash(docs)
+    val sig = shared(simhash(docs))
     val chunks = (0 until 4).map(cn =>
       struct(lit(cn).as("chunk_idx"), expr(s"substr(simhash, ${cn * 4 + 1}, 4)").as("chunk")))
     val chunked = sig.select(col("doc_id"), explode(array(chunks: _*)).as("c"))

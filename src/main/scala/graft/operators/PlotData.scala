@@ -77,6 +77,21 @@ object PlotData {
       .orderBy("ts_hour", "status_type")
   }
 
+  /** J3 (client variant): dense hourly grid × the top-n clients LEFT JOIN
+    * per-client activity, zeros filled (reference: plot.py:321-331 — the
+    * client-activity chart's gap fill). Grid and top-k are both tiny →
+    * broadcast; the fact table is touched once for the aggregate. */
+  def gapFilledByClient(prep: DataFrame, n: Int): DataFrame = {
+    val grid = prep
+      .agg(date_trunc("HOUR", min(col("ts"))).as("lo"), date_trunc("HOUR", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("ts_hour"))
+    val activity = clientActivity(prep, n)
+    grid.crossJoin(broadcast(topClients(prep, n).select("client")))
+      .join(activity, Seq("ts_hour", "client"), "left")
+      .select(col("ts_hour"), col("client"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("ts_hour", "client")
+  }
+
   /** A18/O4: stacked per-client bar — counts per (client, status_type) on
     * the top-n clients, carrying the client total used for categorical
     * ordering (reference: plot.py:30-48). */
