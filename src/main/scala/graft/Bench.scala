@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/shuffle machinery on a tiny scale factor so
+    // the first measured query doesn't absorb ~3s of one-time cost (JIT,
+    // codegen compiler, parquet reader init) that is not query work.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

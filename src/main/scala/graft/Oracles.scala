@@ -557,7 +557,9 @@ FROM allc a JOIN topc c USING(domain)"""
     "t03_token_counts" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+        |  len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]+'))
+        |    + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t03_corpus_totals" ->
@@ -566,7 +568,9 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
         |  round(avg(re_tokens), 6) AS avg_re_tokens
         |FROM (SELECT len(string_split(text, ' ')) AS ws_tokens,
-        |             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens
+        |             len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]+'))
+        |    + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS re_tokens
         |      FROM documents)""".stripMargin,
 
     "t04_fingerprint_groups" ->

@@ -8,8 +8,11 @@ import graft.operators._
   *
   * `queries` is the operator inventory (one entry per SURVEY.md §2
   * operator); `oracleSql` the DuckDB-equivalent SQL for the hash compare.
-  * Query functions are lazy plans end-to-end: no collect, no caching —
-  * the driver decides the action (parquet dump in Verify, count in Bench).
+  * Query functions are lazy plans end-to-end: no collect, and the driver
+  * decides the action (parquet dump in Verify, count in Bench). The one
+  * exception to "no caching": diamond-shaped dedup DAGs persist their
+  * small shared signature relations (see Dedup.shared) — Catalyst does
+  * not reuse those subtrees on its own.
   */
 object SparkEntry {
 

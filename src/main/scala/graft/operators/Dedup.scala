@@ -71,21 +71,21 @@ object Dedup {
       .select(col("total_docs"), col("distinct_texts"),
         (col("total_docs") - col("distinct_texts")).as("removed"))
 
-  /** MinHash signature: k independent hash mins per doc in ONE aggregate
-    * pass. h_i(s) = md5("<i>:" || s), minimized lexicographically — a
-    * string-valued MinHash, engine-portable. */
-  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame = {
-    val sh = wordShingles(docs)
+  /** MinHash signature from a precomputed shingle relation. */
+  private def signaturesFrom(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: k mins split into `bands` bands of k/bands rows; band
-    * key = md5 of the concatenated band slice. Docs sharing ANY band key
-    * are candidates. */
-  def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  /** MinHash signature: k independent hash mins per doc in ONE aggregate
+    * pass. h_i(s) = md5("<i>:" || s), minimized lexicographically — a
+    * string-valued MinHash, engine-portable. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame =
+    signaturesFrom(wordShingles(docs), k)
+
+  private def candidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = shared(minhashSignatures(docs, k))
+    val sig = shared(signaturesFrom(sh, k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
@@ -98,13 +98,21 @@ object Dedup {
       .select("i", "j").distinct().orderBy("i", "j")
   }
 
+  /** LSH banding: k mins split into `bands` bands of k/bands rows; band
+    * key = md5 of the concatenated band slice. Docs sharing ANY band key
+    * are candidates. */
+  def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    candidatesFrom(wordShingles(docs), k, bands)
+
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
     * of the MinHash pipeline). Jaccard is a ratio of integers — exact
-    * across engines, no float rounding concerns. */
+    * across engines, no float rounding concerns. The shingle relation is
+    * computed ONCE and shared by the signature, size, and intersection
+    * branches. */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val sh = shared(wordShingles(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cands = shared(lshCandidates(docs, k, bands))
+    val cands = shared(candidatesFrom(sh, k, bands))
     val common = cands
       .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
       .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
