@@ -377,6 +377,43 @@ FROM allc a JOIN topc c USING(domain)"""
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
 
+    "h12_shipmode_priority" ->
+      """SELECT l.l_linestatus,
+        |  count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_cnt,
+        |  count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_cnt
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'N'
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
+
+    "h18_large_orders" ->
+      """SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 250.0) b
+        |  ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey""".stripMargin,
+
+    "h_full_outer_calendar" ->
+      """SELECT coalesce(ord.d, shp.d) AS d,
+        |       coalesce(ord.n_orders, 0) AS n_orders,
+        |       coalesce(shp.n_ships, 0) AS n_ships
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |      FROM orders GROUP BY 1) ord
+        |FULL OUTER JOIN (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+        |                 FROM lineitem GROUP BY 1) shp
+        |  ON ord.d = shp.d
+        |ORDER BY d""".stripMargin,
+
+    "h_topn_per_customer" ->
+      """SELECT c_custkey, c_name, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY c.c_custkey
+        |                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_custkey, rnk""".stripMargin,
+
     "h_semi_urgent_customers" ->
       """SELECT c_mktsegment, count(*) AS cnt FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')

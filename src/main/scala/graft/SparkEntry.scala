@@ -83,6 +83,10 @@ object SparkEntry {
     "h10_returned_revenue"    -> ((s, d) => Joins.returnedRevenue(s, d)),
     "h_semi_urgent_customers" -> ((s, d) => Joins.urgentCustomers(s, d)),
     "h_anti_no_open_orders"   -> ((s, d) => Joins.noOpenOrderCustomers(s, d)),
+    "h12_shipmode_priority"   -> ((s, d) => Joins.shipmodePriority(s, d)),
+    "h18_large_orders"        -> ((s, d) => Joins.largeOrders(s, d)),
+    "h_full_outer_calendar"   -> ((s, d) => Joins.orderVsShipCalendar(s, d)),
+    "h_topn_per_customer"     -> ((s, d) => Joins.topOrdersPerCustomer(s, d)),
     // training-data pipeline: dedup over documents
     "d01_exact_summary"       -> ((s, d) => Dedup.exactSummary(Tables.documents(s, d))),
     "d01_exact_groups"        -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),

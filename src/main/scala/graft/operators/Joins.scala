@@ -100,6 +100,61 @@ object Joins {
       .orderBy(desc("revenue"), asc("c_custkey")).limit(n)
   }
 
+  /** TPC-H Q18 shape: large-quantity orders — HAVING over a grouped join
+    * feeding a second join. The HAVING-filtered key set is small →
+    * broadcast back against orders/customer. */
+  def largeOrders(s: SparkSession, dir: String, minQty: Double = 250.0): DataFrame = {
+    val big = Tables.lineitem(s, dir).groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+  }
+
+  /** TPC-H Q12 shape: conditional aggregation over a join — per priority
+    * class, high/low line counts. One shuffle join + one tiny aggregate. */
+  def shipmodePriority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "N")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_cnt"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_cnt"))
+      .orderBy("l_linestatus")
+
+  /** Full-outer join: per-date order counts vs per-date lineitem ship
+    * counts — dates present on either side survive with zero-filled
+    * gaps. Exercises the outer-join null-handling path. */
+  def orderVsShipCalendar(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val shp = Tables.lineitem(s, dir).groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_ships"))
+    ord.join(shp, Seq("d"), "full_outer")
+      .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy("d")
+  }
+
+  /** Top-n per group over a join: each customer's 3 highest-value orders —
+    * the rank-window-after-join pattern; the window is partitioned by
+    * customer so it parallelizes. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+      .select(col("c_custkey"), col("c_name"), col("rnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_custkey", "rnk")
+  }
+
   /** Left-semi: customers having at least one urgent order, counted per
     * market segment. The semi-join keeps only the probe side — no row
     * explosion, and the urgent-orders key set is deduped inside the join. */
