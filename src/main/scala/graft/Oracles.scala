@@ -312,6 +312,20 @@ FROM allc a JOIN topc c USING(domain)"""
         |  GROUP BY client, session_no)
         |GROUP BY client ORDER BY client""".stripMargin),
 
+    "a24_rollup_daily" -> p(
+      """SELECT coalesce(CAST(date AS VARCHAR), 'ALL') AS date_k,
+        |       coalesce(status_type, 'ALL') AS status_k,
+        |       count(*) AS cnt
+        |FROM prep GROUP BY ROLLUP (date, status_type)
+        |ORDER BY date_k, status_k""".stripMargin),
+
+    "a25_cube_period_status" -> p(
+      """SELECT coalesce(day_period, 'ALL') AS period_k,
+        |       coalesce(status_type, 'ALL') AS status_k,
+        |       count(*) AS cnt
+        |FROM prep GROUP BY CUBE (day_period, status_type)
+        |ORDER BY period_k, status_k""".stripMargin),
+
     "a23_reply_percentiles" -> p(
       """SELECT round(quantile_cont(reply_time, 0.5) * 1000, 4) AS p50_ms,
         |       round(quantile_cont(reply_time, 0.9) * 1000, 4) AS p90_ms,

@@ -75,6 +75,8 @@ object SparkEntry {
     "w05_sessionize"          -> ((s, d) => Streaks.sessionize(prep(s, d), 1800)),
     "w05_session_summary"     -> ((s, d) => Streaks.sessionSummary(prep(s, d), 1800)),
     "a23_reply_percentiles"   -> ((s, d) => Stats.replyPercentiles(prep(s, d))),
+    "a24_rollup_daily"        -> ((s, d) => Stats.rollupDaily(prep(s, d))),
+    "a25_cube_period_status"  -> ((s, d) => Stats.cubePeriodStatus(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),

@@ -203,6 +203,26 @@ object Stats {
     prep.groupBy("date").agg(round(avg(col("reply_time")) * 1000, 3).as("avg_reply_ms"))
       .orderBy("date")
 
+  /** Beyond-reference OLAP: daily × status rollup — subtotal rows per
+    * date and a grand total in one pass (Catalyst expands grouping sets;
+    * still a single shuffle). Null grouping keys are coalesced to a
+    * sentinel so the result is join/compare-friendly. */
+  def rollupDaily(prep: DataFrame): DataFrame =
+    prep.rollup(col("date"), col("status_type")).agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("date").cast("string"), lit("ALL")).as("date_k"),
+        coalesce(col("status_type"), lit("ALL")).as("status_k"), col("cnt"))
+      .orderBy("date_k", "status_k")
+
+  /** Beyond-reference OLAP: full cube over (day_period, status_type) —
+    * all 2² grouping combinations in one aggregate. */
+  def cubePeriodStatus(prep: DataFrame): DataFrame =
+    prep.cube(col("day_period"), col("status_type")).agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("day_period"), lit("ALL")).as("period_k"),
+        coalesce(col("status_type"), lit("ALL")).as("status_k"), col("cnt"))
+      .orderBy("period_k", "status_k")
+
   /** A22/W5: mean inter-arrival seconds per class, diff over each class's
     * own time-ordered subset (reference: stats.py:382-388). Window is
     * partitioned by status_type → parallel, scales (unlike W1-W4's global
