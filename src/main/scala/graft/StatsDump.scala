@@ -34,6 +34,12 @@ object StatsDump {
     val json = stats.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": ${j(v)}""" }.mkString("{", ",\n ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/spark_stats.json"), json)
+
+    // plot-data tables for the same cross-check (tools/ref_crosscheck.py --plots)
+    val prep = Preprocess.preprocessFtl(fixture)
+    Engine.plotData(prep).foreach { case (name, frame) =>
+      frame.coalesce(1).write.mode("overwrite").parquet(s"$outDir/plot_$name")
+    }
     println(s"STATS_KEYS=${stats.size}")
     spark.stop()
   }
