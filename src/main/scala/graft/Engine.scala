@@ -146,7 +146,9 @@ object Engine {
       m("avg_queries_most") = 0L; m("avg_queries_least") = 0L
     }
 
-    val weekly = Stats.weekdayAvg(prep).collect() // day_name-ascending (pandas index order)
+    // RAW means — the reference argmaxes and int()-truncates unrounded
+    // values (stats.py:203-205); rounding first could flip both
+    val weekly = Stats.weekdayAvgRaw(prep).collect() // day_name-ascending (pandas index order)
     if (weekly.nonEmpty) {
       val vals = weekly.map(_.getDouble(1))
       m("most_active_day") = weekly(vals.indexOf(vals.max)).getString(0)
@@ -200,9 +202,7 @@ object Engine {
     m("max_reply_time") = rt.getDouble(1)
     m("min_reply_time") = rt.getDouble(2)
     // slowest_avg_reply_time is UNSCALED seconds in the reference — quirk
-    prep.filter(col("reply_time").isNotNull)
-      .groupBy("domain").agg(avg(col("reply_time")).as("avg_reply"))
-      .orderBy(desc("avg_reply"), asc("domain")).limit(1).collect().headOption match {
+    Stats.slowestDomainRaw(prep).collect().headOption match {
       case Some(r) =>
         m("slowest_domain") = r.getString(0)
         m("slowest_avg_reply_time") = r.getDouble(1)
@@ -277,9 +277,9 @@ object Engine {
       "allowed_df" -> PlotData.topDomainsOfClass(prep, "Allowed", nDomains),
       "reply_time_df" -> Stats.replyByDate(prep),
       "client_domain_scatter_df" -> PlotData.clientDomainScatter(prep, nScatter, nScatter),
-      "day_hour_heatmap" -> PlotData.dayHourHeatmap(prep, None),
-      "blocked_day_hour_heatmap" -> PlotData.dayHourHeatmap(prep, Some("Blocked")),
-      "allowed_day_hour_heatmap" -> PlotData.dayHourHeatmap(prep, Some("Allowed")))
+      "day_hour_heatmap" -> PlotData.dayHourHeatmapWeekdays(prep, None),
+      "blocked_day_hour_heatmap" -> PlotData.dayHourHeatmapWeekdays(prep, Some("Blocked")),
+      "allowed_day_hour_heatmap" -> PlotData.dayHourHeatmapWeekdays(prep, Some("Allowed")))
   }
 
   /** plot.py:85 client_list — distinct clients. */

@@ -240,7 +240,7 @@ FROM allc a JOIN topc c USING(domain)"""
 
     "p02_regex_filter" -> p(
       """SELECT status_type, count(*) AS cnt FROM prep
-        |WHERE NOT regexp_matches(domain, '\d{2}\}$')
+        |WHERE domain IS NULL OR NOT regexp_matches(domain, '\d{2}\}$')
         |GROUP BY status_type ORDER BY status_type""".stripMargin)
   )
 

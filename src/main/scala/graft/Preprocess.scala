@@ -93,8 +93,11 @@ object Preprocess {
   /** Drop rows whose `column` matches any of `patterns` — the reference's
     * sequential anti-filter loop (process.py:27-44, applied app.py:165-170):
     * AND of negated unanchored matches; an invalid pattern is a no-op (with
-    * a warning in the reference). Pure expression → pushed to the scan.
-    */
+    * a warning in the reference). NULL values never match and are KEPT —
+    * the reference's `str.contains(..., na=False)` semantics; a bare
+    * `!rlike` would evaluate NULL and silently drop them. Pure
+    * expression → pushed to the scan. */
   def regexAntiFilter(df: DataFrame, column: String, patterns: Seq[String]): DataFrame =
-    patterns.filter(isValidRegex).foldLeft(df)((d, p) => d.filter(!col(column).rlike(p)))
+    patterns.filter(isValidRegex).foldLeft(df)((d, p) =>
+      d.filter(col(column).isNull || !col(column).rlike(p)))
 }

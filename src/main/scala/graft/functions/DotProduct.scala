@@ -27,7 +27,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on ragged vectors: a silent min-length dot yields a
+    // plausible-but-wrong similarity (and DuckDB's oracle errors here too)
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     elemType match {
@@ -51,7 +56,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.$get($i) * (double) $b.$get($i);

@@ -85,8 +85,14 @@ object PlotData {
     val grid = prep
       .agg(date_trunc("HOUR", min(col("ts"))).as("lo"), date_trunc("HOUR", max(col("ts"))).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("ts_hour"))
-    val activity = clientActivity(prep, n)
-    grid.crossJoin(broadcast(topClients(prep, n).select("client")))
+    // ONE top-k aggregate feeding both the grid cross-join and the
+    // activity semi-join — a second topClients() here would be an entire
+    // extra pass over the fact table
+    val topC = topClients(prep, n).select("client")
+    val activity = hourlyView(prep)
+      .join(broadcast(topC), Seq("client"), "left_semi")
+      .groupBy("ts_hour", "client").agg(sum("cnt").as("cnt"))
+    grid.crossJoin(broadcast(topC))
       .join(activity, Seq("ts_hour", "client"), "left")
       .select(col("ts_hour"), col("client"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("ts_hour", "client")
@@ -134,5 +140,22 @@ object PlotData {
       .pivot("hour", (0 to 23).map(h => h: Any)).agg(count(lit(1)))
     val hourCols = (0 to 23).map(h => coalesce(col(s"$h"), lit(0L)).as(s"h$h"))
     pivoted.select(col("day_name") +: hourCols: _*).orderBy("day_name")
+  }
+
+  val WeekdayOrder: Seq[String] =
+    Seq("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
+
+  /** A20 in the reference's exact display shape: ALWAYS 7 rows in
+    * Monday..Sunday order — `reindex(order)` introduces null rows for
+    * absent weekdays AFTER the zero-fill (plot.py:114-139), so a day with
+    * no data is null-valued, not zero. */
+  def dayHourHeatmapWeekdays(prep: DataFrame, statusType: Option[String]): DataFrame = {
+    val spark = prep.sparkSession
+    val days = spark.sql(
+      WeekdayOrder.zipWithIndex
+        .map { case (d, i) => s"SELECT '$d' AS day_name, $i AS day_ord" }
+        .mkString(" UNION ALL "))
+    broadcast(days).join(dayHourHeatmap(prep, statusType), Seq("day_name"), "left")
+      .orderBy("day_ord").drop("day_ord")
   }
 }

@@ -112,6 +112,14 @@ object Stats {
       .groupBy("day_name").agg(round(avg(col("cnt")), 4).as("avg_cnt"))
       .orderBy("day_name")
 
+  /** A9 without display rounding — the raw means the reference argmaxes
+    * over (stats.py:197-205); rounding first could both shift int() and
+    * flip the argmax on near-ties. */
+  def weekdayAvgRaw(prep: DataFrame): DataFrame =
+    prep.groupBy("date", "day_name").agg(count(lit(1)).as("cnt"))
+      .groupBy("day_name").agg(avg(col("cnt")).as("avg_cnt"))
+      .orderBy("day_name")
+
   /** A10: the day/night stat block — totals per day_period partition
     * (reference: stats.py:211-321 re-runs A1/A4/A5 per partition; a single
     * pass with day_period in the grouping key replaces 2 full scans). */
@@ -190,12 +198,17 @@ object Stats {
       coalesce(round(max(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("max_reply_ms"),
       coalesce(round(min(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("min_reply_ms"))
 
-  /** A14: slowest domain by mean reply_time — no abs(), matching the
-    * reference asymmetry (stats.py:457-467). */
-  def slowestDomain(prep: DataFrame): DataFrame =
+  /** A14 unscaled: slowest domain by raw mean reply_time — the form the
+    * reference stores (stats.py:457-467, no ms scaling — quirk). */
+  def slowestDomainRaw(prep: DataFrame): DataFrame =
     prep.filter(col("reply_time").isNotNull)
       .groupBy("domain").agg(avg(col("reply_time")).as("avg_reply"))
       .orderBy(desc("avg_reply"), asc("domain")).limit(1)
+
+  /** A14: slowest domain by mean reply_time — no abs(), matching the
+    * reference asymmetry (stats.py:457-467). */
+  def slowestDomain(prep: DataFrame): DataFrame =
+    slowestDomainRaw(prep)
       .select(col("domain"), round(col("avg_reply") * 1000, 3).as("avg_reply_ms"))
 
   /** A15: average reply time per date, ms (reference: plot.py:77-82). */

@@ -18,6 +18,18 @@ class PlotDataSpec extends SparkSpec {
     assert(nulls == 0)
   }
 
+  test("weekday-reindexed heatmap: always 7 rows, Monday first, null for absent days (plot.py:114-122)") {
+    // Mon + Tue only (2024-01-01 was a Monday)
+    val rows = Seq(0, 1).flatMap(d => (1 to 3).map(i =>
+      org.apache.spark.sql.Row(d * 10 + i, 1704067200L + d * 86400L + i, 1, 2, "x.com", "c", 1.0)))
+    val prep = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL, rows))
+    val hm = PlotData.dayHourHeatmapWeekdays(prep, None).collect()
+    assert(hm.length == 7)
+    assert(hm.head.getString(0) == "Monday" && hm.last.getString(0) == "Sunday")
+    assert(hm.head.getLong(1) == 3)      // Monday h0 count
+    assert(hm(5).isNullAt(1))            // Saturday absent → null row (reference reindex)
+  }
+
   test("top-k bound respected even when k > distinct (test_process.py:268-276)") {
     assert(PlotData.topClients(prep, 3).count() == 3)
     assert(PlotData.topClients(prep, 500).count() == 5) // fixture has 5 clients, no padding

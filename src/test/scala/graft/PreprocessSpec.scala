@@ -55,6 +55,17 @@ class PreprocessSpec extends SparkSpec {
     assert(out.count() == 0 && out.columns.sameElements(prep.columns))
   }
 
+  test("anti-filter keeps NULL-valued rows (str.contains na=False semantics)") {
+    val rows = Seq(
+      Row(1, 1704067200L, 1, 2, null, "c", 1.0),
+      Row(2, 1704067201L, 1, 2, "ads.example.com", "c", 1.0),
+      Row(3, 1704067202L, 1, 2, "ok.example.com", "c", 1.0))
+    val prep = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL, rows))
+    val out = Preprocess.regexAntiFilter(prep, "domain", Seq("^ads\\."))
+    assert(out.count() == 2) // null row survives, matching row dropped
+    assert(out.filter(org.apache.spark.sql.functions.col("domain").isNull).count() == 1)
+  }
+
   test("anti-filter drops exactly the matching rows (process.py:38-39)") {
     val prep = FtlFixture.prep(spark, 1, 500)
     val blocked = prep.filter(col("domain").rlike("blockeddomain")).count()
