@@ -42,6 +42,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicated input files yield each event exactly once") {
+    import graft.streaming.StreamingDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+    events.write.parquet(s"$dir/in/batch1")
+    events.write.parquet(s"$dir/in/batch2") // exact duplicates arrive again
+    val schema = spark.read.parquet(s"$dir/in/batch1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+    val deduped = StreamingDedup.dedupByKey(stream, Seq("event_id"))
+    val q = deduped.writeStream.queryName("dedup_stream").outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_stream")
+    assert(out.count() == 200)
+    assert(out.select("event_id").distinct().count() == 200)
+  }
+
+  test("stream-static enrichment join attaches dimension attributes per micro-batch") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDS().toDF("user_id", "value")
+    val q = StreamingDedup.enrich(stream, dim, "user_id")
+      .writeStream.queryName("enriched").outputMode("append").format("memory").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (3L, 30.0)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+
   test("streaming session counts drain equals batch session_window (all on-time)") {
     val dir = "/root/testdata/sf0.001"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
