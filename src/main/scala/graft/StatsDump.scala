@@ -23,7 +23,8 @@ object StatsDump {
 
     val fixture = FtlFixture.frame(spark, seed, n)
     fixture.coalesce(1).write.mode("overwrite").parquet(s"$outDir/fixture")
-    val stats = Engine.computeStats(Preprocess.preprocessFtl(fixture))
+    val prep = Preprocess.preprocessFtl(fixture)
+    val stats = Engine.computeStats(prep)
 
     def j(v: Any): String = v match {
       case null => "null"
@@ -35,8 +36,7 @@ object StatsDump {
       .map { case (k, v) => s""""$k": ${j(v)}""" }.mkString("{", ",\n ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/spark_stats.json"), json)
 
-    // plot-data tables for the same cross-check (tools/ref_crosscheck.py --plots)
-    val prep = Preprocess.preprocessFtl(fixture)
+    // plot-data tables for the same cross-check (tools/plot_crosscheck.py)
     Engine.plotData(prep).foreach { case (name, frame) =>
       frame.coalesce(1).write.mode("overwrite").parquet(s"$outDir/plot_$name")
     }

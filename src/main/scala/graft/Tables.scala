@@ -12,19 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * nothing here assumes a single file.
   */
 object Tables {
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The testdata writes events.ts as parquet TIMESTAMP(NANOS), which
-    // Spark 4 rejects outright. Read nanos as long (dynamic conf, so this
-    // works under any driver-created session too) and truncate to
-    // microseconds below — the DuckDB oracle mirrors the same floor
-    // division (make_timestamp(epoch_ns(ts)//1000), Oracles.Prep).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** Raw events frame — `ts` still a nanosecond long if the file uses
-    * TIMESTAMP(NANOS). Streaming reads need this shape for their schema. */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+    * TIMESTAMP(NANOS). Streaming reads need this shape for their schema.
+    *
+    * The testdata writes events.ts as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright; the legacy conf reads nanos as long and
+    * [[normalizeTs]] truncates to micros (the DuckDB oracle mirrors with
+    * make_timestamp(epoch_ns(ts)//1000)). The conf is session-global and
+    * SET ONLY HERE — the events table is the only nanos source, and
+    * flipping it from every loader would silently change unrelated
+    * parquet reads in the caller's session. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
 
   /** Nanos-long → microsecond timestamp normalization, shared by the
     * batch and streaming readers. */

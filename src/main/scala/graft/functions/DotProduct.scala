@@ -35,15 +35,26 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         s"dot_product: array length mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
+    // null elements would read as 0.0 from unsafe arrays — fail loudly
+    // (consistent with the ragged-length stance) instead of skewing scores
     elemType match {
       case FloatType =>
-        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) throw nullElem(i)
+          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+        }
       case DoubleType =>
-        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) throw nullElem(i)
+          acc += x.getDouble(i) * y.getDouble(i); i += 1
+        }
       case t => throw new IllegalStateException(s"dot_product over $t")
     }
     acc
   }
+
+  private def nullElem(i: Int) =
+    new IllegalArgumentException(s"dot_product: null array element at index $i")
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = elemType match {
@@ -63,6 +74,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "dot_product: null array element at index " + $i);
+         |  }
          |  $acc += (double) $a.$get($i) * (double) $b.$get($i);
          |}
          |${ev.value} = $acc;

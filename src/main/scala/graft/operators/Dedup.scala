@@ -35,8 +35,27 @@ object Dedup {
     * production scale the signatures are MATERIALIZED to storage
     * (SCALE.md); `persist` is the in-process analog. The relations are
     * per-doc-scale (≪ corpus bytes), so MEMORY_AND_DISK is safe. */
-  private def shared(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
+
+  private def shared(df: DataFrame): DataFrame = liveCaches.synchronized {
+    // bound the cache to the pipeline under construction: building a new
+    // dedup plan releases the previous one's persisted relations, so
+    // repeated invocations in a long-lived session cannot accumulate
+    // cached blocks (at most one pipeline's ~3 small relations live)
+    if (liveCaches.length >= 8) {
+      liveCaches.foreach(_.unpersist(blocking = false))
+      liveCaches.clear()
+    }
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches += p
+    p
+  }
+
+  /** Release all persisted dedup intermediates (optional explicit hook). */
+  def releaseCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(blocking = false))
+    liveCaches.clear()
+  }
 
   /** Distinct character n-gram shingles per doc — (doc_id, s). Docs
     * shorter than n drop out (no n-shingle → never-duplicate). */

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Drop duplicate events by key within the watermark horizon.
-    * `df` must carry the event-time column `ts`. */
+  /** Drop duplicate events BY KEY within the watermark horizon — a retry
+    * that re-stamps the event time still dedups (dropDuplicates on
+    * (key, ts) would let it through). `df` must carry the event-time
+    * column `ts`. */
   def dedupByKey(df: DataFrame, keyCols: Seq[String], watermark: String = "2 hours"): DataFrame =
     df.withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static enrichment join on `key` (inner). */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
