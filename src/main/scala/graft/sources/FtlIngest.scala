@@ -92,4 +92,12 @@ object FtlIngest {
     * statistics (or pushed-down MIN/MAX over JDBC), not a full scan. */
   def probeRange(df: DataFrame): DataFrame =
     df.agg(min(col("timestamp")).as("min_ts"), max(col("timestamp")).as("max_ts"))
+
+  /** F2: display-timezone conversion as a pure column transform — the
+    * reference converts the whole frame to the display TZ up front
+    * (process.py:52-61, invalid TZ → UTC). We keep analytics in the
+    * session TZ (UTC under the driver harness) and shift only for
+    * display, so the conversion is a projection, never session state. */
+  def withDisplayTz(df: DataFrame, tsCol: String, tz: String): DataFrame =
+    df.withColumn(tsCol, from_utc_timestamp(col(tsCol), zoneOrUtc(tz).getId))
 }

@@ -60,6 +60,18 @@ class FtlIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("readParquet"))
   }
 
+  test("display-TZ conversion shifts wall-clock, invalid TZ is a no-op-to-UTC (process.py:52-61)") {
+    import org.apache.spark.sql.functions._
+    val prep = FtlFixture.prep(spark, 1, 10)
+    val tokyo = FtlIngest.withDisplayTz(prep, "ts", "Asia/Tokyo")
+      .agg(min(unix_micros(col("ts")))).head.getLong(0)
+    val utc = prep.agg(min(unix_micros(col("ts")))).head.getLong(0)
+    assert(tokyo - utc == 9L * 3600 * 1000000) // +9h wall-clock shift
+    val bad = FtlIngest.withDisplayTz(prep, "ts", "Not/AZone")
+      .agg(min(unix_micros(col("ts")))).head.getLong(0)
+    assert(bad == utc)
+  }
+
   test("probe returns global min/max (db.py:54-61)") {
     val dir = Files.createTempDirectory("graft_probe").toString
     FtlFixture.frame(spark, 1, 100).write.parquet(s"$dir/db")
