@@ -54,25 +54,24 @@ object Engine {
   def computeStats(prep: DataFrame): Map[String, Any] = {
     val m = scala.collection.mutable.Map.empty[String, Any]
 
-    // ---- headings + totals (stats.py:10-52) ----
-    val tr = Stats.timeRange(prep).collect()
-    val t = Stats.totals(prep).head
-    val total = t.getLong(0)
+    // ---- one-pass global summary: totals + range + uniques + reply
+    // (stats.py:10-52, 420-423, 446-455 — four reference scans, one job) ----
+    val g = Stats.globalSummary(prep).head
+    val total = g.getAs[Long]("total")
     m("n_data_points") = total
     m("total_queries") = total
-    m("blocked_count") = t.getLong(1)
-    m("allowed_count") = t.getLong(2)
-    m("blocked_pct") = if (total > 0) t.getLong(1).toDouble / total * 100 else 0.0
-    m("allowed_pct") = if (total > 0) t.getLong(2).toDouble / total * 100 else 0.0
-    if (tr.nonEmpty && tr.head.get(0) != null) {
-      val r = tr.head
-      val lo = r.getTimestamp(0); val hi = r.getTimestamp(1)
-      m("min_date") = utc(lo).format(MinMaxFmt)
-      m("max_date") = utc(hi).format(MinMaxFmt)
+    m("blocked_count") = g.getAs[Long]("blocked_cnt")
+    m("allowed_count") = g.getAs[Long]("allowed_cnt")
+    m("blocked_pct") = if (total > 0) g.getAs[Long]("blocked_cnt").toDouble / total * 100 else 0.0
+    m("allowed_pct") = if (total > 0) g.getAs[Long]("allowed_cnt").toDouble / total * 100 else 0.0
+    if (g.getAs[java.sql.Timestamp]("min_ts") != null) {
+      m("min_date") = utc(g.getAs[java.sql.Timestamp]("min_ts")).format(MinMaxFmt)
+      m("max_date") = utc(g.getAs[java.sql.Timestamp]("max_ts")).format(MinMaxFmt)
       m("oldest_data_point") = m("min_date")
       m("latest_data_point") = m("max_date")
-      m("data_span_days") = r.getLong(2)
-      m("data_span_str") = s"${r.getLong(2)}d,${r.getLong(3)}h and ${r.getLong(4)}min"
+      m("data_span_days") = g.getAs[Long]("span_days")
+      m("data_span_str") =
+        s"${g.getAs[Long]("span_days")}d,${g.getAs[Long]("span_hours")}h and ${g.getAs[Long]("span_minutes")}min"
     } else {
       Seq("min_date", "max_date", "oldest_data_point", "latest_data_point")
         .foreach(m(_) = "N/A")
@@ -184,10 +183,9 @@ object Engine {
       }
     }
 
-    // ---- uniques (stats.py:420-440) ----
-    val u = Stats.distinctCounts(prep).head
-    m("unique_domains") = u.getLong(0)
-    m("unique_clients") = u.getLong(1)
+    // ---- uniques (stats.py:420-440; counts from the one-pass summary) ----
+    m("unique_domains") = g.getAs[Long]("n_domains")
+    m("unique_clients") = g.getAs[Long]("n_clients")
     Stats.diverseClient(prep).collect().headOption match {
       case Some(r) =>
         m("most_diverse_client") = r.getString(0)
@@ -196,11 +194,10 @@ object Engine {
         m("most_diverse_client") = "N/A"; m("unique_domains_count") = 0L
     }
 
-    // ---- reply times (stats.py:444-467) ----
-    val rt = Stats.replyStats(prep).head
-    m("avg_reply_time") = rt.getDouble(0)
-    m("max_reply_time") = rt.getDouble(1)
-    m("min_reply_time") = rt.getDouble(2)
+    // ---- reply times (stats.py:444-467; ms stats from the summary) ----
+    m("avg_reply_time") = g.getAs[Double]("avg_reply_ms")
+    m("max_reply_time") = g.getAs[Double]("max_reply_ms")
+    m("min_reply_time") = g.getAs[Double]("min_reply_ms")
     // slowest_avg_reply_time is UNSCALED seconds in the reference — quirk
     Stats.slowestDomainRaw(prep).collect().headOption match {
       case Some(r) =>

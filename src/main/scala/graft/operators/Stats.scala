@@ -35,6 +35,27 @@ object Stats {
         .otherwise(round(lit(100.0) * col("allowed_cnt") / col("total"), 4)).as("allowed_pct")
     )
 
+  /** One-pass global summary for the Engine facade: totals + time range
+    * + distinct counts + reply stats are ALL global aggregates over the
+    * same relation, so computing them as one `agg` turns four scans/jobs
+    * into one (the distinct aggregates ride the same pass via Expand).
+    * The individual queries stay as the oracle-checked operator surface. */
+  def globalSummary(prep: DataFrame): DataFrame =
+    prep.agg(
+      count(lit(1)).as("total"),
+      count(when(col("status_type") === "Blocked", 1)).as("blocked_cnt"),
+      count(when(col("status_type") === "Allowed", 1)).as("allowed_cnt"),
+      min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+      countDistinct(col("domain")).as("n_domains"),
+      countDistinct(col("client")).as("n_clients"),
+      coalesce(round(avg(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("avg_reply_ms"),
+      coalesce(round(max(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("max_reply_ms"),
+      coalesce(round(min(abs(col("reply_time"))) * 1000, 3), lit(0.0)).as("min_reply_ms"))
+      .withColumn("span_us", unix_micros(col("max_ts")) - unix_micros(col("min_ts")))
+      .withColumn("span_days", expr("span_us div 86400000000"))
+      .withColumn("span_hours", expr("(span_us % 86400000000) div 3600000000"))
+      .withColumn("span_minutes", expr("(span_us % 3600000000) div 60000000"))
+
   /** A3/S5: global time range + span decomposition (reference:
     * stats.py:19-29; probe db.py:54-61). Parquet footer min/max stats make
     * this near-free at any scale. */

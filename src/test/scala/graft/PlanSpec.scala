@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape regression tests: the performance claims in SCALE.md are
+  * properties of the compiled plans — pin them so a refactor that
+  * silently loses a pushdown, a broadcast, or column pruning fails CI,
+  * not the next 100 TB run. */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def leafScans(df: DataFrame): Seq[String] =
+    collectLeaves(executed(df)).map(_.toString)
+
+  test("a01_totals compiles to a single-column scan (column pruning through preprocess)") {
+    val scans = leafScans(SparkEntry.queries("a01_totals")(spark, dir))
+    assert(scans.size == 1)
+    assert(scans.head.contains("ReadSchema: struct<event_type:string>"), scans.head)
+  }
+
+  test("p02 regex filter reaches the scan layer, two-column read") {
+    val scan = leafScans(SparkEntry.queries("p02_regex_filter")(spark, dir)).head
+    assert(scan.contains("event_type:string") && scan.contains("props:string"))
+    assert(!scan.contains("value:double"), "unused columns must be pruned")
+  }
+
+  test("h05 join chain: date range pushed into the orders scan, dims broadcast") {
+    val df = SparkEntry.queries("h05_region_revenue")(spark, dir)
+    val scans = leafScans(df)
+    val ordersScan = scans.find(_.contains("orders.parquet")).get
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate") &&
+      ordersScan.contains("LessThan(o_orderdate"), ordersScan)
+    val plan = executed(df).toString
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executed(SparkEntry.queries("a04_top_client")(spark, dir)).toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("semi-join against top-k is a broadcast left-semi") {
+    val plan = executed(SparkEntry.queries("a17_client_activity")(spark, dir)).toString
+    assert(plan.contains("LeftSemi") && plan.contains("Broadcast"), plan)
+  }
+
+  test("partitioned-window operators shuffle by the partition key, not globally") {
+    // sessionize: exactly one shuffle of the fact table, keyed by client
+    val df = graft.operators.Streaks.sessionize(
+      Preprocess.preprocessEvents(Tables.events(spark, dir)), 1800)
+    val shuffles = collect(executed(df)) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty &&
+      shuffles.exists(_.outputPartitioning.toString.contains("client")),
+      shuffles.map(_.outputPartitioning).mkString(";"))
+  }
+
+  test("whole-stage codegen covers the preprocess-and-aggregate path") {
+    val df = SparkEntry.queries("a07_daily_counts")(spark, dir)
+    df.collect() // AQE finalizes (and codegen-compiles) only on execution
+    val plan = executed(df).toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact format
+    assert(plan.contains("*(1)") && plan.contains("*(2)"), plan)
+  }
+}
