@@ -100,6 +100,7 @@ object SparkEntry {
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
     "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),
     "s04_knn_ivf"             -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d), 5, 10)),
+    "s05_knn_ivf_trained"     -> ((s, d) => Similarity.knnIvfTrained(Tables.embeddings(s, d), 5, 10)),
     "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
     // training-data pipeline: text analysis over documents
     "t01_lang_id"             -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),

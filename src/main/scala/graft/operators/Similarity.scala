@@ -98,6 +98,89 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** K-means training for IVF cells — Lloyd iterations as pure DataFrame
+    * ops: assign each vector to its nearest centroid (broadcast
+    * centroids, argmin window), recompute centroids as element-wise
+    * means (posexplode → groupBy(cell, dim) avg → re-assemble). Each
+    * iteration is two shuffles of dimension-exploded data; centroids
+    * start from the deterministic first-k vectors so training is
+    * reproducible. Returns (cell, centv) centroid frame. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("centv"))
+    for (_ <- 0 until iterations) {
+      // EUCLIDEAN assignment (argmin ||v - c||²): cosine assignment on
+      // un-centered embeddings collapses — the centroid aligned with the
+      // global mean direction wins every vector; L2 Voronoi cells are the
+      // standard IVF partition (and what the mean-update optimizes)
+      val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
+      val assigned = vecs.join(broadcast(cents), expr("true"))
+        .select(col("vec_id"), col("v"), col("cell"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centv"))
+            + dot(col("centv"), col("centv"))).as("dist2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("mx"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
+        .select(col("cell"),
+          transform(col("pairs"), p => p.getField("mx")).as("centv"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id per vector — exposed for balance/recall
+    * diagnostics. */
+  def assignToCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val c = cents.select(col("cell"), col("centv"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
+    vecs.join(broadcast(c), expr("true"))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("embedding"), col("embedding"))
+          - lit(2.0) * dot(col("embedding"), col("centv"))
+          + dot(col("centv"), col("centv"))).as("dist2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** IVF with TRAINED cells: k-means centroids replace the stub
+    * first-k-vectors of [[knnIvf]]; assignment/probing join shapes are
+    * identical. At 100 TB the training runs once at write time over a
+    * sample; queries only ever touch the probed cells. */
+  def knnIvfTrained(emb: DataFrame, nQueries: Int, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iterations).select(col("cell"), col("centv"))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vn"))
+    def dist2(v: org.apache.spark.sql.Column) =
+      dot(v, v) - lit(2.0) * dot(v, col("centv")) + dot(col("centv"), col("centv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
+    val assigned = vecs.join(broadcast(cents), expr("true"))
+      .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
+        dist2(col("embedding")).as("dist2"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select("vec_id", "embedding", "vn", "cell")
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("vn").as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("cell"))
+    val probes = q.join(broadcast(cents), expr("true"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        dist2(col("qv")).as("dist2"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "qn", "cell")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(pairCos(col("qv"), col("embedding"), col("qn"), col("vn")), 6).as("cos"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style ANN, the learned-partition scale path: vectors are
     * assigned to their nearest "centroid" cell once (a write-time batch
     * job at scale), and a query probes only its `nProbe` nearest cells —

@@ -50,6 +50,39 @@ class StorageSpec extends SparkSpec {
     assert(joined.exceptAll(expected).count() == 0)
   }
 
+  test("k-means IVF: Lloyd iterations monotonically reduce SSE; full coverage; usable recall") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the data-independent k-means invariant: within-cell squared error is
+    // non-increasing across Lloyd iterations
+    def sse(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(emb, 8, iters)
+      Similarity.assignToCells(emb, cents)
+        .join(emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")), Seq("vec_id"))
+        .join(broadcast(cents), Seq("cell"))
+        .select((Similarity.dot(col("v"), col("v"))
+          - lit(2.0) * Similarity.dot(col("v"), col("centv"))
+          + Similarity.dot(col("centv"), col("centv"))).as("d2"))
+        .agg(sum("d2")).head.getDouble(0)
+    }
+    val s1 = sse(1); val s2 = sse(2); val s3 = sse(3)
+    assert(s2 <= s1 + 1e-6 && s3 <= s2 + 1e-6, s"SSE not monotone: $s1 -> $s2 -> $s3")
+    val cents = Similarity.kmeansCentroids(emb, 8, 2).collect()
+    assert(cents.length == 8)
+    assert(cents.forall(_.getAs[Seq[Double]]("centv").length == 64))
+    // every vector lands in exactly one cell
+    assert(Similarity.assignToCells(emb, Similarity.kmeansCentroids(emb, 8, 2)).count() == 500)
+    // recall at nProbe=4 of 8 cells stays usable
+    val brute = Similarity.knnBrute(emb, 5, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = (Similarity.knnIvfTrained(emb, 5, 10, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet & brute).size.toDouble / brute.size
+    assert(trained > 0.3, s"recall=$trained")
+  }
+
   test("IVF ANN: recall vs brute force is high on probed cells and scores agree") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = graft.operators.Similarity.knnBrute(emb, 5, 10)
