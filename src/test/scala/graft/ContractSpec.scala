@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract wiring: a typo'd oracle key silently weakens the
+  * correctness gate (the driver records rows-only instead of a hash
+  * compare), so pin the key sets against each other. */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries intentionally without SQL oracles — sketches, LSH/IVF
+    * (recall < 1 by design), custom hashes, binary features. Each has
+    * ScalaTest coverage instead. */
+  private val rowsOnly = Set(
+    "a11_approx_distinct", "a11_hll_daily_rollup",
+    "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained",
+    "t05_rolling_fp", "m02_media_features")
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles with no query: $orphans")
+  }
+
+  test("every query is oracle-checked or explicitly rows-only") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(unchecked.isEmpty, s"queries silently missing oracles: $unchecked")
+    val stale = rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only allowlist entries with no query: $stale")
+    val both = rowsOnly & SparkEntry.oracleSql.keySet
+    assert(both.isEmpty, s"rows-only entries that now have oracles: $both")
+  }
+
+  test("oracle SQL references only tables the driver provides") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val known = tables ++ Set("prep") // the CTE
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      // lookbehind excludes SQL's `IS DISTINCT FROM x` comparisons
+      val froms = """(?i)(?<!DISTINCT )\bFROM\s+([a-z_]+)\b""".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val cteNames = """(?i)([a-z_]+)\s+AS\s*\(""".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms -- known -- cteNames
+      assert(unknown.isEmpty, s"$k references unknown relations: $unknown")
+    }
+  }
+}
