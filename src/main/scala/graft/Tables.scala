@@ -21,13 +21,24 @@ object Tables {
     * The testdata writes events.ts as parquet TIMESTAMP(NANOS), which
     * Spark 4 rejects outright; the legacy conf reads nanos as long and
     * [[normalizeTs]] truncates to micros (the DuckDB oracle mirrors with
-    * make_timestamp(epoch_ns(ts)//1000)). The conf is session-global and
-    * SET ONLY HERE — the events table is the only nanos source, and
-    * flipping it from every loader would silently change unrelated
-    * parquet reads in the caller's session. */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    * make_timestamp(epoch_ns(ts)//1000)). There is no per-read option for
+    * this flag (schema inference consults only the session conf —
+    * verified empirically), so it is set around the EAGER schema-inference
+    * step and restored immediately after: later reads in the caller's
+    * session see their original setting, and execution of the returned
+    * frame does not re-require the flag (the inferred LongType schema is
+    * what the scan runs with — also verified). Concurrent reads in the
+    * same session during this narrow window would see the flag; callers
+    * doing multi-threaded nanos-sensitive reads should serialize here. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try t(spark, dir, "events")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Nanos-long → microsecond timestamp normalization, shared by the

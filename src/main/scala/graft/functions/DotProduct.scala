@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,6 +21,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  /** Both inputs must be arrays of the SAME float/double element type:
+    * eval and codegen pick the element getter from the LEFT child, so a
+    * mixed call like dot_product(array<float>, array<double>) would read
+    * the right side with the wrong-width getter — garbage values, not an
+    * error. Reject at analysis time instead. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt @ (FloatType | DoubleType), _), ArrayType(rt, _)) if lt == rt =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two arrays with identical FLOAT or DOUBLE element " +
+            s"types, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
 
   private def elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType

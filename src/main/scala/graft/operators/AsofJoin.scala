@@ -31,8 +31,15 @@ object AsofJoin {
     val unioned = leftTagged.columns.foldLeft(rightTagged) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }.select(leftTagged.columns.map(col): _*).unionByName(leftTagged)
-    // right rows (_is_left=0) sort before left rows on equal ts → "<="
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("_is_left").asc)
+    // right rows (_is_left=0) sort before left rows on equal ts → "<=";
+    // the payload columns are the FINAL sort keys so that when several
+    // right rows share (key, ts), `last(..., ignoreNulls)` deterministically
+    // attaches the greatest payload tuple instead of whichever row the
+    // shuffle happened to order last (left rows all carry null payloads,
+    // so this tiebreak never reorders left vs right)
+    val tieBreaks = payloadCols.map(c => col(s"_r_$c").asc_nulls_first)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc +: col("_is_left").asc +: tieBreaks: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payloadCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))

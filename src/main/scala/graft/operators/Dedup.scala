@@ -38,18 +38,18 @@ object Dedup {
   private val liveCaches = new scala.collection.mutable.ArrayBuffer[DataFrame]
 
   private def shared(df: DataFrame): DataFrame = liveCaches.synchronized {
-    // bound the cache to the pipeline under construction: building a new
-    // dedup plan releases the previous one's persisted relations, so
-    // repeated invocations in a long-lived session cannot accumulate
-    // cached blocks (at most one pipeline's ~3 small relations live)
-    if (liveCaches.length >= 8) {
-      liveCaches.foreach(_.unpersist(blocking = false))
-      liveCaches.clear()
-    }
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveCaches += p
     p
   }
+
+  /** Evict the PREVIOUS pipeline's persisted relations. Called at the
+    * start of each top-level pipeline builder (clear-then-build), never
+    * from inside `shared`, so a pipeline can never evict its own
+    * relations mid-construction; at most one pipeline's ~3 small
+    * relations stay live in a long-running session. (Unpersisting a
+    * frame a caller still holds is safe — it just recomputes.) */
+  private def freshPipeline(): Unit = releaseCaches()
 
   /** Release all persisted dedup intermediates (optional explicit hook). */
   def releaseCaches(): Unit = liveCaches.synchronized {
@@ -120,8 +120,10 @@ object Dedup {
   /** LSH banding: k mins split into `bands` bands of k/bands rows; band
     * key = md5 of the concatenated band slice. Docs sharing ANY band key
     * are candidates. */
-  def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+  def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
     candidatesFrom(wordShingles(docs), k, bands)
+  }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
     * of the MinHash pipeline). Jaccard is a ratio of integers — exact
@@ -129,6 +131,7 @@ object Dedup {
     * computed ONCE and shared by the signature, size, and intersection
     * branches. */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
     val sh = shared(wordShingles(docs))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cands = shared(candidatesFrom(sh, k, bands))
@@ -174,6 +177,7 @@ object Dedup {
     * chunks (4 chars = 16 bits). Hamming ≤ 3 guarantees some chunk is
     * equal (pigeonhole) — the banding trick again, on bit-chunks. */
   def simhashCandidates(docs: DataFrame): DataFrame = {
+    freshPipeline()
     val sig = shared(simhash(docs))
     val chunks = (0 until 4).map(cn =>
       struct(lit(cn).as("chunk_idx"), expr(s"substr(simhash, ${cn * 4 + 1}, 4)").as("chunk")))

@@ -121,13 +121,20 @@ object Similarity {
           (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centv"))
             + dot(col("centv"), col("centv"))).as("dist2"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      cents = assigned
+      val recomputed = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x")).as("mx"))
         .groupBy("cell").agg(
           array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
         .select(col("cell"),
           transform(col("pairs"), p => p.getField("mx")).as("centv"))
+      // a cell that captured zero vectors this round has no mean — keep
+      // its previous centroid (standard empty-cluster handling) so the
+      // frame always carries exactly k cells and knnIvfTrained never
+      // silently probes a shrunken cell set
+      cents = cents.select(col("cell"), col("centv").as("_prev"))
+        .join(recomputed.select(col("cell"), col("centv").as("_next")), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("_next"), col("_prev")).as("centv"))
     }
     cents
   }
@@ -135,13 +142,16 @@ object Similarity {
   /** Nearest-centroid cell id per vector — exposed for balance/recall
     * diagnostics. */
   def assignToCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val vecs = emb.select(col("vec_id"), col("embedding"))
+    // centroids are double arrays (k-means means); dot_product requires
+    // matching element types, so lift the float embeddings to double
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
     val c = cents.select(col("cell"), col("centv"))
     val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
     vecs.join(broadcast(c), expr("true"))
       .select(col("vec_id"), col("cell"),
-        (dot(col("embedding"), col("embedding"))
-          - lit(2.0) * dot(col("embedding"), col("centv"))
+        (dot(col("dv"), col("dv"))
+          - lit(2.0) * dot(col("dv"), col("centv"))
           + dot(col("centv"), col("centv"))).as("dist2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("vec_id", "cell")
@@ -154,22 +164,27 @@ object Similarity {
   def knnIvfTrained(emb: DataFrame, nQueries: Int, k: Int,
                     nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
     val cents = kmeansCentroids(emb, nCells, iterations).select(col("cell"), col("centv"))
+    // centroid distances need double arrays on both sides (dot_product
+    // rejects float×double); the float embedding is kept alongside for
+    // the float×float exact-scoring stage
     val vecs = emb.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"),
       norm(col("embedding")).as("vn"))
     def dist2(v: org.apache.spark.sql.Column) =
       dot(v, v) - lit(2.0) * dot(v, col("centv")) + dot(col("centv"), col("centv"))
     val wAssign = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
     val assigned = vecs.join(broadcast(cents), expr("true"))
       .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
-        dist2(col("embedding")).as("dist2"))
+        dist2(col("dv")).as("dist2"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select("vec_id", "embedding", "vn", "cell")
     val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("vn").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("dv").as("qdv"), col("vn").as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("cell"))
     val probes = q.join(broadcast(cents), expr("true"))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"),
-        dist2(col("qv")).as("dist2"))
+        dist2(col("qdv")).as("dist2"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select("query_id", "qv", "qn", "cell")
     val scored = assigned.join(broadcast(probes), Seq("cell"))
