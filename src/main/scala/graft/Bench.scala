@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Headline subset, not all 73 queries: the driver captures only the
+  // last ~2000 chars of stdout, and a per-query map over the full
+  // inventory overflows that window (round 1's JSON line was ~2.7 KB and
+  // parsed as null). 28 queries cover every operator family — scans/aggs
+  // (a*), join shapes (h*/j*), windows (w*), dedup (d*), similarity (s*),
+  // text (t*), multimodal (m*), regex (p*) — including the slowest
+  // members of each. Correctness of the full inventory is Verify's job.
+  val headline: Seq[String] = Seq(
+    "a01_totals", "a05_top_domain_blocked", "a08_hourly_counts",
+    "a10_day_night_top_domain", "a11_hll_daily_rollup",
+    "a19_client_domain_scatter", "a24_rollup_daily",
+    "h01_pricing_summary", "h05_region_revenue", "h10_returned_revenue",
+    "h_topn_per_customer", "h_anti_no_open_orders",
+    "w02_longest_streaks", "w04_streak_runs_scalable", "w05_sessionize",
+    "j03_gap_filled", "j05_asof_blocked_allowed",
+    "d01_exact_summary", "d02_minhash_cands", "d03_jaccard_dups",
+    "d05_simhash_cands",
+    "s01_knn_brute", "s02_knn_lsh", "s05_knn_ivf_trained",
+    "t01_lang_id", "t04_fingerprint_groups",
+    "m02_media_features", "p02_regex_filter")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,7 +38,8 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -27,7 +49,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -106,11 +106,23 @@ object Similarity {
     * start from the deterministic first-k vectors so training is
     * reproducible. Returns (cell, centv) centroid frame. */
   def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    var cents = vecs.filter(col("vec_id") < k)
+    // Centroids live on the DRIVER between iterations (k × dim doubles —
+    // trivially small; MLlib's KMeans does the same). Folding them back
+    // into the plan as a LocalRelation keeps every iteration's lineage
+    // FLAT: without this, iteration i's plan embeds iteration i-1's
+    // whole plan, and the two downstream consumers (assign + probe) each
+    // re-execute the full training — measured ~4× blowup at sf0.1.
+    def toLocal(rows: Array[(Int, Seq[Double])]): DataFrame =
+      rows.toSeq.toDF("cell", "centv")
+    var centRows: Array[(Int, Seq[Double])] = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("centv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
     for (_ <- 0 until iterations) {
+      val cents = toLocal(centRows)
       // EUCLIDEAN assignment (argmin ||v - c||²): cosine assignment on
       // un-centered embeddings collapses — the centroid aligned with the
       // global mean direction wins every vector; L2 Voronoi cells are the
@@ -132,11 +144,12 @@ object Similarity {
       // its previous centroid (standard empty-cluster handling) so the
       // frame always carries exactly k cells and knnIvfTrained never
       // silently probes a shrunken cell set
-      cents = cents.select(col("cell"), col("centv").as("_prev"))
-        .join(recomputed.select(col("cell"), col("centv").as("_next")), Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("_next"), col("_prev")).as("centv"))
+      val next = recomputed.as[(Int, Seq[Double])].collect().toMap
+      centRows = centRows.map { case (cell, prev) =>
+        (cell, next.getOrElse(cell, prev))
+      }
     }
-    cents
+    toLocal(centRows)
   }
 
   /** Nearest-centroid cell id per vector — exposed for balance/recall

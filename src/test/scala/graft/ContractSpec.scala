@@ -29,6 +29,19 @@ class ContractSpec extends AnyFunSuite {
     assert(both.isEmpty, s"rows-only entries that now have oracles: $both")
   }
 
+  test("every bench headline name is a registered query") {
+    val unknown = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"headline entries with no query: $unknown")
+    // the driver's stdout-tail capture is ~2000 chars; the emitted JSON
+    // line must fit with room for sbt's trailing [success] line
+    val worstCaseLine = Bench.headline
+      .map(n => s""""$n":123.456789012""").mkString(
+        """{"metric":"total","value":1234.567890123,"unit":"sec","queries":{""",
+        ",", s"""},"sf":"/root/testdata/sf0.1"}""")
+    assert(worstCaseLine.length < 1500,
+      s"bench JSON line too long for driver tail capture: ${worstCaseLine.length}")
+  }
+
   test("oracle SQL references only tables the driver provides") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
