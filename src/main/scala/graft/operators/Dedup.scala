@@ -155,8 +155,14 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .select(col("doc_id"), md5(col("w")).as("h"))
-    // nibble value of hex char p (0-indexed): conv base16→10
-    val nib = (p: Int) => expr(s"cast(conv(substr(h, ${p + 1}, 1), 16, 10) as int)")
+    // nibble value of hex char p (0-indexed). Decoded with ascii
+    // arithmetic, not conv(,16,10): md5 emits lowercase hex, so
+    // '0'-'9' → 48-57 and 'a'-'f' → 97-102, and the branch-free
+    // subtraction stays in whole-stage codegen as int ops — conv's
+    // per-char string parse was the hot projection in d04/d05
+    // (16 calls per token row). Same values, cheaper evaluation.
+    val nib = (p: Int) => expr(
+      s"ascii(substr(h, ${p + 1}, 1)) - 48 - if(ascii(substr(h, ${p + 1}, 1)) >= 97, 39, 0)")
     val withNibs = tok.select(
       col("doc_id") +: (0 until 16).map(p => nib(p).as(s"n$p")): _*)
     // per (hex pos, bit): sum of ±1 votes
