@@ -437,7 +437,37 @@ FROM allc a JOIN topc c USING(domain)"""
       """SELECT c_mktsegment, count(*) AS cnt FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "h13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+  )
+
+  /** Deterministic hash sampling + semi-structured extraction oracles. */
+  val sampling: Map[String, String] = Map(
+    "p06_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
+
+    "p07_stratified_summary" ->
+      """SELECT lang, count(*) AS total,
+        |  count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40') AS sampled,
+        |  round(CAST(count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40') AS DOUBLE)
+        |        / count(*), 6) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p08_json_props" ->
+      """SELECT k_decade, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM (SELECT k0 - k0 % 10 AS k_decade, value FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k0, value FROM events))
+        |GROUP BY k_decade ORDER BY k_decade""".stripMargin
   )
 
   // ---- dedup / similarity oracles (documents, embeddings tables) ----
@@ -628,7 +658,28 @@ FROM allc a JOIN topc c USING(domain)"""
       """SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM (
         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents)
-        |GROUP BY fp ORDER BY fp""".stripMargin
+        |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // tf and ln(N/df) multiply in the same order on both sides; the rank
+    // uses the UNROUNDED score (ties only between equal (tf, df) pairs,
+    // which are bit-identical across engines), term as the tiebreak.
+    "t06_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tf, df, round(score, 6) AS tfidf FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term) AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |  WHERE tf.doc_id < 50)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 
   /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure
@@ -653,5 +704,5 @@ FROM allc a JOIN topc c USING(domain)"""
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */
   def all: Map[String, String] =
-    stats ++ plot ++ streaks ++ sessions ++ joins ++ dedup ++ similarity ++ text ++ multimodal
+    stats ++ plot ++ streaks ++ sessions ++ joins ++ sampling ++ dedup ++ similarity ++ text ++ multimodal
 }

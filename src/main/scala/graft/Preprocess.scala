@@ -100,4 +100,21 @@ object Preprocess {
   def regexAntiFilter(df: DataFrame, column: String, patterns: Seq[String]): DataFrame =
     patterns.filter(isValidRegex).foldLeft(df)((d, p) =>
       d.filter(col(column).isNull || !col(column).rlike(p)))
+
+  /** P8: semi-structured extraction — pull the integer `k` field out of
+    * the raw events' JSON `props` column and roll up per decade bucket.
+    * `get_json_object` is a codegen'd path evaluation, so the parse rides
+    * the scan (one pass, no UDF); malformed/missing JSON yields NULL and
+    * lands in a NULL bucket rather than failing the job — the tolerant
+    * semantics a 100 TB log pipeline needs. */
+  def jsonPropsRollup(rawEvents: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    rawEvents
+      .select((k - pmod(k, lit(10))).as("k_decade"), col("value"))
+      .groupBy("k_decade")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("k_decade")
+  }
 }

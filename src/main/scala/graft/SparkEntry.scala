@@ -89,6 +89,7 @@ object SparkEntry {
     "h18_large_orders"        -> ((s, d) => Joins.largeOrders(s, d)),
     "h_full_outer_calendar"   -> ((s, d) => Joins.orderVsShipCalendar(s, d)),
     "h_topn_per_customer"     -> ((s, d) => Joins.topOrdersPerCustomer(s, d)),
+    "h13_custdist"            -> ((s, d) => Joins.customerOrderDistribution(s, d)),
     // training-data pipeline: dedup over documents
     "d01_exact_summary"       -> ((s, d) => Dedup.exactSummary(Tables.documents(s, d))),
     "d01_exact_groups"        -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),
@@ -109,6 +110,12 @@ object SparkEntry {
     "t03_corpus_totals"       -> ((s, d) => TextAnalysis.corpusTokenTotals(Tables.documents(s, d))),
     "t04_fingerprint_groups"  -> ((s, d) => TextAnalysis.fingerprintGroups(Tables.documents(s, d))),
     "t05_rolling_fp"          -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    "t06_tfidf_top_terms"     -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    // training-data pipeline: deterministic hash sampling over documents
+    "p06_hash_sample"         -> ((s, d) => Sampling.hashSample(Tables.documents(s, d))),
+    "p07_stratified_summary"  -> ((s, d) => Sampling.stratifiedSummary(Tables.documents(s, d))),
+    // semi-structured extraction from the raw events' JSON props
+    "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
     // training-data pipeline: multimodal binary-column plumbing
     "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),

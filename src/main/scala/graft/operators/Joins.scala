@@ -167,6 +167,21 @@ object Joins {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution. Left outer join
+    * keeps zero-order customers (count(o_orderkey) = 0 for them — count
+    * of a NULL column, not count(*)); two stacked aggregates — the first
+    * shuffles on c_custkey (reusing the join's partitioning, so the
+    * groupBy is exchange-free after the join), the second reduces to
+    * |distinct order counts| rows. */
+  def customerOrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.customer(s, dir).select("c_custkey")
+      .join(Tables.orders(s, dir).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   /** Left-anti: customers with no open ('P') orders, per market segment —
     * the NOT EXISTS pattern as one anti-join instead of a subquery scan. */
   def noOpenOrderCustomers(s: SparkSession, dir: String): DataFrame = {
