@@ -550,6 +550,25 @@ FROM allc a JOIN topc c USING(domain)"""
 
     "d02_minhash_cands" -> (minhashCtes + "\nSELECT i, j FROM cands ORDER BY i, j"),
 
+    // Connected components as a recursive CTE: reach(node, lab) holds
+    // every (member, member) pair of a component once the fixpoint is
+    // reached (edges are symmetric), so min(lab) per node = the
+    // component's min doc_id — the same fixpoint the Spark min-label
+    // propagation computes.
+    "d06_dup_clusters" -> (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |edges AS (
+      |  SELECT i AS src, j AS dst FROM cands
+      |  UNION ALL SELECT j, i FROM cands),
+      |reach(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      |SELECT c.doc_id, c.cluster_id, n.n_docs
+      |FROM comp c JOIN (SELECT cluster_id, count(*) AS n_docs
+      |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+      |WHERE n.n_docs > 1 ORDER BY c.cluster_id, c.doc_id""".stripMargin),
+
     "d03_jaccard_dups" -> (minhashCtes + """,
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |common AS (

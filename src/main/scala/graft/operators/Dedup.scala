@@ -148,6 +148,23 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Duplicate CLUSTERS from the LSH candidate pairs: connected
+    * components (min-label propagation, [[ConnectedComponents]]) so that
+    * transitive chains a~b~c resolve to ONE group with one canonical
+    * keeper — pair-at-a-time dedup would keep both ends of a chain.
+    * Emits (doc_id, cluster_id, n_docs) for non-singleton clusters;
+    * cluster_id = min doc_id in the component. */
+  def dupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
+    val pairs = candidatesFrom(wordShingles(docs), k, bands)
+    val nodes = docs.select(col("doc_id").as("node"))
+    val labels = ConnectedComponents.minLabel(nodes, pairs, cache = shared)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
     * emitted as 16 hex chars. Near-identical docs differ in few bits. */
   def simhash(docs: DataFrame): DataFrame = {

@@ -169,9 +169,11 @@ object Joins {
 
   /** TPC-H Q13 shape: customer order-count distribution. Left outer join
     * keeps zero-order customers (count(o_orderkey) = 0 for them — count
-    * of a NULL column, not count(*)); two stacked aggregates — the first
-    * shuffles on c_custkey (reusing the join's partitioning, so the
-    * groupBy is exchange-free after the join), the second reduces to
+    * of a NULL column, not count(*)); two stacked aggregates. At scale
+    * (both sides large) the join is SMJ on custkey and the first groupBy
+    * reuses its partitioning, exchange-free; at small SF AQE broadcasts
+    * customer and the groupBy shuffles once — both plans are the right
+    * one for their input sizes. The second aggregate reduces to
     * |distinct order counts| rows. */
   def customerOrderDistribution(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.customer(s, dir).select("c_custkey")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.{ConnectedComponents, Dedup}
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def pairsDf(ps: Seq[(Long, Long)]) =
+    df("i BIGINT, j BIGINT", ps.map(p => Row(p._1, p._2)))
+  private def nodesDf(ns: Seq[Long]) =
+    df("node BIGINT", ns.map(Row(_)))
+
+  test("transitive chain collapses to one component; isolated nodes self-label") {
+    // chain 1-2-3-4 plus pair 10-11 plus isolated 20
+    val labels = ConnectedComponents
+      .minLabel(nodesDf(Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)),
+        pairsDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("propagation direction is symmetric: min id at the chain's far end still wins") {
+    // min node 1 sits at the END of the chain 5-4-3-2-1
+    val labels = ConnectedComponents
+      .minLabel(nodesDf(Seq(1L, 2L, 3L, 4L, 5L)),
+        pairsDf(Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L))))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(labels == Set(1L))
+  }
+
+  test("dupClusters groups exact-duplicate texts transitively with sizes") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Seq(Row(0L, "alpha beta gamma delta epsilon"),
+        Row(1L, "alpha beta gamma delta epsilon"),
+        Row(2L, "alpha beta gamma delta epsilon"),
+        Row(3L, "one two three four five"),
+        Row(4L, "completely different words here now")))
+    val out = Dedup.dupClusters(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)))
+  }
+}

@@ -50,7 +50,8 @@ class ContractSpec extends AnyFunSuite {
       // lookbehind excludes SQL's `IS DISTINCT FROM x` comparisons
       val froms = """(?i)(?<!DISTINCT )\bFROM\s+([a-z_]+)\b""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val cteNames = """(?i)([a-z_]+)\s+AS\s*\(""".r
+      // the optional (col, ...) list covers recursive CTEs: `reach(node, lab) AS (`
+      val cteNames = """(?i)([a-z_]+)\s*(?:\([a-z_,\s]*\))?\s+AS\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = froms -- known -- cteNames
       assert(unknown.isEmpty, s"$k references unknown relations: $unknown")
