@@ -91,15 +91,26 @@ object Stats {
     * (stats.py:93-99). The asymmetry is intentional (SURVEY.md §2.2 quirk).
     * The 1-row argmax side is broadcast into the re-scan joins. */
   def topDomainOfClass(prep: DataFrame, statusType: String): DataFrame = {
-    val inClass = prep.filter(col("status_type") === statusType)
-    val top = top1(inClass.groupBy("domain").agg(count(lit(1)).as("class_cnt")), "domain", "class_cnt")
-    val allCnt = prep.join(broadcast(top), Seq("domain"))
-      .groupBy("domain", "class_cnt").agg(count(lit(1)).as("all_cnt"))
+    // ONE scan of the events relation: conditional counts per
+    // (domain, client) — everything else (per-domain totals, the argmax,
+    // the quirky all-statuses count, the top client) derives from that
+    // small aggregate. The previous formulation re-scanned events three
+    // times (class groupBy, all-count join, client groupBy) and the scan
+    // dominated at bench scale — 3× the necessary input bytes.
+    val dc = prep.groupBy("domain", "client").agg(
+      count(lit(1)).as("all_pair_cnt"),
+      count(when(col("status_type") === statusType, 1)).as("class_pair_cnt"))
+    val d = dc.groupBy("domain").agg(
+      sum("class_pair_cnt").as("class_cnt"),
+      sum("all_pair_cnt").as("all_cnt"))
+      .filter(col("class_cnt") > 0) // argmax candidates = domains with ≥1 class row
+    val top = top1(d, "domain", "class_cnt")
     val topClientForDomain = top1(
-      inClass.join(broadcast(top.select("domain")), Seq("domain"))
-        .groupBy("domain", "client").agg(count(lit(1)).as("client_cnt")),
+      dc.join(broadcast(top.select("domain")), Seq("domain"))
+        .filter(col("class_pair_cnt") > 0)
+        .select(col("domain"), col("client"), col("class_pair_cnt").as("client_cnt")),
       "client", "client_cnt")
-    allCnt.join(topClientForDomain, Seq("domain"))
+    top.join(topClientForDomain, Seq("domain"))
       .select("domain", "class_cnt", "all_cnt", "client", "client_cnt")
   }
 
@@ -165,13 +176,19 @@ object Stats {
     * (reference: stats.py:236-243 vs 245-254). One window pass per stage
     * instead of the reference's two full re-scans. */
   def dayNightTopDomain(prep: DataFrame, statusType: String): DataFrame = {
-    val inClass = prep.filter(col("status_type") === statusType)
+    // ONE scan: conditional counts per (period, domain) carry both the
+    // class count (argmax key) and the all-statuses count (the quirk),
+    // so no join back against the events relation is needed. The null
+    // filter after the argmax replicates the old join-on-domain
+    // behavior (a NULL top domain dropped its period from the output).
+    val pd = prep.groupBy("day_period", "domain").agg(
+      count(when(col("status_type") === statusType, 1)).as("class_cnt"),
+      count(lit(1)).as("all_cnt"))
     val w = Window.partitionBy("day_period").orderBy(desc("class_cnt"), asc("domain"))
-    val top = inClass.groupBy("day_period", "domain").agg(count(lit(1)).as("class_cnt"))
+    pd.filter(col("class_cnt") > 0)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    prep.join(broadcast(top), Seq("day_period", "domain"))
-      .groupBy("day_period", "domain", "class_cnt")
-      .agg(count(lit(1)).as("all_cnt"))
+      .filter(col("domain").isNotNull)
+      .select("day_period", "domain", "class_cnt", "all_cnt")
       .orderBy("day_period")
   }
 
