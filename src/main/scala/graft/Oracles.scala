@@ -247,6 +247,20 @@ FROM allc a JOIN topc c USING(domain)"""
   val streaks: Map[String, String] = Map(
     "w01_streak_runs_blocked" -> p(runsSql("Blocked") + " ORDER BY grp"),
 
+    // RANGE frame over epoch micros: (ts - 1h, ts] trailing window —
+    // value-based bounds make equal-timestamp rows mutual peers, so the
+    // count is shuffle-order-independent on both engines.
+    "w07_peak_hourly_load" -> p(
+      """, sw AS (
+        |  SELECT client, ts,
+        |         count(*) OVER (PARTITION BY client ORDER BY epoch_us(ts)
+        |                        RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |  FROM prep),
+        |pk AS (SELECT client, max(n_last_hour) AS peak FROM sw GROUP BY client)
+        |SELECT s.client, p.peak, min(s.ts) AS first_peak_ts
+        |FROM sw s JOIN pk p ON s.client = p.client AND s.n_last_hour = p.peak
+        |GROUP BY s.client, p.peak ORDER BY s.client""".stripMargin),
+
     "w02_longest_streaks" -> p(
       s"""SELECT * FROM (
          |  SELECT 'Allowed' AS status_type, streak_len, start_ts FROM (

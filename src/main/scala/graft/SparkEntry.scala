@@ -74,6 +74,7 @@ object SparkEntry {
     "w04_streak_runs_scalable" -> ((s, d) => Streaks.streakRunsScalable(prep(s, d), "Blocked")),
     "w05_sessionize"          -> ((s, d) => Streaks.sessionize(prep(s, d), 1800)),
     "w05_session_summary"     -> ((s, d) => Streaks.sessionSummary(prep(s, d), 1800)),
+    "w07_peak_hourly_load"    -> ((s, d) => Streaks.peakHourlyLoad(prep(s, d))),
     "a23_reply_percentiles"   -> ((s, d) => Stats.replyPercentiles(prep(s, d))),
     "a24_rollup_daily"        -> ((s, d) => Stats.rollupDaily(prep(s, d))),
     "a25_cube_period_status"  -> ((s, d) => Stats.cubePeriodStatus(prep(s, d))),

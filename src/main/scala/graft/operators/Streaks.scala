@@ -175,6 +175,30 @@ object Streaks {
     * occurrence (pandas idxmax → first). Gap reported in seconds — the
     * reference's `max_idle_ms` key actually holds seconds (SURVEY.md
     * §7.3-4); we use an honest column name. */
+  /** W7: trailing-hour load per event — count of the same client's events
+    * in (ts − window, ts], as a RANGE frame over epoch micros. A RANGE
+    * frame (value-based bounds) is the deterministic choice here: rows
+    * sharing a timestamp are all peers of each other's frame, so the
+    * count does not depend on shuffle order the way a ROWS frame would.
+    * Scale: partitioned by client — the window shuffles once on client
+    * and sorts within partitions; no global ordering anywhere. */
+  def slidingWindowCounts(prep: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    val w = Window.partitionBy("client").orderBy(col("ts_us"))
+      .rangeBetween(-(windowSeconds * 1000000L - 1), Window.currentRow)
+    prep.select(col("client"), col("id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+  }
+
+  /** W7 summary: each client's peak trailing-hour load and the first
+    * timestamp at which it was reached. */
+  def peakHourlyLoad(prep: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    val sw = slidingWindowCounts(prep, windowSeconds)
+    val pk = sw.groupBy("client").agg(max("n_last_hour").as("peak"))
+    sw.join(pk, Seq("client")).filter(col("n_last_hour") === col("peak"))
+      .groupBy("client", "peak").agg(min("ts").as("first_peak_ts"))
+      .orderBy("client")
+  }
+
   def longestIdle(prep: DataFrame): DataFrame = {
     val w = Window.orderBy("ts", "id")
     prep.select(col("ts"), col("id"))

@@ -55,6 +55,26 @@ class StreaksSpec extends SparkSpec {
     }
   }
 
+  test("sliding RANGE window: trailing hour, equal-ts rows are mutual peers") {
+    // client c: events at t=0s, 1800s, 3599s, 3600s, 3600s, 7300s
+    // trailing-hour counts (ts-3599.999999s .. ts]:
+    //   t=0 → 1; t=1800 → 2; t=3599 → 3; the two t=3600 rows each see
+    //   {1800, 3599, 3600, 3600} = 4 (equal-ts rows count each other —
+    //   RANGE peers, regardless of row order); t=7300 → 1
+    val ts = Seq(0L, 1800L, 3599L, 3600L, 3600L, 7300L)
+    val p2 = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL,
+      ts.zipWithIndex.map { case (t, i) =>
+        Row(i + 1, 1704067200L + t, 1, 2, "d", "c", 1.0)
+      }))
+    val counts = Streaks.slidingWindowCounts(p2)
+      .orderBy("ts", "id").collect().map(_.getAs[Long]("n_last_hour")).toSeq
+    assert(counts == Seq(1L, 2L, 3L, 4L, 4L, 1L))
+    val peak = Streaks.peakHourlyLoad(p2).head
+    assert(peak.getAs[String]("client") == "c" && peak.getAs[Long]("peak") == 4L)
+    assert(peak.getAs[java.sql.Timestamp]("first_peak_ts")
+      .toInstant.getEpochSecond == 1704067200L + 3600L)
+  }
+
   test("longest idle gap with bounding timestamps (stats.py:369-408)") {
     // gaps: 10,10,100,10 → max 100 between t=20 and t=120
     val ts = Seq(0L, 10L, 20L, 120L, 130L)
