@@ -80,6 +80,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join drains to the batch-equivalent pairs") {
+    import graft.streaming.StreamingJoins
+    val dir = "/root/testdata/sf0.001"
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+    val stream = StreamingHourly.eventsStream(spark, dir)
+    val q = StreamingJoins.blockedWithRecentAllowed(stream)
+      .writeStream.queryName("ssj").outputMode("append").format("memory")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssj")
+      .select("b_id", "a_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingJoins.blockedWithRecentAllowedBatch(
+      Preprocess.preprocessEvents(Tables.events(spark, dir)))
+      .select("b_id", "a_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all input is on-time (AvailableNow drain), so the streamed inner
+    // join must emit exactly the batch pairs
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming session counts drain equals batch session_window (all on-time)") {
     val dir = "/root/testdata/sf0.001"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
