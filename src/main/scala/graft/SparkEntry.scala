@@ -47,6 +47,7 @@ object SparkEntry {
     "a11_distinct_counts"     -> ((s, d) => Stats.distinctCounts(prep(s, d))),
     "a11_approx_distinct"     -> ((s, d) => Stats.approxDistinct(prep(s, d))),
     "a11_hll_daily_rollup"    -> ((s, d) => Stats.hllDailyDomains(prep(s, d))),
+    "a11_cms_domain_counts"   -> ((s, d) => Stats.cmsDomainEstimates(prep(s, d))),
     "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
     "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),
     "a14_slowest_domain"      -> ((s, d) => Stats.slowestDomain(prep(s, d))),

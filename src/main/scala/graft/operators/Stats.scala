@@ -221,6 +221,32 @@ object Stats {
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_domains"))
   }
 
+  /** A11 frequency sketch: per-day count-min sketches of the domain
+    * stream (constant-size partial state, map-side combined — the same
+    * persistable daily-rollup shape as [[hllDailyDomains]], for COUNTS
+    * instead of cardinality), merged on the driver and probed for the
+    * exact top-N domains. CMS estimates are deterministic given the
+    * seed (counter sums + min — order-independent), always ≥ the true
+    * count, and ≤ true + ε·N w.h.p.; `SketchSpec` asserts both bounds.
+    * No DuckDB CMS → driver records rows-only. */
+  def cmsDomainEstimates(prep: DataFrame, topN: Int = 10): DataFrame = {
+    val spark = prep.sparkSession
+    import spark.implicits._
+    val daily = prep.groupBy("date")
+      .agg(expr("count_min_sketch(domain, 0.001d, 0.99d, 42)").as("cms"))
+    val sketches = daily.select("cms").collect().map(_.getAs[Array[Byte]](0))
+      .map(b => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+    val merged = sketches.reduceOption { (a, b) => a.mergeInPlace(b); a }
+    val top = prep.groupBy("domain").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("domain")).limit(topN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (dom, exact) =>
+      (dom, exact, merged.map(_.estimateCount(dom)).getOrElse(0L))
+    }.toSeq.toDF("domain", "exact_cnt", "cms_est")
+      .orderBy("domain")
+  }
+
   /** A12: most diverse client = argmax of countDistinct(domain) per client
     * (reference: stats.py:424-431). */
   def diverseClient(prep: DataFrame): DataFrame =

@@ -112,26 +112,27 @@ object TextAnalysis {
     * computed over the WHOLE corpus even when the output is restricted
     * to a doc_id range; score = tf · ln(N/df).
     *
-    * Scale shape: one token explode feeds BOTH the tf aggregate and the
-    * df aggregate (tf is per-(doc,term), so df = count over tf — the df
-    * pass reuses tf's shuffle partitioning on term after a re-key);
-    * the vocabulary relation (term, df) is far smaller than the corpus
-    * and joins back to tf on term. Ranking is a per-doc window over at
-    * most |doc vocabulary| rows — partitioned by doc_id, never global.
-    * Ties rank by term for cross-engine determinism; exact score ties
-    * arise from equal (tf, df) pairs, which both engines compute
-    * bit-identically from integers. */
+    * Scale shape: the corpus is tokenized ONCE — tf is one row per
+    * (doc, term), so df is a `count(*) over (partition by term)` window
+    * on the tf relation itself, in the same lineage (a separate df
+    * aggregate would be a diamond: Catalyst does not reuse the
+    * non-identical exchanges and would tokenize the corpus twice).
+    * Ranking is a per-doc window over at most |doc vocabulary| rows —
+    * partitioned by doc_id, never global. Ties rank by term for
+    * cross-engine determinism; exact score ties arise from equal
+    * (tf, df) pairs, which both engines compute bit-identically from
+    * integers. */
   def tfidfTopTerms(docs: DataFrame, maxDocId: Int = 50, topK: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    tf.filter(col("doc_id") < maxDocId)
-      .join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("doc_id") < maxDocId)
       .crossJoin(n)
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)

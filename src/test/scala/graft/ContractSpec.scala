@@ -11,7 +11,7 @@ class ContractSpec extends AnyFunSuite {
     * (recall < 1 by design), custom hashes, binary features. Each has
     * ScalaTest coverage instead. */
   private val rowsOnly = Set(
-    "a11_approx_distinct", "a11_hll_daily_rollup",
+    "a11_approx_distinct", "a11_hll_daily_rollup", "a11_cms_domain_counts",
     "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained",
     "t05_rolling_fp", "m02_media_features")
 

@@ -35,4 +35,17 @@ class SketchSpec extends SparkSpec {
       assert(est <= c + (0.01 * 3000).toLong, s"CMS too loose for heavy hitter $d")
     }
   }
+
+  test("CMS daily rollup: merged per-day sketches bound the top-N exact counts") {
+    val out = Stats.cmsDomainEstimates(prep).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("cms_est"))
+      assert(est >= exact, s"merged CMS under-counted ${r.getString(0)}: $est < $exact")
+      // ε=0.001 at 3000 rows → ±3; deterministic given the fixed seed
+      assert(est <= exact + 3, s"merged CMS too loose for ${r.getString(0)}")
+    }
+    val again = Stats.cmsDomainEstimates(prep).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be deterministic")
+  }
 }
