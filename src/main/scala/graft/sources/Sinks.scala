@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.functions._
+
+/** Write-side layout API — the sink half of §2.1. The reference's only
+  * sinks are figures/HTML (presentation, out of engine scope); these are
+  * the layouts a 100 TB deployment writes so that every read-side
+  * optimization this library relies on actually fires:
+  *
+  *   - [[writeDatePartitioned]]: `date=.../` hive partitions → partition
+  *     PRUNING at planning time (a date-range query never lists, let
+  *     alone reads, out-of-range files). Rows are sorted by ts WITHIN
+  *     each partition before writing so parquet row-group min/max stats
+  *     are tight and time-range predicates skip row groups too.
+  *   - [[writeBucketed]]: hash buckets on the join/agg key → co-located
+  *     joins with NO shuffle exchange (asserted in `StorageSpec`); the
+  *     per-bucket sort makes sort-merge joins sort-free as well.
+  *
+  * Both compose with the small-files guard: `maxRecordsPerFile` bounds
+  * file size, and the repartition-by-partition-column before a
+  * partitioned write prevents the classic N-tasks × M-partitions
+  * small-file explosion.
+  */
+object Sinks {
+
+  /** Date-partitioned parquet under `path`, one directory per day.
+    * `df` must carry a `date` column (the canonical prep relation does).
+    * The repartition on date keeps each output directory written by few
+    * tasks (no tasks×days file explosion); the within-partition ts sort
+    * tightens parquet zone maps for time predicates. */
+  def writeDatePartitioned(df: DataFrame, path: String,
+                           maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(col("date"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("date")
+      .parquet(path)
+
+  /** Bucketed + sorted managed table on `key` — the layout that makes
+    * repeated joins/aggregations on `key` shuffle-free. Bucket count is
+    * a write-time contract: both sides of a co-located join must agree. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+}

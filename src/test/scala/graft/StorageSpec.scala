@@ -26,6 +26,28 @@ class StorageSpec extends SparkSpec {
     assert(oneDay.count() > 0 && oneDay.count() < all.count())
   }
 
+  test("Sinks.writeDatePartitioned: pruned reads, per-day dirs, ts-sorted row groups") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val prep = FtlFixture.prep(spark, 11, 2000)
+    graft.sources.Sinks.writeDatePartitioned(prep, s"$dir/events")
+    val all = spark.read.parquet(s"$dir/events")
+    assert(all.count() == prep.count())
+    val dirs = new java.io.File(s"$dir/events").listFiles().filter(_.isDirectory)
+    assert(dirs.count(_.getName.startsWith("date=")) >= 30)
+    // repartition(date) → exactly one file per partition directory (no
+    // tasks×days explosion)
+    dirs.filter(_.getName.startsWith("date=")).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1, d.getName)
+    }
+    val oneDay = all.filter(col("date") === "2024-01-15")
+    val scan = oneDay.select("id").queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("date"), scan)
+    // rows inside each file are ts-sorted (tight parquet zone maps)
+    val tsOrder = spark.read.parquet(dirs.filter(_.getName.startsWith("date="))
+      .head.getAbsolutePath).select("ts").collect().map(_.getTimestamp(0))
+    assert(tsOrder.sameElements(tsOrder.sorted((a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b))))
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_wh").toString
     spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
