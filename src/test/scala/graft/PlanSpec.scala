@@ -60,6 +60,33 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       shuffles.map(_.outputPartitioning).mkString(";"))
   }
 
+  test("t06 tfidf tokenizes the corpus exactly once (no diamond re-explode)") {
+    val plan = executed(SparkEntry.queries("t06_tfidf_top_terms")(spark, dir))
+    val generates = collect(plan) {
+      case g if g.nodeName == "Generate" => g
+    }
+    assert(generates.size == 1,
+      s"expected 1 explode of the corpus, found ${generates.size}")
+  }
+
+  test("w07 sliding window shuffles by client, never globally") {
+    val df = SparkEntry.queries("w07_peak_hourly_load")(spark, dir)
+    val shuffles = collect(executed(df)) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(s =>
+      !s.outputPartitioning.toString.contains("SinglePartition") ||
+        s.child.toString.contains("Sort")), // the final tiny orderBy only
+      shuffles.map(_.outputPartitioning).mkString(";"))
+    assert(shuffles.exists(_.outputPartitioning.toString.contains("client")))
+  }
+
+  test("h13 aggregates partially before its exchanges (map-side combine)") {
+    val df = SparkEntry.queries("h13_custdist")(spark, dir)
+    df.collect()
+    val plan = executed(df).toString
+    // both stacked aggregates appear as partial+final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("whole-stage codegen covers the preprocess-and-aggregate path") {
     val df = SparkEntry.queries("a07_daily_counts")(spark, dir)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
