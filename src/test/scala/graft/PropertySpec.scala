@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{AsofJoin, Dedup, Sampling}
+
+/** Property-based checks: randomized inputs (scalacheck generators with
+  * FIXED seeds — reproducible failures) against independently-computed
+  * naive semantics. These pin behaviors the example-based specs cannot
+  * sweep: equal-timestamp ties, empty sides, duplicate keys. */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  /** Random event sets with DELIBERATELY colliding timestamps (small ts
+    * domain) — the regime where as-of tie semantics matter. */
+  private val eventsGen: Gen[List[(String, Long, Int)]] =
+    Gen.listOfN(60, for {
+      key <- Gen.oneOf("k1", "k2", "k3")
+      ts <- Gen.choose(0L, 19L)
+      isLeft <- Gen.oneOf(0, 1)
+    } yield (key, ts, isLeft))
+
+  test("asof join equals the naive per-row max(right.ts <= left.ts), ties included") {
+    for (seed <- 1L to 8L) {
+      val evs = sample(eventsGen, seed).zipWithIndex
+      val left = df("client STRING, ts TIMESTAMP, id BIGINT",
+        evs.collect { case ((k, t, 1), i) =>
+          Row(k, new java.sql.Timestamp(t * 1000), i.toLong) })
+      val right = df("client STRING, ts TIMESTAMP, allowed_ts TIMESTAMP",
+        evs.collect { case ((k, t, 0), _) =>
+          Row(k, new java.sql.Timestamp(t * 1000), new java.sql.Timestamp(t * 1000)) })
+      val got = AsofJoin.asof(left, right, "client", "ts", Seq("allowed_ts"))
+        .select("client", "id", "asof_allowed_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> Option(r.getTimestamp(2))).toMap
+      // naive oracle: for each left row, the max right ts <= its ts
+      val rightTs = evs.collect { case ((k, t, 0), _) => (k, t) }
+      val want = evs.collect { case ((k, t, 1), i) =>
+        (k, i.toLong) -> rightTs.filter(r => r._1 == k && r._2 <= t)
+          .map(_._2).maxOption.map(m => new java.sql.Timestamp(m * 1000))
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("exact-dedup summary satisfies its counting identities on random corpora") {
+    val corpusGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e", "f words here"))
+    for (seed <- 1L to 5L) {
+      val texts = sample(corpusGen, seed)
+      val docs = df("doc_id BIGINT, text STRING",
+        texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+      val s = Dedup.exactSummary(docs).head
+      assert(s.getAs[Long]("total_docs") == texts.length)
+      assert(s.getAs[Long]("distinct_texts") == texts.distinct.length)
+      assert(s.getAs[Long]("removed") == texts.length - texts.distinct.length)
+      // groups partition the corpus: sizes sum to total
+      val groups = Dedup.exactGroups(docs).collect()
+      assert(groups.map(_.getAs[Long]("n_copies")).sum == texts.length)
+      assert(groups.length == texts.distinct.length)
+    }
+  }
+
+  test("hash-sample membership is monotone in the bucket count (any pair)") {
+    val docs = df("doc_id BIGINT, lang STRING, n_chars BIGINT",
+      (0 until 300).map(i => Row(i.toLong, "en", 10L)))
+    val bucketPair = for {
+      lo <- Gen.choose(1, 128); hi <- Gen.choose(129, 256)
+    } yield (lo, hi)
+    for (seed <- 1L to 6L) {
+      val (lo, hi) = sample(bucketPair, seed)
+      val small = Sampling.hashSample(docs, lo).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val big = Sampling.hashSample(docs, hi).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(small.subsetOf(big), s"buckets $lo ⊄ $hi")
+    }
+  }
+
+  test("json props rollup tolerates malformed/missing JSON as a NULL bucket") {
+    val raw = df("props STRING, value DOUBLE", Seq(
+      Row("""{"k": 12}""", 1.0), Row("""{"k": 17}""", 2.0),
+      Row("""not json at all""", 4.0), Row("""{"other": 5}""", 8.0),
+      Row(null, 16.0)))
+    val out = Preprocess.jsonPropsRollup(raw).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getAs[Long]("n")).toMap
+    assert(out == Map(Some(10) -> 2L, None -> 3L), out.toString)
+  }
+
+  test("sessionization partitions each client's events; inter-session gaps exceed the threshold") {
+    for (seed <- Seq(3, 17)) {
+      val prep = FtlFixture.prep(spark, seed, 800)
+      val sessions = graft.operators.Streaks.sessionize(prep, 1800).collect()
+      val perClient = prep.groupBy("client").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every event is in exactly one session
+      val sums = sessions.groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
+      assert(sums == perClient, s"seed=$seed")
+      // consecutive sessions of one client are > gap apart
+      sessions.groupBy(_.getString(0)).foreach { case (_, ss) =>
+        val ordered = ss.sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+        ordered.sliding(2).foreach {
+          case Array(a, b) =>
+            val gap = b.getAs[java.sql.Timestamp]("session_start").getTime -
+              a.getAs[java.sql.Timestamp]("session_end").getTime
+            assert(gap > 1800 * 1000L, s"seed=$seed gap=$gap")
+          case _ =>
+        }
+      }
+    }
+  }
+}

@@ -41,4 +41,36 @@ class SkewSpec extends SparkSpec {
     // determinism: same input → same salts on recompute
     assert(salts.exceptAll(salts).count() == 0)
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the built-in alternative to manual salting: shrink the skew
+    // thresholds so the 'hot' partition qualifies, force SMJ (no
+    // broadcast), and check the executed plan flagged the skew split
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val bigDim = dim.crossJoin(spark.range(40)).select(col("k"),
+        concat(col("label"), lit("-"), col("id")).as("label"))
+      val joined = big.join(bigDim, Seq("k")).select("k", "id", "label")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
