@@ -167,7 +167,14 @@ object Dedup {
 
   /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
     * emitted as 16 hex chars. Near-identical docs differ in few bits. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSig(docs).orderBy("doc_id")
+
+  /** The unsorted signature relation — what the candidates pipeline
+    * persists and self-joins. The public [[simhash]] adds the output
+    * ordering; baking a global sort into the cached join input would
+    * cost a range shuffle for nothing (hash joins don't care). */
+  private def simhashSig(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -193,7 +200,7 @@ object Dedup {
       }.reduce(_ + _)
       lower(conv(d.cast("string"), 10, 16))
     }
-    agg.select(col("doc_id"), concat(digits: _*).as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), concat(digits: _*).as("simhash"))
   }
 
   /** SimHash candidate pairs: docs agreeing on at least one of 4 hex
@@ -201,7 +208,7 @@ object Dedup {
     * equal (pigeonhole) — the banding trick again, on bit-chunks. */
   def simhashCandidates(docs: DataFrame): DataFrame = {
     freshPipeline()
-    val sig = shared(simhash(docs))
+    val sig = shared(simhashSig(docs))
     val chunks = (0 until 4).map(cn =>
       struct(lit(cn).as("chunk_idx"), expr(s"substr(simhash, ${cn * 4 + 1}, 4)").as("chunk")))
     val chunked = sig.select(col("doc_id"), explode(array(chunks: _*)).as("c"))
