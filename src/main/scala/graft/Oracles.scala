@@ -597,6 +597,30 @@ FROM allc a JOIN topc c USING(domain)"""
       |WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8
       |ORDER BY m.i, m.j""".stripMargin),
 
+    // d03's verification chain + the d06 recursive-components tail, but
+    // over the VERIFIED pairs — the full dedup pipeline as one statement.
+    "d07_verified_clusters" -> (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.i, c.j, count(*) AS common
+      |  FROM cands c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+      |  GROUP BY c.i, c.j),
+      |vp AS (
+      |  SELECT m.i, m.j FROM common m
+      |  JOIN sizes si ON si.doc_id = m.i
+      |  JOIN sizes sj ON sj.doc_id = m.j
+      |  WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8),
+      |edges AS (SELECT i AS src, j AS dst FROM vp UNION ALL SELECT j, i FROM vp),
+      |reach(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      |SELECT c.doc_id, c.cluster_id, n.n_docs
+      |FROM comp c JOIN (SELECT cluster_id, count(*) AS n_docs
+      |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+      |WHERE n.n_docs > 1 ORDER BY c.cluster_id, c.doc_id""".stripMargin),
+
     "d04_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"),
 
     "d05_simhash_cands" -> (simhashCte + """,

@@ -100,6 +100,7 @@ object SparkEntry {
     "d04_simhash"             -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d05_simhash_cands"       -> ((s, d) => Dedup.simhashCandidates(Tables.documents(s, d))),
     "d06_dup_clusters"        -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    "d07_verified_clusters"   -> ((s, d) => Dedup.verifiedClusters(Tables.documents(s, d), 0.8)),
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
     "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),

@@ -165,6 +165,23 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** The COMPLETE dedup resolution pipeline in one operator: LSH
+    * candidates → exact Jaccard verification at `threshold` → connected
+    * components over the verified pairs → non-singleton clusters with a
+    * canonical keeper. This is the production shape — clustering raw LSH
+    * candidates ([[dupClusters]]) merges false-positive band collisions;
+    * clustering only verified pairs cannot. */
+  def verifiedClusters(docs: DataFrame, threshold: Double,
+                       k: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = jaccardVerified(docs, threshold, k, bands).select("i", "j")
+    val nodes = docs.select(col("doc_id").as("node"))
+    val labels = ConnectedComponents.minLabel(nodes, pairs, cache = shared)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
     * emitted as 16 hex chars. Near-identical docs differ in few bits. */
   def simhash(docs: DataFrame): DataFrame =

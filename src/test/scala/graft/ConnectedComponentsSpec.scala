@@ -29,6 +29,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels == Set(1L))
   }
 
+  test("verified clusters refine candidate clusters (verification only removes edges)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cand = Dedup.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verified = Dedup.verifiedClusters(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fewer edges → no new members, and docs clustered together after
+    // verification were already together before it
+    assert(verified.keySet.subsetOf(cand.keySet))
+    verified.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(cand).toSet.size == 1,
+        "a verified cluster must sit inside one candidate cluster")
+    }
+  }
+
   test("dupClusters groups exact-duplicate texts transitively with sizes") {
     val docs = df("doc_id BIGINT, text STRING",
       Seq(Row(0L, "alpha beta gamma delta epsilon"),
