@@ -104,6 +104,7 @@ object SparkEntry {
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
     "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),
+    "s06_knn_lsh_multiprobe"  -> ((s, d) => Similarity.knnLshMultiprobe(Tables.embeddings(s, d), 5, 10, planes = 4)),
     "s04_knn_ivf"             -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d), 5, 10)),
     "s05_knn_ivf_trained"     -> ((s, d) => Similarity.knnIvfTrained(Tables.embeddings(s, d), 5, 10)),
     "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),

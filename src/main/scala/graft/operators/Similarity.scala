@@ -98,6 +98,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH: each query probes its own bucket PLUS every bucket
+    * at Hamming distance 1 (one hyperplane flipped) — the standard recall
+    * lever for sign-pattern LSH. A near neighbor lands in a different
+    * bucket only when some hyperplane separates the pair; flipping that
+    * one bit finds it. Cost: planes+1 probes per query (queries are the
+    * broadcast side, so the candidate scan is unchanged); no pair can
+    * appear twice because a candidate lives in exactly one bucket. */
+  def knnLshMultiprobe(emb: DataFrame, nQueries: Int, k: Int,
+                       planes: Int = 8): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    val probes = array(col("bucket") +:
+      (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val q = withB.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"), explode(probes).as("bucket"))
+    val c = withB.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pairCos(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** K-means training for IVF cells — Lloyd iterations as pure DataFrame
     * ops: assign each vector to its nearest centroid (broadcast
     * centroids, argmin window), recompute centroids as element-wise

@@ -12,7 +12,7 @@ class ContractSpec extends AnyFunSuite {
     * ScalaTest coverage instead. */
   private val rowsOnly = Set(
     "a11_approx_distinct", "a11_hll_daily_rollup", "a11_cms_domain_counts",
-    "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained",
+    "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained", "s06_knn_lsh_multiprobe",
     "t05_rolling_fp", "m02_media_features")
 
   test("every oracle key names a registered query") {

@@ -115,4 +115,25 @@ class StorageSpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall") // probing half the cells
     assert(ivf.size == 50) // still returns k per query
   }
+
+  test("multi-probe LSH recall dominates single-probe and candidate pairs are unique") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.knnBrute(emb, 5, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & s).size.toDouble / brute.size
+    }
+    val single = recallOf(Similarity.knnLsh(emb, 5, 10, planes = 4))
+    val multi = recallOf(Similarity.knnLshMultiprobe(emb, 5, 10, planes = 4))
+    assert(multi >= single, s"multi=$multi single=$single")
+    // 5 of 16 buckets probed (planes=4, Hamming ≤ 1)
+    assert(multi > 0.3, s"multi-probe recall too low: $multi")
+    // no duplicate (query, neighbor) pairs from the probe explosion
+    val out = Similarity.knnLshMultiprobe(emb, 5, 10, planes = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.distinct.length == out.length)
+  }
 }
