@@ -458,7 +458,27 @@ FROM allc a JOIN topc c USING(domain)"""
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY c.c_custkey)
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "h14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+        |                              THEN l.l_extendedprice * (1 - l.l_discount)
+        |                              ELSE 0.0 END)
+        |             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "h15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin
   )
 
   /** Deterministic hash sampling + semi-structured extraction oracles. */

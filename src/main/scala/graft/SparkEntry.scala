@@ -92,6 +92,8 @@ object SparkEntry {
     "h_full_outer_calendar"   -> ((s, d) => Joins.orderVsShipCalendar(s, d)),
     "h_topn_per_customer"     -> ((s, d) => Joins.topOrdersPerCustomer(s, d)),
     "h13_custdist"            -> ((s, d) => Joins.customerOrderDistribution(s, d)),
+    "h14_promo_revenue"       -> ((s, d) => Joins.promoRevenue(s, d)),
+    "h15_top_supplier"        -> ((s, d) => Joins.topSupplier(s, d)),
     // training-data pipeline: dedup over documents
     "d01_exact_summary"       -> ((s, d) => Dedup.exactSummary(Tables.documents(s, d))),
     "d01_exact_groups"        -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),

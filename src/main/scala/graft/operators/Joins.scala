@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -182,6 +183,41 @@ object Joins {
       .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
     counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q14 shape: promotion revenue share in one shipping quarter.
+    * lineitem filtered FIRST (pushes the date range into the scan), then
+    * a broadcast join with part, then a one-row conditional-sum ratio —
+    * at any scale: one scan, one broadcast, no shuffle at all (the final
+    * agg is a single global reduce). */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          / sum(rev), 6).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by one quarter's revenue. The
+    * per-supplier aggregate shuffles once on suppkey; the max is a
+    * window over that already-small relation (never a second scan), and
+    * ALL suppliers achieving the max are kept — Q15's tie semantics. */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val w = Window.partitionBy()
+    revenue.withColumn("max_rev", max("total_revenue").over(w))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
   }
 
   /** Left-anti: customers with no open ('P') orders, per market segment —
