@@ -71,6 +71,18 @@ object Oracles {
         |  count(*) FILTER (WHERE status_type='Allowed') AS allowed_cnt
         |FROM prep GROUP BY date ORDER BY date""".stripMargin),
 
+    "a07_unpivot_daily" -> p(
+      """, daily AS (
+        |  SELECT date, count(*) AS cnt,
+        |    count(*) FILTER (WHERE status_type='Blocked') AS blocked_cnt,
+        |    count(*) FILTER (WHERE status_type='Allowed') AS allowed_cnt
+        |  FROM prep GROUP BY date)
+        |SELECT date, measure, n FROM (
+        |  SELECT date, 'cnt' AS measure, cnt AS n FROM daily
+        |  UNION ALL SELECT date, 'blocked_cnt', blocked_cnt FROM daily
+        |  UNION ALL SELECT date, 'allowed_cnt', allowed_cnt FROM daily)
+        |ORDER BY date, measure""".stripMargin),
+
     "a08_hourly_counts" -> p(
       "SELECT hour, count(*) AS cnt FROM prep GROUP BY hour ORDER BY hour"),
 
@@ -589,6 +601,15 @@ FROM allc a JOIN topc c USING(domain)"""
     // reached (edges are symmetric), so min(lab) per node = the
     // component's min doc_id — the same fixpoint the Spark min-label
     // propagation computes.
+    // classic DP Levenshtein in both engines — exact integer compare
+    "d08_edit_verified" -> (minhashCtes + """
+      |SELECT c.i, c.j, levenshtein(a.text, b.text) AS edit_dist
+      |FROM cands c
+      |JOIN documents a ON a.doc_id = c.i
+      |JOIN documents b ON b.doc_id = c.j
+      |WHERE levenshtein(a.text, b.text) <= 20
+      |ORDER BY c.i, c.j""".stripMargin),
+
     "d06_dup_clusters" -> (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
       |edges AS (
       |  SELECT i AS src, j AS dst FROM cands

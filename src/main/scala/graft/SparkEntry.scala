@@ -39,6 +39,7 @@ object SparkEntry {
     "a05_top_domain_blocked"  -> ((s, d) => Stats.topDomainOfClass(prep(s, d), "Blocked")),
     "a06_persistent_client"   -> ((s, d) => Stats.persistentClient(prep(s, d))),
     "a07_daily_counts"        -> ((s, d) => Stats.dailyCounts(prep(s, d))),
+    "a07_unpivot_daily"       -> ((s, d) => Stats.unpivotDaily(prep(s, d))),
     "a08_hourly_counts"       -> ((s, d) => Stats.hourlyCounts(prep(s, d))),
     "a09_weekday_avg"         -> ((s, d) => Stats.weekdayAvg(prep(s, d))),
     "a10_day_night_totals"    -> ((s, d) => Stats.dayNightTotals(prep(s, d))),
@@ -102,6 +103,7 @@ object SparkEntry {
     "d04_simhash"             -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "d05_simhash_cands"       -> ((s, d) => Dedup.simhashCandidates(Tables.documents(s, d))),
     "d06_dup_clusters"        -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    "d08_edit_verified"       -> ((s, d) => Dedup.editVerified(Tables.documents(s, d))),
     "d07_verified_clusters"   -> ((s, d) => Dedup.verifiedClusters(Tables.documents(s, d), 0.8)),
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),

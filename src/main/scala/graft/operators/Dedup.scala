@@ -165,6 +165,26 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Edit-distance verification of the LSH candidates — the character-
+    * level alternative to n-gram Jaccard ([[jaccardVerified]]): pairs
+    * whose full texts are within `maxDist` Levenshtein edits. Exact
+    * integer DP on both engines, so oracle-comparable. O(|a|·|b|) per
+    * pair is why it runs on CANDIDATES only (≈|dup pairs|), never on the
+    * corpus cross product; the two text joins are broadcast-size because
+    * the candidate list is. */
+  def editVerified(docs: DataFrame, maxDist: Int = 20,
+                   k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
+    val pairs = candidatesFrom(wordShingles(docs), k, bands)
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("i"), col("text").as("_ti")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("text").as("_tj")), Seq("j"))
+      .select(col("i"), col("j"), levenshtein(col("_ti"), col("_tj")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("i", "j")
+  }
+
   /** The COMPLETE dedup resolution pipeline in one operator: LSH
     * candidates → exact Jaccard verification at `threshold` → connected
     * components over the verified pairs → non-singleton clusters with a

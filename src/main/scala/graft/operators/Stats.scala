@@ -131,6 +131,17 @@ object Stats {
       count(when(col("status_type") === "Allowed", 1)).as("allowed_cnt")
     ).orderBy("date")
 
+  /** A7 melted: the per-date count columns as (date, measure, n) rows —
+    * Spark's native `unpivot` (pandas `melt`, the shape the reference's
+    * plotting layer feeds to long-format chart APIs). Pure reshape of an
+    * already-tiny aggregate: no extra scan, no shuffle beyond A7's. */
+  def unpivotDaily(prep: DataFrame): DataFrame =
+    dailyCounts(prep).unpivot(
+      Array(col("date")),
+      Array(col("cnt"), col("blocked_cnt"), col("allowed_cnt")),
+      "measure", "n")
+      .orderBy("date", "measure")
+
   /** A8: per-hour-of-day counts, 0..23 (reference: stats.py:189-193). */
   def hourlyCounts(prep: DataFrame): DataFrame =
     prep.groupBy("hour").agg(count(lit(1)).as("cnt")).orderBy("hour")
