@@ -125,6 +125,9 @@ object SparkEntry {
     "p07_stratified_summary"  -> ((s, d) => Sampling.stratifiedSummary(Tables.documents(s, d))),
     // semi-structured extraction from the raw events' JSON props
     "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
+    // the composed curation pipeline (exact dedup -> near-dup clusters ->
+    // quality floor -> deterministic 3/4 sample), oracle-checked end-to-end
+    "p09_curated_corpus"      -> ((s, d) => Pipeline.curate(Tables.documents(s, d), sampleBuckets = 192)),
     // training-data pipeline: multimodal binary-column plumbing
     "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),

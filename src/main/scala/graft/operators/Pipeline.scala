@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline — the composition a training-
+  * data deployment actually runs, as ONE lazy plan + the dedup cluster
+  * stage: exact dedup → near-dup cluster resolution → quality filter →
+  * deterministic sample. Every stage is an operator this library already
+  * verifies in isolation; this wires them with keep-semantics that are
+  * themselves oracle-checked end-to-end (`p09_curated_corpus`).
+  *
+  * Keep rules, in order:
+  *   1. exact: keep the min doc_id per md5(text) group (tiny docs that
+  *      produce no shingles are still exact-deduped here);
+  *   2. near: drop docs that sit in a verified Jaccard cluster and are
+  *      not its canonical (min-id) member — transitive chains collapse
+  *      to one survivor, never pairwise-kept both ends;
+  *   3. quality: drop docs scoring under `minQuality` (t02's formula);
+  *   4. sample: md5-bucket membership on doc_id (reproducible subsets).
+  *
+  * Scale: stages 1, 3, 4 are map-side predicates / one window each; the
+  * near-dup stage is the LSH+verify+components pipeline whose cost lives
+  * on candidates, not the corpus square. The final relation is a single
+  * plan — Catalyst pushes the cheap predicates below the expensive join
+  * where legal. */
+object Pipeline {
+
+  def curate(docs: DataFrame, jaccardThreshold: Double = 0.8,
+             minQuality: Double = 0.3, sampleBuckets: Int = 256): DataFrame = {
+    // stage 1: exact-duplicate canonical (no shuffle beyond the window)
+    val wExact = Window.partitionBy(md5(col("text")))
+    val exactKept = docs
+      .withColumn("_min_id", min(col("doc_id")).over(wExact))
+      .filter(col("doc_id") === col("_min_id")).drop("_min_id")
+    // stage 2: near-dup clusters over the FULL corpus (so a kept doc
+    // can still be dropped for near-duplicating a doc removed in stage 1)
+    val dropNear = Dedup.verifiedClusters(docs, jaccardThreshold)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("_drop_id"))
+    // stage 3 + 4: quality floor and deterministic sample membership
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    exactKept
+      .join(dropNear, col("doc_id") === col("_drop_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality)
+      .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+}

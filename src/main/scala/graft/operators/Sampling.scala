@@ -30,8 +30,11 @@ object Sampling {
     * (dedup is its own operator, not a sampling side effect). */
   def hashBucketPred(keyCol: Column, buckets: Int): Column = {
     require(buckets >= 1 && buckets <= 256, s"buckets must be 1..256, got $buckets")
-    val bound = f"$buckets%02x"
-    substring(md5(keyCol.cast("string")), 1, 2) < lit(bound)
+    // 256 = keep-everything; the general formula would render a 3-char
+    // bound "100" that lexicographically sorts BELOW most 2-char hex
+    // prefixes and silently inverted the predicate
+    if (buckets == 256) lit(true)
+    else substring(md5(keyCol.cast("string")), 1, 2) < lit(f"$buckets%02x")
   }
 
   /** P6: deterministic uniform sample — keep docs whose md5(doc_id)
