@@ -87,6 +87,50 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB a selective dimension filter should reach the fact scan
+    // as a bloom membership test BEFORE the shuffle — Spark injects it
+    // when the creation side is small and the application side is big;
+    // pin that the machinery engages on our join shape
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val ord = Tables.orders(spark, "/root/testdata/sf0.01")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      val j = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") && optimized.contains("might_contain"),
+        optimized.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("no query plans a CartesianProduct (broadcast-with-condition everywhere)") {
+    // the centroid/query cross joins must compile to BroadcastNestedLoop
+    // (small side pinned broadcast), never CartesianProductExec — a
+    // refactor that loses a broadcast hint turns O(n) into O(n·m) shuffle
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      val plan = executed(SparkEntry.queries(n)(spark, dir)).toString
+      plan.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("whole-stage codegen covers the preprocess-and-aggregate path") {
     val df = SparkEntry.queries("a07_daily_counts")(spark, dir)
     df.collect() // AQE finalizes (and codegen-compiles) only on execution
