@@ -672,6 +672,44 @@ FROM allc a JOIN topc c USING(domain)"""
     // reached (edges are symmetric), so min(lab) per node = the
     // component's min doc_id — the same fixpoint the Spark min-label
     // propagation computes.
+    // Kirsch-Mitzenmacher fast path: one md5 per shingle, two 56-bit hex
+    // halves, k derived hashes by exact modular arithmetic — mirrors
+    // Dedup.lshCandidatesFast bit for bit.
+    "d09_minhash_cands_fast" -> {
+      val gCols = (0 until 16).map(i =>
+        s"min((h1 + $i * h2) % 2305843009213693951) AS g$i").mkString(",\n         ")
+      val bandCase = (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => s"g${b * 4 + r}").mkString(" || ',' || ")
+        if (b < 3) s"WHEN $b THEN md5($slice)" else s"ELSE md5($slice)"
+      }.mkString("\n      ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+         |       unnest(generate_series(1, len(w) - 2)) t(i)
+         |  WHERE len(w) >= 3),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h1,
+         |         CAST(('0x' || substr(md5(s), 18, 14)) AS BIGINT) AS h2
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $gCols
+         |  FROM hashed GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b.band_idx,
+         |    CASE b.band_idx
+         |      $bandCase
+         |    END AS band_key
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_idx)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT i, j FROM cands ORDER BY i, j""".stripMargin
+    },
+
     // classic DP Levenshtein in both engines — exact integer compare
     "d08_edit_verified" -> (minhashCtes + """
       |SELECT c.i, c.j, levenshtein(a.text, b.text) AS edit_dist

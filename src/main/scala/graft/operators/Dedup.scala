@@ -102,6 +102,52 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame =
     signaturesFrom(wordShingles(docs), k)
 
+  private val KmPrime = 2305843009213693951L // 2^61 - 1
+
+  /** A FASTER signature via Kirsch-Mitzenmacher: ONE md5 per shingle
+    * parsed into two 56-bit halves (hex chars 1-14 and 18-31), then k
+    * derived hashes g_i = (h1 + i·h2) mod (2^61−1) as pure long
+    * arithmetic. 16× fewer md5 calls than [[minhashSignatures]], long
+    * mins instead of 32-char-string mins, still engine-portable (DuckDB
+    * parses the same hex slices with ('0x'||…)::BIGINT; the modular
+    * arithmetic is exact, i·h2 ≤ 15·2^56 < 2^60).
+    *
+    * Measured trade-off (sf0.1, 5000 docs): hash stage ~3× faster, BUT
+    * candidate pairs inflate ~50× (256 → 12.6k) — the derived mins are
+    * CORRELATED (every g_i's argmin interpolates between argmin(h1) and
+    * argmin(h2)), so bands collide far more often than with independent
+    * hashes. Use this path only when the verify stage is cheap relative
+    * to hashing; the true production swap is k INDEPENDENT xxhash64
+    * seeds (same plan shape as [[minhashSignatures]], no portability),
+    * which keeps d02's selectivity at xxhash speed. */
+  private def kmSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
+    val h1 = expr("cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)")
+    val h2 = expr("cast(conv(substr(md5(s), 18, 14), 16, 10) as bigint)")
+    val hashed = sh.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    val mins = (0 until k).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"g$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidates over the K-M fast signatures — same banding shape as
+    * [[lshCandidates]] (band key = md5 of the band's decimal-rendered
+    * slice; longs print identically on every engine). */
+  def lshCandidatesFast(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
+    val rows = k / bands
+    val sig = shared(kmSignaturesFrom(wordShingles(docs), k))
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"g${b * rows + r}"))
+      struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
+    a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
+      .select("i", "j").distinct().orderBy("i", "j")
+  }
+
   private def candidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val sig = shared(signaturesFrom(sh, k))
