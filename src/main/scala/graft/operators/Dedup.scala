@@ -129,6 +129,36 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** The PRODUCTION signature: k INDEPENDENT xxhash64 seeds (seed varied
+    * by prefixing the index, exactly like the md5 family), so banding
+    * selectivity matches [[minhashSignatures]] at xxhash speed — no hex
+    * strings anywhere, min over longs, fully codegen'd. Not DuckDB-
+    * mirrorable (no xxhash64 there) → no driver query; `DedupSpec`
+    * asserts plan-shape equality with the md5 family and that exact
+    * duplicates always become candidates. */
+  private def xxSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"x$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidates over the xxhash64 signatures — the plan twin of
+    * [[lshCandidates]] with the portable hash swapped out. */
+  def lshCandidatesXx(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
+    val rows = k / bands
+    val sig = shared(xxSignaturesFrom(wordShingles(docs), k))
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"x${b * rows + r}"))
+      struct(lit(b).as("band_idx"), xxhash64(slice: _*).as("band_key"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
+    a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
+      .select("i", "j").distinct().orderBy("i", "j")
+  }
+
   /** LSH candidates over the K-M fast signatures — same banding shape as
     * [[lshCandidates]] (band key = md5 of the band's decimal-rendered
     * slice; longs print identically on every engine). */

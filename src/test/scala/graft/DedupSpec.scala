@@ -29,6 +29,18 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists { case (i, j) => i == 3L || j == 3L }) // unrelated never pairs
   }
 
+  test("xxhash64 candidate path: plan twin of the md5 family, exact dups always pair") {
+    val xx = rowsOf(Dedup.lshCandidatesXx(corpus)).map(r => (r(0), r(1))).toSet
+    assert(xx.contains((0L, 1L)))             // identical signatures under ANY hash
+    assert(!xx.exists { case (i, j) => i == 3L || j == 3L })
+    // same physical plan shape as the portable family: the hash swap
+    // must not change join/aggregate structure
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+        .filterNot(_.contains("WholeStageCodegen"))
+    assert(shape(Dedup.lshCandidatesXx(corpus)) == shape(Dedup.lshCandidates(corpus)))
+  }
+
   test("jaccard verification: identical docs score 1.0") {
     val v = Dedup.jaccardVerified(corpus, 0.5).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap

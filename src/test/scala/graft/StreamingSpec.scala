@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming write to date-partitioned parquet: pruned layout, drain equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val stream = StreamingHourly.eventsStream(spark, "/root/testdata/sf0.001")
+      .withColumn("date_str", date_format(col("date"), "yyyy-MM-dd"))
+    val q = stream.writeStream
+      .format("parquet").partitionBy("date_str")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val written = spark.read.parquet(s"$dir/out")
+    val batch = Preprocess.preprocessEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    assert(written.count() == batch.count())
+    // hive-partitioned by day, and a day filter prunes at planning time
+    val dirs = new java.io.File(s"$dir/out").listFiles().filter(_.isDirectory)
+    assert(dirs.count(_.getName.startsWith("date_str=")) >= 28)
+    val scan = written.filter(col("date_str") === "2024-01-15").select("id")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("date_str"), scan)
+  }
+
   test("streaming session counts drain equals batch session_window (all on-time)") {
     val dir = "/root/testdata/sf0.001"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
