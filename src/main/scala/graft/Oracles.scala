@@ -71,6 +71,17 @@ object Oracles {
         |  count(*) FILTER (WHERE status_type='Allowed') AS allowed_cnt
         |FROM prep GROUP BY date ORDER BY date""".stripMargin),
 
+    // EXCEPT/INTERSECT are set-distinct in both engines
+    "u02_day_only_clients" -> p(
+      """SELECT client FROM prep WHERE day_period = 'Day'
+        |EXCEPT SELECT client FROM prep WHERE day_period = 'Night'
+        |ORDER BY client""".stripMargin),
+
+    "u03_both_period_clients" -> p(
+      """SELECT client FROM prep WHERE day_period = 'Day'
+        |INTERSECT SELECT client FROM prep WHERE day_period = 'Night'
+        |ORDER BY client""".stripMargin),
+
     "a07_unpivot_daily" -> p(
       """, daily AS (
         |  SELECT date, count(*) AS cnt,

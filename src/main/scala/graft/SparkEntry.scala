@@ -50,6 +50,8 @@ object SparkEntry {
     "a11_hll_daily_rollup"    -> ((s, d) => Stats.hllDailyDomains(prep(s, d))),
     "a11_cms_domain_counts"   -> ((s, d) => Stats.cmsDomainEstimates(prep(s, d))),
     "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
+    "u02_day_only_clients"    -> ((s, d) => Stats.dayOnlyClients(prep(s, d))),
+    "u03_both_period_clients" -> ((s, d) => Stats.bothPeriodClients(prep(s, d))),
     "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),
     "a14_slowest_domain"      -> ((s, d) => Stats.slowestDomain(prep(s, d))),
     "a15_reply_by_date"       -> ((s, d) => Stats.replyByDate(prep(s, d))),

@@ -258,6 +258,22 @@ object Stats {
       .orderBy("domain")
   }
 
+  /** Set operations over the client dimension: Day-only clients
+    * (EXCEPT) and both-period clients (INTERSECT). Spark compiles both
+    * to aggregates/anti-semi joins over the DISTINCT client sets —
+    * |clients|-sized inputs, never the fact table twice at full width. */
+  def dayOnlyClients(prep: DataFrame): DataFrame = {
+    val day = prep.filter(col("day_period") === "Day").select("client")
+    val night = prep.filter(col("day_period") === "Night").select("client")
+    day.except(night).orderBy("client")
+  }
+
+  def bothPeriodClients(prep: DataFrame): DataFrame = {
+    val day = prep.filter(col("day_period") === "Day").select("client")
+    val night = prep.filter(col("day_period") === "Night").select("client")
+    day.intersect(night).orderBy("client")
+  }
+
   /** A12: most diverse client = argmax of countDistinct(domain) per client
     * (reference: stats.py:424-431). */
   def diverseClient(prep: DataFrame): DataFrame =
