@@ -71,6 +71,23 @@ object Oracles {
         |  count(*) FILTER (WHERE status_type='Allowed') AS allowed_cnt
         |FROM prep GROUP BY date ORDER BY date""".stripMargin),
 
+    "a26_reply_dispersion" -> p(
+      """SELECT status_type,
+        |  round(stddev_samp(reply_time), 6) AS reply_stddev,
+        |  round(corr(reply_time, CAST(hour AS DOUBLE)), 6) AS hour_corr,
+        |  round(avg(reply_time), 6) AS reply_avg
+        |FROM prep WHERE reply_time IS NOT NULL
+        |GROUP BY status_type ORDER BY status_type""".stripMargin),
+
+    // ntile → INTEGER and sum(BIGINT) → BIGINT: DuckDB widens to
+    // BIGINT/HUGEINT where Spark stays int/long
+    "a27_client_quartiles" -> p(
+      """, counts AS (SELECT client, count(*) AS cnt FROM prep GROUP BY client)
+        |SELECT quartile, count(*) AS n_clients, CAST(sum(cnt) AS BIGINT) AS total_events FROM (
+        |  SELECT cnt, CAST(ntile(4) OVER (ORDER BY cnt DESC, client) AS INTEGER) AS quartile
+        |  FROM counts)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin),
+
     // EXCEPT/INTERSECT are set-distinct in both engines
     "u02_day_only_clients" -> p(
       """SELECT client FROM prep WHERE day_period = 'Day'

@@ -258,6 +258,32 @@ object Stats {
       .orderBy("domain")
   }
 
+  /** Statistical aggregates over reply times: per-status stddev and the
+    * hour↔reply correlation — ratios/roots of distributed sums, rounded
+    * to 6dp on both sides (relative error of a distributed vs sequential
+    * sum is ~1e-12, far inside the rounding). */
+  def replyDispersion(prep: DataFrame): DataFrame =
+    prep.filter(col("reply_time").isNotNull)
+      .groupBy("status_type")
+      .agg(
+        round(stddev_samp(col("reply_time")), 6).as("reply_stddev"),
+        round(corr(col("reply_time"), col("hour").cast("double")), 6).as("hour_corr"),
+        round(avg(col("reply_time")), 6).as("reply_avg"))
+      .orderBy("status_type")
+
+  /** Client activity quartiles: ntile(4) over per-client counts — the
+    * windowed ranking family (ntile buckets are defined identically in
+    * Spark and DuckDB: floor-division remainder spread over the leading
+    * buckets, deterministic given a total order). */
+  def clientQuartiles(prep: DataFrame): DataFrame = {
+    val counts = prep.groupBy("client").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), asc("client"))
+    counts.withColumn("quartile", ntile(4).over(w))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_clients"), sum("cnt").as("total_events"))
+      .orderBy("quartile")
+  }
+
   /** Set operations over the client dimension: Day-only clients
     * (EXCEPT) and both-period clients (INTERSECT). Spark compiles both
     * to aggregates/anti-semi joins over the DISTINCT client sets —
