@@ -64,6 +64,14 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // partially-propagated labels are a WRONG keep-list that looks
+    // plausible — refuse to return one. Components deeper than maxIter
+    // mean the input is not near-dup-cluster-shaped; the caller should
+    // raise maxIter (or switch to small-star/large-star, O(log n)).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds — " +
+          s"component diameter exceeds maxIter; raise it for chain-shaped graphs")
     labels
   }
 }

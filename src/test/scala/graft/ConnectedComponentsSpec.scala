@@ -29,6 +29,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels == Set(1L))
   }
 
+  test("refuses to return partially-propagated labels when maxIter is too low") {
+    // a 6-node chain has diameter 5: 2 rounds cannot finish propagation
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.minLabel(nodesDf(1L to 6L), pairsDf(chain), maxIter = 2)
+    }
+    // and the same graph converges with enough rounds
+    val ok = ConnectedComponents.minLabel(nodesDf(1L to 6L), pairsDf(chain), maxIter = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
   test("verified clusters refine candidate clusters (verification only removes edges)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val cand = Dedup.dupClusters(docs).collect()
