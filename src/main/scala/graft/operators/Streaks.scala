@@ -192,9 +192,13 @@ object Streaks {
   /** W7 summary: each client's peak trailing-hour load and the first
     * timestamp at which it was reached. */
   def peakHourlyLoad(prep: DataFrame, windowSeconds: Long = 3600): DataFrame = {
+    // the peak is a second window over the SAME client partitioning, so
+    // it rides the sliding count's shuffle (one exchange total); a
+    // groupBy-max + self-join would recompute the sliding counts twice
     val sw = slidingWindowCounts(prep, windowSeconds)
-    val pk = sw.groupBy("client").agg(max("n_last_hour").as("peak"))
-    sw.join(pk, Seq("client")).filter(col("n_last_hour") === col("peak"))
+    val wc = Window.partitionBy("client")
+    sw.withColumn("peak", max("n_last_hour").over(wc))
+      .filter(col("n_last_hour") === col("peak"))
       .groupBy("client", "peak").agg(min("ts").as("first_peak_ts"))
       .orderBy("client")
   }
