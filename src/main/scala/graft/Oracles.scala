@@ -81,6 +81,16 @@ object Oracles {
 
     // ntile → INTEGER and sum(BIGINT) → BIGINT: DuckDB widens to
     // BIGINT/HUGEINT where Spark stays int/long
+    // explicit bin arithmetic (DuckDB has no width_bucket); floor math
+    // on doubles is exact for these magnitudes
+    "a28_reply_histogram" -> p(
+      """SELECT bucket, count(*) AS n,
+        |  CAST(bucket - 1 AS DOUBLE) * 50.0 AS lo,
+        |  CAST(bucket AS DOUBLE) * 50.0 AS hi
+        |FROM (SELECT CAST(least(floor(reply_time / 50.0) + 1, 10) AS INTEGER) AS bucket
+        |      FROM prep WHERE reply_time IS NOT NULL)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     "a27_client_quartiles" -> p(
       """, counts AS (SELECT client, count(*) AS cnt FROM prep GROUP BY client)
         |SELECT quartile, count(*) AS n_clients, CAST(sum(cnt) AS BIGINT) AS total_events FROM (

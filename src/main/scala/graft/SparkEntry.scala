@@ -52,6 +52,7 @@ object SparkEntry {
     "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
     "u02_day_only_clients"    -> ((s, d) => Stats.dayOnlyClients(prep(s, d))),
     "a26_reply_dispersion"    -> ((s, d) => Stats.replyDispersion(prep(s, d))),
+    "a28_reply_histogram"     -> ((s, d) => Stats.replyHistogram(prep(s, d))),
     "a27_client_quartiles"    -> ((s, d) => Stats.clientQuartiles(prep(s, d))),
     "u03_both_period_clients" -> ((s, d) => Stats.bothPeriodClients(prep(s, d))),
     "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),

@@ -271,6 +271,19 @@ object Stats {
         round(avg(col("reply_time")), 6).as("reply_avg"))
       .orderBy("status_type")
 
+  /** Reply-time histogram: fixed-width binning as pure arithmetic
+    * (floor-divide, clamp to the last bucket) rather than width_bucket —
+    * identical integer math on every engine, map-side combinable, and
+    * the bin id is computable at the scan (no second pass for bounds). */
+  def replyHistogram(prep: DataFrame, binWidth: Double = 50.0, nBins: Int = 10): DataFrame =
+    prep.filter(col("reply_time").isNotNull)
+      .select(least(floor(col("reply_time") / binWidth) + 1, lit(nBins.toLong))
+        .cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("lo", (col("bucket") - 1).cast("double") * binWidth)
+      .withColumn("hi", col("bucket").cast("double") * binWidth)
+      .orderBy("bucket")
+
   /** Client activity quartiles: ntile(4) over per-client counts — the
     * windowed ranking family (ntile buckets are defined identically in
     * Spark and DuckDB: floor-division remainder spread over the leading
