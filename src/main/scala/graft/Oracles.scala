@@ -83,6 +83,36 @@ object Oracles {
     // BIGINT/HUGEINT where Spark stays int/long
     // explicit bin arithmetic (DuckDB has no width_bucket); floor math
     // on doubles is exact for these magnitudes
+    // linear interpolation: last/first non-null windows + lerp, same
+    // arithmetic order on both engines
+    "j06_interpolated_hourly" -> p(
+      """, grid AS (
+        |  SELECT unnest(generate_series(
+        |    date_trunc('hour', (SELECT min(ts) FROM prep)),
+        |    date_trunc('hour', (SELECT max(ts) FROM prep)),
+        |    INTERVAL 1 HOUR)) AS ts_hour),
+        |obs AS (
+        |  SELECT date_trunc('hour', ts) AS ts_hour, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM prep WHERE status_type = 'Blocked' GROUP BY 1),
+        |j AS (SELECT g.ts_hour, o.cnt FROM grid g LEFT JOIN obs o USING (ts_hour)),
+        |n AS (
+        |  SELECT ts_hour, cnt,
+        |    last_value(cnt IGNORE NULLS) OVER w1 AS prev_cnt,
+        |    last_value(CASE WHEN cnt IS NOT NULL THEN CAST(epoch_us(ts_hour) AS DOUBLE) END IGNORE NULLS) OVER w1 AS prev_t,
+        |    first_value(cnt IGNORE NULLS) OVER w2 AS next_cnt,
+        |    first_value(CASE WHEN cnt IS NOT NULL THEN CAST(epoch_us(ts_hour) AS DOUBLE) END IGNORE NULLS) OVER w2 AS next_t
+        |  FROM j
+        |  WINDOW w1 AS (ORDER BY ts_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w2 AS (ORDER BY ts_hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT ts_hour,
+        |  round(CASE WHEN cnt IS NOT NULL THEN cnt
+        |             WHEN prev_cnt IS NULL THEN next_cnt
+        |             WHEN next_cnt IS NULL THEN prev_cnt
+        |             ELSE prev_cnt + (next_cnt - prev_cnt)
+        |                  * (CAST(epoch_us(ts_hour) AS DOUBLE) - prev_t) / (next_t - prev_t)
+        |        END, 6) AS cnt_interp
+        |FROM n ORDER BY ts_hour""".stripMargin),
+
     "a28_reply_histogram" -> p(
       """SELECT bucket, count(*) AS n,
         |  CAST(bucket - 1 AS DOUBLE) * 50.0 AS lo,

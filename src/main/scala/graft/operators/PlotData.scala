@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's chart-feeding aggregate tables (reference: plot.py:12-162,
@@ -75,6 +76,44 @@ object PlotData {
       .join(viewByStatus(prep), Seq("ts_hour", "status_type"), "left")
       .select(col("ts_hour"), col("status_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("ts_hour", "status_type")
+  }
+
+  /** J6: LINEAR INTERPOLATION over hourly gaps — the time-series repair
+    * alternative to zero-fill: a missing bucket takes the value lerped
+    * between its nearest observed neighbors (ends clamp to the nearest
+    * observation). Classic last/first-non-null window pair:
+    * prev = last(cnt) ignoreNulls over (-∞, 0], next = first(cnt)
+    * ignoreNulls over [0, +∞) — plus the matching timestamps, so the
+    * weight is (t − t_prev)/(t_next − t_prev). One grid join + two
+    * windows over the grid-sized relation (never the fact table). The
+    * global hourly window is grid-sized (|hours|), not data-sized —
+    * safe to sort in one task at any SF. */
+  def interpolatedHourly(prep: DataFrame, statusType: String = "Blocked"): DataFrame = {
+    val grid = prep
+      .agg(date_trunc("HOUR", min(col("ts"))).as("lo"), date_trunc("HOUR", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("ts_hour"))
+    val observed = prep.filter(col("status_type") === statusType)
+      .groupBy(date_trunc("HOUR", col("ts")).as("ts_hour"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val joined = grid.join(broadcast(observed), Seq("ts_hour"), "left")
+    val before = Window.orderBy("ts_hour").rowsBetween(Window.unboundedPreceding, 0)
+    val after = Window.orderBy("ts_hour").rowsBetween(0, Window.unboundedFollowing)
+    val t = unix_micros(col("ts_hour")).cast("double")
+    val withNeighbors = joined
+      .withColumn("prev_cnt", last(col("cnt"), ignoreNulls = true).over(before))
+      .withColumn("prev_t", last(when(col("cnt").isNotNull, t), ignoreNulls = true).over(before))
+      .withColumn("next_cnt", first(col("cnt"), ignoreNulls = true).over(after))
+      .withColumn("next_t", first(when(col("cnt").isNotNull, t), ignoreNulls = true).over(after))
+    withNeighbors.select(
+      col("ts_hour"),
+      round(
+        when(col("cnt").isNotNull, col("cnt"))                  // observed
+          .when(col("prev_cnt").isNull, col("next_cnt"))        // before first obs
+          .when(col("next_cnt").isNull, col("prev_cnt"))        // after last obs
+          .otherwise(col("prev_cnt") + (col("next_cnt") - col("prev_cnt"))
+            * (t - col("prev_t")) / (col("next_t") - col("prev_t"))),
+        6).as("cnt_interp"))
+      .orderBy("ts_hour")
   }
 
   /** J3 (client variant): dense hourly grid × the top-n clients LEFT JOIN
