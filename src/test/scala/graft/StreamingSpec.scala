@@ -80,6 +80,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events: closed windows never revise in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDS().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.queryName("wm_drop").outputMode("append")
+      .format("memory").start()
+    try {
+      input.addData((ts(0), "a"), (ts(30), "b"))
+      q.processAllAvailable()
+      // advance event time far enough that the first window closes
+      // (watermark = max event time − 1h must pass the window END)
+      input.addData((ts(200), "c"))
+      q.processAllAvailable()
+      val closed = spark.table("wm_drop")
+        .select(col("window.start"), col("cnt")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(closed(ts(0)) == 2L, closed.toString) // hour-0 window emitted with 2 rows
+      // a LATE row for the already-closed window must be DROPPED, not revise it
+      input.addData((ts(10), "late"))
+      input.addData((ts(400), "d")) // push the watermark further along
+      q.processAllAvailable()
+      val after = spark.table("wm_drop")
+        .select(col("window.start"), col("cnt")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(after(ts(0)) == 2L, "late event must not revise a closed window")
+      assert(!after.contains(ts(10)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join drains to the batch-equivalent pairs") {
     import graft.streaming.StreamingJoins
     val dir = "/root/testdata/sf0.001"
