@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the cluster-
   * resolution step of a dedup pipeline: candidate/verified duplicate
@@ -29,22 +28,27 @@ import org.apache.spark.storage.StorageLevel
   *   - convergence is detected with a 1-row sum-of-labels action (labels
   *     only ever decrease, so the sum strictly decreases until the
   *     fixpoint) — no collect of the label table;
-  *   - each round's labels are persisted and the previous round's are
-  *     released, so lineage stays flat (no exponential recompute).
+  *   - each round's state is localCheckpoint'ed, so both the data AND
+  *     the logical plan stay flat round to round (see the method docs
+  *     for why persist alone is not enough).
   */
 object ConnectedComponents {
 
   /** Label every node in `nodes(node)` with the minimum node id reachable
     * through `pairs(i, j)` (undirected). Isolated nodes keep their own
-    * id. Returns (node, label), cached via `cache` (callers that manage
-    * cache lifetimes pass their own registration hook). */
-  def minLabel(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
-               cache: DataFrame => DataFrame = _.persist(StorageLevel.MEMORY_AND_DISK))
-      : DataFrame = {
+    * id. Returns (node, label).
+    *
+    * Each round's labels are localCheckpoint'ed, NOT merely persisted:
+    * labels_i's logical plan embeds labels_{i−1} TWICE (the union and
+    * the join), so without lineage truncation the plan TREE doubles per
+    * round — 2^diameter copies; the plan string alone OOMs the driver
+    * near diameter ~20 (persist caches data, never plan size).
+    * Checkpointing flattens every round to a LogicalRDD. */
+  def minLabel(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cache(nodes.select(col("node"), col("node").as("label")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum("label")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
@@ -54,16 +58,14 @@ object ConnectedComponents {
       val propagated = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = cache(labels.union(propagated)
-        .groupBy("node").agg(min("label").as("label")))
+      val next = labels.union(propagated)
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist(blocking = false)
       labels = next
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
-    edges.unpersist(blocking = false)
     // partially-propagated labels are a WRONG keep-list that looks
     // plausible — refuse to return one. Components deeper than maxIter
     // mean the input is not near-dup-cluster-shaped; the caller should
@@ -73,5 +75,82 @@ object ConnectedComponents {
         s"connected components did not converge within $maxIter rounds — " +
           s"component diameter exceeds maxIter; raise it for chain-shaped graphs")
     labels
+  }
+
+  /** The O(log n)-round accelerant: alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * Each round rewrites the edge list so every node moves toward its
+    * component minimum along star edges:
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star(u): every smaller-or-self member of Γ⁻(u) ∪ {u}
+    *     re-attaches to m = min(Γ⁻(u) ∪ {u}).
+    *
+    * Fixpoint = disjoint stars centered on each component's min id.
+    * Convergence halves the longest path per alternation, so chains that
+    * would cost [[minLabel]] O(diameter) rounds finish in O(log n); each
+    * round is two groupBy-min shuffles + a distinct over the (shrinking)
+    * edge relation. Fixpoint detection: the edge multiset checksum
+    * (count + xor of pair hashes) — exact, no collect.
+    *
+    * Each round's edges are localCheckpoint'ed, not persisted: persist
+    * caches the DATA but the logical plan still embeds the whole prior
+    * round's tree, and star-rewriting roughly squares the plan per
+    * round — the plan STRING alone OOMs after ~10 rounds. Checkpointing
+    * cuts the lineage to a LogicalRDD so every round plans against a
+    * flat input (the same reason iterative graph algorithms checkpoint
+    * in MLlib/GraphX). */
+  def alternatingStars(nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 25)
+      : DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // direct every edge toward the smaller endpoint: v < u
+      val toSmall = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = toSmall.groupBy("u").agg(min(col("v")).as("m")) // m ≤ all of Γ⁻(u) < u
+      toSmall.join(m, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),       // re-attach Γ⁻ members
+          struct(col("u").as("a"), col("m").as("b")))).as("p")) // and u itself
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: commutative, order-independent, cannot overflow (sum
+      // of 64-bit hashes would under ANSI arithmetic)
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs.select(col("i").as("u"), col("j").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = checksum(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val c = checksum(next)
+      edges = next
+      converged = c == prev
+      prev = c
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating stars did not converge within $maxRounds rounds")
+    // stars point every non-min member at the component min: label =
+    // min neighbor (or self for isolated nodes)
+    val sym = edges.select(col("u"), col("v")).union(edges.select(col("v").as("u"), col("u").as("v")))
+    val lab = sym.groupBy("u").agg(min(col("v")).as("nbr"))
+      .select(col("u").as("lnode"), least(col("nbr"), col("u")).as("label"))
+    nodes.join(lab, col("node") === col("lnode"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 }

@@ -234,7 +234,7 @@ object Dedup {
     freshPipeline()
     val pairs = candidatesFrom(wordShingles(docs), k, bands)
     val nodes = docs.select(col("doc_id").as("node"))
-    val labels = ConnectedComponents.minLabel(nodes, pairs, cache = shared)
+    val labels = shared(ConnectedComponents.minLabel(nodes, pairs))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
@@ -271,7 +271,7 @@ object Dedup {
                        k: Int = 16, bands: Int = 4): DataFrame = {
     val pairs = jaccardVerified(docs, threshold, k, bands).select("i", "j")
     val nodes = docs.select(col("doc_id").as("node"))
-    val labels = ConnectedComponents.minLabel(nodes, pairs, cache = shared)
+    val labels = shared(ConnectedComponents.minLabel(nodes, pairs))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
