@@ -113,6 +113,43 @@ object Oracles {
         |        END, 6) AS cnt_interp
         |FROM n ORDER BY ts_hour""".stripMargin),
 
+    // the client-partitioned interpolation: same lerp, PARTITION BY client
+    "j07_interpolated_client" -> p(
+      """, grid AS (
+        |  SELECT unnest(generate_series(
+        |    date_trunc('hour', (SELECT min(ts) FROM prep)),
+        |    date_trunc('hour', (SELECT max(ts) FROM prep)),
+        |    INTERVAL 1 HOUR)) AS ts_hour),
+        |topc AS (
+        |  SELECT client FROM (
+        |    SELECT client, count(*) AS total_cnt FROM prep GROUP BY client
+        |    ORDER BY total_cnt DESC, client LIMIT 5)),
+        |obs AS (
+        |  SELECT client, date_trunc('hour', ts) AS ts_hour, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM prep WHERE client IN (SELECT client FROM topc)
+        |  GROUP BY client, date_trunc('hour', ts)),
+        |j AS (
+        |  SELECT c.client, g.ts_hour, o.cnt
+        |  FROM grid g CROSS JOIN topc c
+        |  LEFT JOIN obs o ON o.client = c.client AND o.ts_hour = g.ts_hour),
+        |n AS (
+        |  SELECT client, ts_hour, cnt,
+        |    last_value(cnt IGNORE NULLS) OVER w1 AS prev_cnt,
+        |    last_value(CASE WHEN cnt IS NOT NULL THEN CAST(epoch_us(ts_hour) AS DOUBLE) END IGNORE NULLS) OVER w1 AS prev_t,
+        |    first_value(cnt IGNORE NULLS) OVER w2 AS next_cnt,
+        |    first_value(CASE WHEN cnt IS NOT NULL THEN CAST(epoch_us(ts_hour) AS DOUBLE) END IGNORE NULLS) OVER w2 AS next_t
+        |  FROM j
+        |  WINDOW w1 AS (PARTITION BY client ORDER BY ts_hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY client ORDER BY ts_hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT client, ts_hour,
+        |  round(CASE WHEN cnt IS NOT NULL THEN cnt
+        |             WHEN prev_cnt IS NULL THEN next_cnt
+        |             WHEN next_cnt IS NULL THEN prev_cnt
+        |             ELSE prev_cnt + (next_cnt - prev_cnt)
+        |                  * (CAST(epoch_us(ts_hour) AS DOUBLE) - prev_t) / (next_t - prev_t)
+        |        END, 6) AS cnt_interp
+        |FROM n ORDER BY client, ts_hour""".stripMargin),
+
     "a28_reply_histogram" -> p(
       """SELECT bucket, count(*) AS n,
         |  CAST(bucket - 1 AS DOUBLE) * 50.0 AS lo,

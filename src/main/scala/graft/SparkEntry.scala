@@ -66,6 +66,7 @@ object SparkEntry {
     "j03_gap_filled"          -> ((s, d) => PlotData.gapFilledByStatus(prep(s, d))),
     "j04_gap_filled_client"   -> ((s, d) => PlotData.gapFilledByClient(prep(s, d), 10)),
     "j06_interpolated_hourly" -> ((s, d) => PlotData.interpolatedHourly(prep(s, d))),
+    "j07_interpolated_client" -> ((s, d) => PlotData.interpolatedByClient(prep(s, d), 5)),
     "a18_stacked_client_bar"  -> ((s, d) => PlotData.stackedClientBar(prep(s, d), 10)),
     "a19_client_domain_scatter" -> ((s, d) => PlotData.clientDomainScatter(prep(s, d), 10, 10, maxLen = 8, keep = 3)),
     "p05_top_domains_blocked" -> ((s, d) => PlotData.topDomainsOfClass(prep(s, d), "Blocked", 10, maxLen = 8, keep = 3)),

@@ -116,6 +116,45 @@ object PlotData {
       .orderBy("ts_hour")
   }
 
+  /** J6 (client variant): the PARTITIONED form of [[interpolatedHourly]]
+    * — every top-n client's hourly series interpolated independently,
+    * windows partitioned by client. This is the shape that scales: the
+    * per-client window sorts |hours| rows within each client partition
+    * (the global-window form is only safe because its input is
+    * grid-sized; this one stays safe even with millions of series). */
+  def interpolatedByClient(prep: DataFrame, n: Int): DataFrame = {
+    val grid = prep
+      .agg(date_trunc("HOUR", min(col("ts"))).as("lo"), date_trunc("HOUR", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("ts_hour"))
+    val topC = topClients(prep, n).select("client")
+    val observed = prep
+      .join(broadcast(topC), Seq("client"), "left_semi")
+      .groupBy(col("client"), date_trunc("HOUR", col("ts")).as("ts_hour"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val joined = grid.crossJoin(broadcast(topC))
+      .join(observed, Seq("client", "ts_hour"), "left")
+    val before = Window.partitionBy("client").orderBy("ts_hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val after = Window.partitionBy("client").orderBy("ts_hour")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val t = unix_micros(col("ts_hour")).cast("double")
+    joined
+      .withColumn("prev_cnt", last(col("cnt"), ignoreNulls = true).over(before))
+      .withColumn("prev_t", last(when(col("cnt").isNotNull, t), ignoreNulls = true).over(before))
+      .withColumn("next_cnt", first(col("cnt"), ignoreNulls = true).over(after))
+      .withColumn("next_t", first(when(col("cnt").isNotNull, t), ignoreNulls = true).over(after))
+      .select(
+        col("client"), col("ts_hour"),
+        round(
+          when(col("cnt").isNotNull, col("cnt"))
+            .when(col("prev_cnt").isNull, col("next_cnt"))
+            .when(col("next_cnt").isNull, col("prev_cnt"))
+            .otherwise(col("prev_cnt") + (col("next_cnt") - col("prev_cnt"))
+              * (t - col("prev_t")) / (col("next_t") - col("prev_t"))),
+          6).as("cnt_interp"))
+      .orderBy("client", "ts_hour")
+  }
+
   /** J3 (client variant): dense hourly grid × the top-n clients LEFT JOIN
     * per-client activity, zeros filled (reference: plot.py:321-331 — the
     * client-activity chart's gap fill). Grid and top-k are both tiny →
