@@ -116,6 +116,38 @@ class StorageSpec extends SparkSpec {
     assert(ivf.size == 50) // still returns k per query
   }
 
+  test("z-order layout: per-file bounding boxes shrink vs single-column sort on both dims") {
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // two independent uniform dims — the case where a linear sort is
+    // tight on one dim and useless on the other
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map(_ => org.apache.spark.sql.Row(
+      rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+    val d = df("x BIGINT, y BIGINT", rows)
+    ZOrder.writeZOrdered(d, s"$dir/z", "x", "y")
+    d.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    // the z-order win is BALANCED pruning: a slice on either dimension
+    // touches few files, where a linear sort prunes one dimension
+    // perfectly and the other not at all (16 tiles of equal count have
+    // equal average AREA either way — area is the wrong metric)
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).withColumn("f", input_file_name())
+        .filter(pred).select("f").distinct().count()
+    val xSlice = col("x").between(40000, 45000)
+    val ySlice = col("y").between(40000, 45000)
+    val zx = filesTouched(s"$dir/z", xSlice)
+    val zy = filesTouched(s"$dir/z", ySlice)
+    val lx = filesTouched(s"$dir/linear", xSlice)
+    val ly = filesTouched(s"$dir/linear", ySlice)
+    assert(lx <= 3, s"linear is tight on its sort dim: $lx")
+    assert(ly >= 14, s"linear cannot prune the other dim: $ly")
+    assert(zx <= 8 && zy <= 8, s"z-order prunes BOTH dims: x=$zx y=$zy")
+    // and the data survives the round trip
+    assert(spark.read.parquet(s"$dir/z").count() == 20000)
+  }
+
   test("multi-probe LSH recall dominates single-probe and candidate pairs are unique") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
