@@ -34,7 +34,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires two arrays with identical FLOAT or DOUBLE element " +
-            s"types, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+            s"types, got ${l.catalogString} and ${r.catalogString}")
     }
 
   private def elemType: DataType =

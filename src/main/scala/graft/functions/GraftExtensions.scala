@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native expressions, so
+  * `dot_product` and `rolling_hash` are callable from `spark.sql(...)`
+  * (and thus from any SQL-only client), not just the Column API.
+  *
+  * Two entry points for the two deployment shapes:
+  *   - [[GraftExtensions]]: a `SparkSessionExtensions` injector — set
+  *     `spark.sql.extensions=graft.functions.GraftExtensions` on the
+  *     cluster and every new session has the functions (the standard
+  *     library-extension mechanism; rules/strategies would register the
+  *     same way);
+  *   - [[registerAll]]: imperative registration into an EXISTING
+  *     session, for notebooks/tests where the session already exists
+  *     (extensions only apply at session construction).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private[functions] val registrations: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }),
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => RollingHash(c)
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash expects 1 argument, got ${other.length}")
+      }))
+
+  /** Register into an already-constructed session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}
