@@ -64,6 +64,34 @@ object FtlIngest {
       .reduce(_ unionByName _)
       .filter(col("timestamp") >= fromEpoch && col("timestamp") < toEpoch)
 
+  /** The engine's typed source schema — what CSV/JSON exports of the FTL
+    * table must parse into. */
+  val SourceSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, timestamp BIGINT, type TINYINT, status TINYINT, " +
+        "domain STRING, client STRING, reply_time DOUBLE")
+
+  /** S1/S3 over CSV exports (the common "sqlite3 -csv" escape hatch),
+    * with TOLERANT parsing: PERMISSIVE mode nulls unparseable fields and
+    * routes the raw line into `_corrupt` instead of failing the job —
+    * at 100 TB a handful of mangled lines must never kill the scan.
+    * Callers decide the quarantine policy (count, dump, or drop); the
+    * range filter still prunes row groups via the typed column. */
+  def readCsv(spark: SparkSession, paths: Seq[String],
+              fromEpoch: Long, toEpoch: Long): DataFrame = {
+    val withCorrupt = SourceSchema.add("_corrupt", "string")
+    paths.map { p =>
+      spark.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(withCorrupt)
+        .csv(p)
+    }.reduce(_ unionByName _)
+      .filter(col("_corrupt").isNotNull ||
+        (col("timestamp") >= fromEpoch && col("timestamp") < toEpoch))
+  }
+
   /** S1/S2 over JDBC: one partitioned range-scan per database file. */
   def readJdbc(spark: SparkSession, dbPaths: Seq[String],
                fromEpoch: Long, toEpoch: Long, numPartitions: Int = 8): DataFrame = {

@@ -72,6 +72,28 @@ class FtlIngestSpec extends SparkSpec {
     assert(bad == utc)
   }
 
+  test("CSV ingest: typed parse, range filter, corrupt lines quarantined not fatal") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val f = new java.io.PrintWriter(s"$dir/export.csv")
+    f.println("id,timestamp,type,status,domain,client,reply_time")
+    f.println("1,1704067200,1,2,example.com,192.168.1.2,0.01")
+    f.println("2,1704067260,1,3,ads.example,192.168.1.3,0.02")
+    f.println("3,not_a_number,1,2,broken.example,192.168.1.4,zzz") // corrupt
+    f.println("4,1704900000,1,2,late.example,192.168.1.5,0.04")    // out of range
+    f.close()
+    val out = FtlIngest.readCsv(spark, Seq(s"$dir/export.csv"),
+      fromEpoch = 1704067200L, toEpoch = 1704100000L).cache()
+    // clean in-range rows parse typed; out-of-range clean rows filtered
+    val clean = out.filter(col("_corrupt").isNull)
+    assert(clean.count() == 2)
+    assert(clean.schema("timestamp").dataType.typeName == "long")
+    // the corrupt line survives with its raw content for quarantine
+    val corrupt = out.filter(col("_corrupt").isNotNull).collect()
+    assert(corrupt.length == 1 && corrupt.head.getAs[String]("_corrupt").contains("not_a_number"))
+    out.unpersist()
+  }
+
   test("probe returns global min/max (db.py:54-61)") {
     val dir = Files.createTempDirectory("graft_probe").toString
     FtlFixture.frame(spark, 1, 100).write.parquet(s"$dir/db")
