@@ -32,6 +32,15 @@ object Engine {
     Preprocess.regexAntiFilter(Preprocess.preprocessFtl(raw), "domain", ignoreDomains)
   }
 
+  /** The training-data side of the user-facing API: curate a document
+    * corpus (exact dedup → verified near-dup clusters → quality floor →
+    * deterministic sample) — see [[operators.Pipeline.curate]] for the
+    * keep rules; the composed plan is oracle-checked end-to-end as
+    * `p09_curated_corpus`. */
+  def curateCorpus(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                   minQuality: Double = 0.3, sampleBuckets: Int = 256): DataFrame =
+    operators.Pipeline.curate(docs, jaccardThreshold, minQuality, sampleBuckets)
+
   private val MinMaxFmt = DateTimeFormatter.ofPattern("d-M-yyyy (HH:mm)", Locale.ENGLISH)
   private val DayFmt = DateTimeFormatter.ofPattern("dd MMMM yyyy", Locale.ENGLISH)
   private val HourFmt = DateTimeFormatter.ofPattern("HH:mm", Locale.ENGLISH)

@@ -80,6 +80,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interpolation preserves observed points and stays within neighbor bounds") {
+    for (seed <- Seq(5, 23)) {
+      val prep = FtlFixture.prep(spark, seed, 600)
+      val interp = graft.operators.PlotData.interpolatedHourly(prep)
+        .collect().map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      val observed = prep.filter(col("status_type") === "Blocked")
+        .groupBy(date_trunc("HOUR", col("ts")).as("h")).count()
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1).toDouble).toMap
+      // observed buckets pass through exactly
+      observed.foreach { case (h, c) => assert(interp(h) == c, s"seed=$seed $h") }
+      // every value lies within the global observed range (lerp between
+      // neighbors can never extrapolate)
+      val (lo, hi) = (observed.values.min, observed.values.max)
+      assert(interp.values.forall(v => v >= lo - 1e-9 && v <= hi + 1e-9), s"seed=$seed")
+    }
+  }
+
   test("json props rollup tolerates malformed/missing JSON as a NULL bucket") {
     val raw = df("props STRING, value DOUBLE", Seq(
       Row("""{"k": 12}""", 1.0), Row("""{"k": 17}""", 2.0),
