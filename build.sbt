@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of stdout for Bench's one-line
+// JSON. sbt's default LoggedOutput prefixes forked-process output with
+// "[info] ", which makes the line unparseable as JSON, and the trailing
+// "[success] Total time: ..." line displaces it from last position.
+// StdoutOutput passes the child's stdout through verbatim; showSuccess
+// drops the [success] banner.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,7 +30,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: WindowExec/AQE warnings land in the driver's
+    // captured output tail and can displace the JSON result line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm up the JVM/codegen/shuffle machinery on a tiny scale factor so
     // the first measured query doesn't absorb ~3s of one-time cost (JIT,
     // codegen compiler, parquet reader init) that is not query work.
@@ -50,7 +52,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt-and-braces vs the stdout-tail capture: also persist the line to
+    // a file (SPARK_GRAFT_OUT, default ./BENCH_LINE.json) so the result
+    // survives even if log noise displaces it from the captured tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_LINE.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Print AFTER spark.stop() so no executor/shutdown log line can land
+    // between the JSON and end-of-stream.
+    println(line)
+    System.out.flush()
   }
 }
