@@ -624,7 +624,8 @@ FROM allc a JOIN topc c USING(domain)"""
       |  WHERE len(w) >= 3),
       |sig AS (
       |  SELECT doc_id,
-      |         """ + (0 until 16).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n         ") + """
+      |         """ + (0 until 16).map(i =>
+        s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i").mkString(",\n         ") + """
       |  FROM sh GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, b.band_idx,
@@ -701,7 +702,10 @@ FROM allc a JOIN topc c USING(domain)"""
     * 5-char shingles) — mirrors Dedup.shingles/minhashSignatures/
     * lshCandidates. */
   private val minhashCtes: String = {
-    val sigCols = (0 until 16).map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n         ")
+    // h_i = the (i mod 4)-th 8-hex-char slice of md5('<i/4>:' || s) —
+    // mirrors Dedup.signaturesFrom's slice-based hash family exactly.
+    val sigCols = (0 until 16).map(i =>
+      s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i").mkString(",\n         ")
     val bandCase = (0 until 4).map { b =>
       val slice = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
       if (b < 3) s"WHEN $b THEN md5($slice)" else s"ELSE md5($slice)"

@@ -90,15 +90,29 @@ object Dedup {
       .select(col("total_docs"), col("distinct_texts"),
         (col("total_docs") - col("distinct_texts")).as("removed"))
 
-  /** MinHash signature from a precomputed shingle relation. */
+  /** MinHash signature from a precomputed shingle relation. k hash
+    * functions from k/4 md5 evaluations: each 128-bit md5 is sliced into
+    * four DISJOINT 8-hex-char (32-bit) substrings, and each slice is an
+    * independent hash function of the shingle (unlike the Kirsch-
+    * Mitzenmacher linear combination in [[kmSignaturesFrom]], whose
+    * argmins correlate and inflate band collisions ~50×). Fixed-width
+    * lowercase hex means lexicographic min == numeric min, so the whole
+    * thing stays engine-portable. 4× fewer md5 calls and 4× narrower min
+    * strings than the one-md5-per-hash formulation. */
   private def signaturesFrom(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    require(k % 4 == 0, s"k must be a multiple of 4 (got $k)")
+    val hashed = sh.select(col("doc_id") +:
+      (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col("s"))).as(s"m$m")): _*)
+    val mins = (0 until k).map { i =>
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash signature: k independent hash mins per doc in ONE aggregate
-    * pass. h_i(s) = md5("<i>:" || s), minimized lexicographically — a
-    * string-valued MinHash, engine-portable. */
+    * pass. h_i(s) = the (i mod 4)-th 8-hex-char slice of
+    * md5("<i/4>:" || s), minimized lexicographically — a string-valued
+    * MinHash, engine-portable. */
   def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame =
     signaturesFrom(wordShingles(docs), k)
 
@@ -107,8 +121,9 @@ object Dedup {
   /** A FASTER signature via Kirsch-Mitzenmacher: ONE md5 per shingle
     * parsed into two 56-bit halves (hex chars 1-14 and 18-31), then k
     * derived hashes g_i = (h1 + i·h2) mod (2^61−1) as pure long
-    * arithmetic. 16× fewer md5 calls than [[minhashSignatures]], long
-    * mins instead of 32-char-string mins, still engine-portable (DuckDB
+    * arithmetic. 4× fewer md5 calls than the slice-based
+    * [[minhashSignatures]], long mins instead of string mins, still
+    * engine-portable (DuckDB
     * parses the same hex slices with ('0x'||…)::BIGINT; the modular
     * arithmetic is exact, i·h2 ≤ 15·2^56 < 2^60).
     *
