@@ -684,12 +684,16 @@ FROM allc a JOIN topc c USING(domain)"""
       |  AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 2) < 'c0'
       |ORDER BY e.doc_id""").stripMargin,
 
+    // TRY_CAST mirrors Spark's tolerant cast (malformed k -> NULL, not an
+    // error), and the double-% flooring mirrors pmod so negative k buckets
+    // to the decade BELOW zero on both engines — DuckDB's plain k0 % 10
+    // follows the dividend's sign and would bucket -7 to 0, not -10.
     "p08_json_props" ->
       """SELECT k_decade, count(*) AS n,
         |  round(sum(value), 2) AS sum_value,
         |  round(avg(value), 6) AS avg_value
-        |FROM (SELECT k0 - k0 % 10 AS k_decade, value FROM (
-        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k0, value FROM events))
+        |FROM (SELECT k0 - ((k0 % 10) + 10) % 10 AS k_decade, value FROM (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k0, value FROM events))
         |GROUP BY k_decade ORDER BY k_decade""".stripMargin
   )
 

@@ -108,7 +108,10 @@ object Preprocess {
     * lands in a NULL bucket rather than failing the job — the tolerant
     * semantics a 100 TB log pipeline needs. */
   def jsonPropsRollup(rawEvents: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
+    // try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    // THROWS on a non-integer k string; try_cast yields NULL, matching the
+    // oracle's TRY_CAST and the documented tolerant semantics.
+    val k = expr("try_cast(get_json_object(props, '$.k') as int)")
     rawEvents
       .select((k - pmod(k, lit(10))).as("k_decade"), col("value"))
       .groupBy("k_decade")

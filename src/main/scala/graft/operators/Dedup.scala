@@ -245,11 +245,12 @@ object Dedup {
     * keeper — pair-at-a-time dedup would keep both ends of a chain.
     * Emits (doc_id, cluster_id, n_docs) for non-singleton clusters;
     * cluster_id = min doc_id in the component. */
-  def dupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  def dupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                  maxIter: Int = 20): DataFrame = {
     freshPipeline()
     val pairs = candidatesFrom(wordShingles(docs), k, bands)
     val nodes = docs.select(col("doc_id").as("node"))
-    val labels = shared(ConnectedComponents.minLabel(nodes, pairs))
+    val labels = shared(ConnectedComponents.minLabel(nodes, pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
@@ -283,10 +284,11 @@ object Dedup {
     * candidates ([[dupClusters]]) merges false-positive band collisions;
     * clustering only verified pairs cannot. */
   def verifiedClusters(docs: DataFrame, threshold: Double,
-                       k: Int = 16, bands: Int = 4): DataFrame = {
+                       k: Int = 16, bands: Int = 4,
+                       maxIter: Int = 20): DataFrame = {
     val pairs = jaccardVerified(docs, threshold, k, bands).select("i", "j")
     val nodes = docs.select(col("doc_id").as("node"))
-    val labels = shared(ConnectedComponents.minLabel(nodes, pairs))
+    val labels = shared(ConnectedComponents.minLabel(nodes, pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))

@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   * where legal. */
 object Pipeline {
 
+  /** @param ccMaxIter label-propagation round cap for the near-dup
+    *   cluster stage. Bounds component DIAMETER, so the default 20 covers
+    *   any plausibly-near-duplicate cluster; raise it if a chain-shaped
+    *   candidate graph (long a~b~c~... runs) makes minLabel throw rather
+    *   than return partially-merged clusters. */
   def curate(docs: DataFrame, jaccardThreshold: Double = 0.8,
-             minQuality: Double = 0.3, sampleBuckets: Int = 256): DataFrame = {
+             minQuality: Double = 0.3, sampleBuckets: Int = 256,
+             ccMaxIter: Int = 20): DataFrame = {
     // stage 1: exact-duplicate canonical (no shuffle beyond the window)
     val wExact = Window.partitionBy(md5(col("text")))
     val exactKept = docs
@@ -36,7 +42,7 @@ object Pipeline {
       .filter(col("doc_id") === col("_min_id")).drop("_min_id")
     // stage 2: near-dup clusters over the FULL corpus (so a kept doc
     // can still be dropped for near-duplicating a doc removed in stage 1)
-    val dropNear = Dedup.verifiedClusters(docs, jaccardThreshold)
+    val dropNear = Dedup.verifiedClusters(docs, jaccardThreshold, maxIter = ccMaxIter)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("_drop_id"))
     // stage 3 + 4: quality floor and deterministic sample membership

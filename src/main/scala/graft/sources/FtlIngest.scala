@@ -76,7 +76,18 @@ object FtlIngest {
     * routes the raw line into `_corrupt` instead of failing the job —
     * at 100 TB a handful of mangled lines must never kill the scan.
     * Callers decide the quarantine policy (count, dump, or drop); the
-    * range filter still prunes row groups via the typed column. */
+    * range filter still prunes row groups via the typed column.
+    *
+    * CAVEAT (Spark's documented corrupt-record semantics under CSV
+    * column pruning): `_corrupt` is populated per-query based on which
+    * columns that query references, so a downstream query must either
+    * reference a full row (e.g. `cache()` this frame first, as the spec
+    * does) or use [[readCsvSplit]], which materializes the parse once
+    * and returns stable clean/quarantine halves. In particular a query
+    * selecting or filtering ONLY `_corrupt` is rejected by Spark
+    * outright ("queries from raw CSV files are disallowed when the
+    * referenced columns only include the internal corrupt record
+    * column"). */
   def readCsv(spark: SparkSession, paths: Seq[String],
               fromEpoch: Long, toEpoch: Long): DataFrame = {
     val withCorrupt = SourceSchema.add("_corrupt", "string")
@@ -90,6 +101,23 @@ object FtlIngest {
     }.reduce(_ unionByName _)
       .filter(col("_corrupt").isNotNull ||
         (col("timestamp") >= fromEpoch && col("timestamp") < toEpoch))
+  }
+
+  /** [[readCsv]] eagerly split into (clean, quarantine). The parsed
+    * frame is persisted BEFORE the split so `_corrupt` is decided once
+    * over full rows — immune to the per-query column-pruning caveat
+    * above — and both halves stay consistent. Clean rows are typed and
+    * range-filtered with `_corrupt` dropped; quarantine rows carry the
+    * raw offending line. Caller owns the unpersist (via the returned
+    * frames' shared lineage) once the quarantine is drained. */
+  def readCsvSplit(spark: SparkSession, paths: Seq[String],
+                   fromEpoch: Long, toEpoch: Long): (DataFrame, DataFrame) = {
+    val raw = readCsv(spark, paths, fromEpoch, toEpoch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+    val quarantine = raw.filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw_line"))
+    (clean, quarantine)
   }
 
   /** S1/S2 over JDBC: one partitioned range-scan per database file. */

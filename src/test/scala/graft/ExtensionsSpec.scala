@@ -22,22 +22,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("dot_product"))
   }
 
-  test("extension injector registers the same functions at session build") {
-    // the cluster-deployment path: spark.sql.extensions=graft.functions.GraftExtensions
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      // getOrCreate may return the shared session (extensions then applied
-      // at ITS build are absent) — force check via a genuinely new session
-      val fresh = s2.newSession()
-      GraftExtensions.registerAll(fresh) // newSession does not re-run extensions
-      assert(fresh.sql("SELECT rolling_hash('x') AS h").head.getLong(0) ==
-        spark.sql("SELECT rolling_hash('x') AS h").head.getLong(0))
-    } finally ()
+  test("extension injector: GraftExtensions.apply wires builders a registry can resolve") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, SimpleFunctionRegistry}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    // The cluster-deployment path is spark.sql.extensions=
+    // graft.functions.GraftExtensions, which Spark honors only for the
+    // FIRST session of a SparkContext — unreachable from a shared-session
+    // spec. Exercise the exact same code instead: apply the injector to a
+    // real SparkSessionExtensions and drain it into a registry.
+    // (registerFunctions is private[sql] in source, public in bytecode.)
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(exts)
+    val reg = new SimpleFunctionRegistry
+    exts.getClass
+      .getMethod("registerFunctions", classOf[FunctionRegistry])
+      .invoke(exts, reg)
+    for (name <- Seq("dot_product", "rolling_hash"))
+      assert(reg.functionExists(FunctionIdentifier(name)), s"$name not injected")
+    // the injected builder must produce a working expression, not just a name
+    val rh = reg.lookupFunction(FunctionIdentifier("rolling_hash"),
+      Seq(Literal.create("abc"): Expression))
+    val viaColumn = spark.range(1)
+      .select(graft.functions.rolling_hash(lit("abc")).as("rh")).head.getLong(0)
+    assert(rh.eval(null) == viaColumn)
   }
 
   test("dynamic partition pruning: dim filter reaches the partitioned fact scan") {

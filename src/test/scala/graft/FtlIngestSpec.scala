@@ -94,6 +94,24 @@ class FtlIngestSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("CSV eager split: quarantine-only consumption works without caller-side cache") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_csv_split").toString
+    val f = new java.io.PrintWriter(s"$dir/export.csv")
+    f.println("id,timestamp,type,status,domain,client,reply_time")
+    f.println("1,1704067200,1,2,example.com,192.168.1.2,0.01")
+    f.println("3,not_a_number,1,2,broken.example,192.168.1.4,zzz")
+    f.close()
+    val (clean, quarantine) = FtlIngest.readCsvSplit(spark, Seq(s"$dir/export.csv"),
+      fromEpoch = 1704067200L, toEpoch = 1704100000L)
+    // consuming ONLY the quarantine half — the exact access pattern that
+    // trips Spark's corrupt-column restriction on an unpersisted frame
+    val q = quarantine.collect()
+    assert(q.length == 1 && q.head.getAs[String]("raw_line").contains("not_a_number"))
+    assert(!clean.columns.contains("_corrupt") && clean.count() == 1)
+    clean.unpersist()
+  }
+
   test("probe returns global min/max (db.py:54-61)") {
     val dir = Files.createTempDirectory("graft_probe").toString
     FtlFixture.frame(spark, 1, 100).write.parquet(s"$dir/db")
