@@ -980,6 +980,20 @@ FROM allc a JOIN topc c USING(domain)"""
         |  FROM documents)
         |GROUP BY fp ORDER BY fp""".stripMargin,
 
+    // Mirrors graft.functions.RollingHash byte-for-byte: fold
+    // (h*31 + byte) mod 1e9+7 over the UTF-8 encoding — DuckDB walks the
+    // hex rendering of encode(text) two chars at a time, so multibyte
+    // characters hash identically to Spark's getBytes loop. NULL text
+    // stays NULL (list_reduce over the prepended 0 would yield 0).
+    "t05_rolling_fp" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT)
+        |       FOR i IN range(1, octet_length(encode(text)) + 1)]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) END AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // tf and ln(N/df) multiply in the same order on both sides; the rank
     // uses the UNROUNDED score (ties only between equal (tf, df) pairs,
     // which are bit-identical across engines), term as the tiebreak.
@@ -1003,8 +1017,27 @@ FROM allc a JOIN topc c USING(domain)"""
   )
 
   /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure
-    * derivations; the binary feature extraction (m02) is rows-only. */
+    * derivations. m02's "binary decode" stub is structural arithmetic on
+    * the payload bytes, so even it is mirrorable: DuckDB walks the hex
+    * rendering of the blob two chars per byte. */
   val multimodal: Map[String, String] = Map(
+    "m02_media_features" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  CAST(coalesce(list_sum(
+        |    [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT)
+        |     FOR i IN range(1, octet_length(encode(text)) + 1)]), 0)
+        |    % 1000000007 AS BIGINT) AS checksum,
+        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+        |    ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INTEGER)
+        |  END AS INTEGER) AS head_byte,
+        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+        |    ELSE CAST(('0x' || substr(hex(encode(text)),
+        |                2 * octet_length(encode(text)) - 1, 2)) AS INTEGER)
+        |  END AS INTEGER) AS tail_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "m01_media_meta" ->
       """SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,

@@ -75,8 +75,9 @@ object Multimodal {
   /** The decode/feature-extract stage: mapPartitions so a real decoder
     * initializes once per partition. The stub computes deterministic
     * structural features; a real implementation replaces only the body of
-    * `extract`. Driver records rows-only (binary checksums have no SQL
-    * oracle); ScalaTest pins exact values. */
+    * `extract`. Oracle-checked: the DuckDB side reproduces the byte walk
+    * over hex(encode(text)) (m02 in Oracles.multimodal); ScalaTest
+    * additionally pins exact values. */
   def extractFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val withMedia = attachMedia(docs).select("doc_id", "media", "meta.kind")
