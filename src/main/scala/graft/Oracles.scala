@@ -475,6 +475,16 @@ FROM allc a JOIN topc c USING(domain)"""
         |  ON l.client = r.client AND r.ts <= l.ts
         |ORDER BY l.client, l.ts, l.id""".stripMargin),
 
+    // the custom physical operator (AsOfJoinExec) must satisfy the SAME
+    // canonical ASOF definition as the composed union+window form
+    "j08_asof_blocked_allowed_native" -> p(
+      """SELECT l.client, l.id, l.ts, r.ts AS prev_allowed_ts,
+        |       round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6) AS gap_s
+        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') l
+        |ASOF LEFT JOIN (SELECT client, ts FROM prep WHERE status_type = 'Allowed') r
+        |  ON l.client = r.client AND r.ts <= l.ts
+        |ORDER BY l.client, l.ts, l.id""".stripMargin),
+
     "h01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -88,6 +88,7 @@ object SparkEntry {
     "a24_rollup_daily"        -> ((s, d) => Stats.rollupDaily(prep(s, d))),
     "a25_cube_period_status"  -> ((s, d) => Stats.cubePeriodStatus(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
+    "j08_asof_blocked_allowed_native" -> ((s, d) => AsofJoin.blockedAfterAllowedNative(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),
     "h03_shipping_priority"   -> ((s, d) => Joins.shippingPriority(s, d)),

@@ -21,10 +21,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     (extensions only apply at session construction).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -46,11 +48,17 @@ object GraftExtensions {
           s"rolling_hash expects 1 argument, got ${other.length}")
       }))
 
-  /** Register into an already-constructed session (idempotent). */
+  /** Register into an already-constructed session (idempotent) —
+    * functions into the registry, the as-of planner strategy into
+    * `spark.experimental.extraStrategies` (the public post-construction
+    * hook; the session's planner consults it on every query). */
   def registerAll(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     registrations.foreach { case (name, info, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -51,18 +51,33 @@ object AsofJoin {
   /** The analytic built on it: for each Blocked event, the most recent
     * prior-or-simultaneous Allowed event of the same client, and the gap
     * — "time since last success before this failure". */
-  def blockedAfterAllowed(prep: DataFrame): DataFrame = {
+  def blockedAfterAllowed(prep: DataFrame): DataFrame =
+    gapSelect(asofFrames(prep, asof))
+
+  /** Same analytic through the custom physical operator
+    * ([[graft.plans.NativeAsof]] → `AsOfJoinExec`): identical output by
+    * construction — shares j05's DuckDB ASOF JOIN oracle as
+    * `j08_asof_blocked_allowed_native`. */
+  def blockedAfterAllowedNative(prep: DataFrame): DataFrame =
+    gapSelect(asofFrames(prep, graft.plans.NativeAsof.asof))
+
+  private def asofFrames(
+      prep: DataFrame,
+      impl: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame): DataFrame = {
     val blocked = prep.filter(col("status_type") === "Blocked")
       .select("client", "ts", "id")
     val allowed = prep.filter(col("status_type") === "Allowed")
       .select(col("client"), col("ts"), col("ts").as("allowed_ts"))
-    asof(blocked, allowed, "client", "ts", Seq("allowed_ts"))
+    impl(blocked, allowed, "client", "ts", Seq("allowed_ts"))
+  }
+
+  private def gapSelect(joined: DataFrame): DataFrame =
+    joined
       .select(col("client"), col("id"), col("ts"),
         col("asof_allowed_ts").as("prev_allowed_ts"),
         round((unix_micros(col("ts")) - unix_micros(col("asof_allowed_ts"))) / lit(1e6), 6)
           .as("gap_s"))
       .orderBy("client", "ts", "id")
-  }
 }
 
 /** Interval (range) join — match point rows to [start, end] intervals.
