@@ -67,13 +67,22 @@ object Dedup {
     * Spark arrays are 0-indexed (`w[i]`); the DuckDB oracle mirrors with
     * its 1-based lists. */
   def wordShingles(docs: DataFrame): DataFrame =
+    wordShinglesAll(docs).distinct()
+
+  /** The multiset form — shingles WITHOUT the per-doc dedup shuffle.
+    * `min(hash(s))` is idempotent to duplicates, so every signature-only
+    * consumer ([[lshCandidates]], [[dupClusters]], [[editVerified]], the
+    * xx/K-M variants) reads this and skips a full exchange; only the
+    * Jaccard set arithmetic ([[jaccardVerified]]) needs [[wordShingles]]'
+    * distinct semantics. Same output on both engines because the oracle's
+    * DISTINCT shingle CTE feeds the same min(). */
+  private def wordShinglesAll(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
       .select(col("doc_id"),
         concat_ws(" ", expr("w[i]"), expr("w[i+1]"), expr("w[i+2]")).as("s"))
-      .distinct()
 
   /** Exact duplicate groups by content hash: md5(text) → group size +
     * canonical (min) doc_id. `n_copies > 1` rows are the duplicate sets;
@@ -161,7 +170,7 @@ object Dedup {
   def lshCandidatesXx(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
     val rows = k / bands
-    val sig = shared(xxSignaturesFrom(wordShingles(docs), k))
+    val sig = shared(xxSignaturesFrom(wordShinglesAll(docs), k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"x${b * rows + r}"))
       struct(lit(b).as("band_idx"), xxhash64(slice: _*).as("band_key"))
@@ -180,7 +189,7 @@ object Dedup {
   def lshCandidatesFast(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
     val rows = k / bands
-    val sig = shared(kmSignaturesFrom(wordShingles(docs), k))
+    val sig = shared(kmSignaturesFrom(wordShinglesAll(docs), k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"g${b * rows + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
@@ -213,7 +222,7 @@ object Dedup {
     * are candidates. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    candidatesFrom(wordShingles(docs), k, bands)
+    candidatesFrom(wordShinglesAll(docs), k, bands)
   }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
@@ -248,7 +257,7 @@ object Dedup {
   def dupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
                   maxIter: Int = 20): DataFrame = {
     freshPipeline()
-    val pairs = candidatesFrom(wordShingles(docs), k, bands)
+    val pairs = candidatesFrom(wordShinglesAll(docs), k, bands)
     val nodes = docs.select(col("doc_id").as("node"))
     val labels = shared(ConnectedComponents.minLabel(nodes, pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
@@ -267,7 +276,7 @@ object Dedup {
   def editVerified(docs: DataFrame, maxDist: Int = 20,
                    k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    val pairs = candidatesFrom(wordShingles(docs), k, bands)
+    val pairs = candidatesFrom(wordShinglesAll(docs), k, bands)
     val t = docs.select(col("doc_id"), col("text"))
     pairs
       .join(t.select(col("doc_id").as("i"), col("text").as("_ti")), Seq("i"))
