@@ -54,6 +54,68 @@ object StreamingSessions {
       }
   }
 
+  case class SessionState(start: Long, last: Long, nEvents: Long)
+  case class ClosedSession(client: String, sessionStartMicros: Long,
+                           sessionEndMicros: Long, nEvents: Long)
+
+  /** Closed-session emission via `flatMapGroupsWithState` — the state
+    * machine `session_window` can't express when the OUTPUT is the
+    * decision point: emit a record ONLY when a session closes (zero
+    * rows for quiet micro-batches, several when a burst closes several),
+    * which is why this is flatMap-with-state rather than map-with-state
+    * (exactly one row per group per batch). A session closes when a new
+    * event arrives more than `gapSeconds` after the last, or when the
+    * event-time timeout fires with no successor (timed-out groups get a
+    * final callback with an empty batch). State is one (start, last, n)
+    * triple per live client — O(|live clients|), checkpointed,
+    * partitioned by the grouping key. Event-time timeout + watermark
+    * bound state exactly like `session_window`'s eviction. */
+  def closedSessions(events: DataFrame,
+                     gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    // expects (client, ts TIMESTAMP); in streaming the caller watermarks
+    // `ts` BEFORE this call (EventTimeTimeout requires it; late rows past
+    // the watermark are the caller's policy — flatMapGroupsWithState does
+    // not auto-drop them). The watermarked ts column must SURVIVE into
+    // the grouped input — watermark tracking is column metadata, and
+    // projecting the column away makes the checker reject the query.
+    events
+      .select(col("client").cast("string").as("client"), col("ts"),
+        unix_micros(col("ts")).as("micros"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (client: String, batch: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap with no successor: the session is closed
+            state.getOption.foreach(s =>
+              closed += ClosedSession(client, s.start, s.last, s.nEvents))
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            batch.toSeq.sortBy(_._3).foreach { case (_, _, ts) =>
+              cur match {
+                case null => cur = SessionState(ts, ts, 1L)
+                case s if ts - s.last > gapMicros =>
+                  closed += ClosedSession(client, s.start, s.last, s.nEvents)
+                  cur = SessionState(ts, ts, 1L)
+                case s =>
+                  cur = SessionState(s.start, math.max(s.last, ts), s.nEvents + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp((cur.last + gapMicros) / 1000L + 1L)
+            }
+          }
+          closed.iterator
+      }
+  }
+
   /** Streaming sessionized counts over the events directory: watermark →
     * session_window, append mode (sessions emit once closed). */
   def streamSessionCounts(prepStream: DataFrame, gapSeconds: Long): DataFrame =

@@ -42,6 +42,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closed sessions: gap-close and timeout-close both emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDS().toDF("client", "micros")
+      .withColumn("ts", timestamp_micros(col("micros")))
+      .withWatermark("ts", "0 seconds")
+    val q = StreamingSessions.closedSessions(stream, gapSeconds = 60)
+      .writeStream.queryName("closed_sessions").outputMode(OutputMode.Append())
+      .format("memory").start()
+    // times sit well above epoch 0: the initial watermark is 0, and an
+    // event AT the watermark is filtered as late before the stateful op
+    def us(s: Long) = s * 1000000L
+    try {
+      // batch 1: c1 two events 10s apart, c2 one event — nothing closes
+      input.addData(("c1", us(1000)), ("c1", us(1010)), ("c2", us(1005)))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0)
+      // batch 2: c1 jumps 190s — its first session closes BY GAP;
+      // watermark advances to 1200s
+      input.addData(("c1", us(1200)))
+      q.processAllAvailable()
+      // batch 3: unrelated event lets c2's event-time timeout (1005s+60s
+      // < 1200s watermark) fire — c2 closes BY TIMEOUT with no new data
+      input.addData(("c3", us(1400)))
+      q.processAllAvailable()
+      val out = spark.table("closed_sessions")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(out.contains(("c1", us(1000), us(1010), 2L)), s"gap-close missing: $out")
+      assert(out.contains(("c2", us(1005), us(1005), 1L)), s"timeout-close missing: $out")
+      // c3's session started at the final watermark (timeout 1460s >
+      // watermark 1400s) — it must still be open
+      assert(!out.exists(_._1 == "c3"), out.toString)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState on a batch frame: emits exactly the gap-closed sessions") {
+    val prep = FtlFixture.prep(spark, 5, 1200)
+    val closed = StreamingSessions.closedSessions(
+      prep.select(col("client"), col("ts")), gapSeconds = 1800)
+    // batch execution has no timeouts: every session except each
+    // client's LAST (still open) emits — compare against the batch
+    // window-function sessionizer minus its per-client final session
+    val all = graft.operators.Streaks.sessionize(prep, 1800)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("client")
+    val expected = all
+      .withColumn("_last_start", max(col("session_start")).over(w))
+      .filter(col("session_start") < col("_last_start"))
+      .select(col("client"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = closed.collect()
+      .map(c => (c.client, c.sessionStartMicros, c.sessionEndMicros, c.nEvents)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
   test("streaming dedup: duplicated input files yield each event exactly once") {
     import graft.streaming.StreamingDedup
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
