@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // operator-optimization batch: runs interleaved with Catalyst's own
+    // pushdown rules, so predicates our rule moves below the as-of node
+    // keep travelling down to the scan in the same fixed point
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }
 }
 
@@ -60,5 +65,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val rules = Seq(graft.plans.AsOfJoinPushdown, graft.plans.AsOfJoinPruning)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
   }
 }
