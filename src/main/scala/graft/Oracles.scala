@@ -485,6 +485,17 @@ FROM allc a JOIN topc c USING(domain)"""
         |  ON l.client = r.client AND r.ts <= l.ts
         |ORDER BY l.client, l.ts, l.id""".stripMargin),
 
+    // the broadcast (zero-left-shuffle) as-of form against a dim-sized
+    // hourly rollup timeline; DuckDB's native ASOF is again the oracle
+    "j09_asof_hourly_bcast" -> p(
+      """SELECT l.client, l.id, l.ts, r.hour_ts, r.n_allowed
+        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') l
+        |ASOF LEFT JOIN (
+        |  SELECT client, date_trunc('hour', ts) AS hour_ts, count(*) AS n_allowed
+        |  FROM prep WHERE status_type = 'Allowed' GROUP BY 1, 2) r
+        |  ON l.client = r.client AND r.hour_ts <= l.ts
+        |ORDER BY l.client, l.ts, l.id""".stripMargin),
+
     "h01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

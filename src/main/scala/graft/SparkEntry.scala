@@ -89,6 +89,7 @@ object SparkEntry {
     "a25_cube_period_status"  -> ((s, d) => Stats.cubePeriodStatus(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
     "j08_asof_blocked_allowed_native" -> ((s, d) => AsofJoin.blockedAfterAllowedNative(prep(s, d))),
+    "j09_asof_hourly_bcast" -> ((s, d) => AsofJoin.blockedVsHourlyAllowed(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),
     "h03_shipping_priority"   -> ((s, d) => Joins.shippingPriority(s, d)),

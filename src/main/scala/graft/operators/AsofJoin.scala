@@ -48,6 +48,40 @@ object AsofJoin {
       .drop("_is_left").drop(payloadCols.map(c => s"_r_$c"): _*)
   }
 
+  /** Broadcast as-of — the zero-left-shuffle form for dim-sized right
+    * sides. The union+window and native forms both shuffle the LEFT side
+    * on the key; at the 100 TB design point the left is the fact table,
+    * so that shuffle IS the query cost. When the right side is small
+    * (a rollup, a dimension timeline), the right plan is: collapse the
+    * right side to one ts-sorted timeline array per key, broadcast it,
+    * and probe per left row — a BroadcastHashJoin plus a codegen'd
+    * array probe, leaving the left side entirely un-shuffled (scan →
+    * join → project, AQE/DPP-composable).
+    *
+    * The probe is `filter(timeline, x -> x.ts <= l.ts)` + `element_at
+    * (-1)`: linear in the per-key timeline length, fine for the
+    * dim-sized timelines this form is FOR (a binary search would need a
+    * custom expression; the linear scan stays inside whole-stage
+    * codegen). Tie-break matches the other forms: the timeline sorts by
+    * (ts, payload...) ascending, so the last qualifying element is the
+    * greatest payload tuple at equal ts.
+    *
+    * Same contract as [[asof]]: left columns plus `asof_<payload>`
+    * columns, null when the key has no at-or-before right row. */
+  def asofBroadcast(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val fields = col(tsCol).as("__ts") +: payloadCols.map(c => col(c).as(c))
+    val timeline = right.groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(fields: _*))).as("__tl"))
+    val probed = left.join(broadcast(timeline), Seq(keyCol), "left")
+      .withColumn("__hits", filter(col("__tl"), x => x.getField("__ts") <= col(tsCol)))
+      // size(NULL)=NULL (no right rows for the key) and the guard keeps
+      // ANSI element_at from seeing an empty array
+      .withColumn("__m", when(size(col("__hits")) > 0, element_at(col("__hits"), -1)))
+    probed.select(left.columns.map(col) ++
+      payloadCols.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
+  }
+
   /** The analytic built on it: for each Blocked event, the most recent
     * prior-or-simultaneous Allowed event of the same client, and the gap
     * — "time since last success before this failure". */
@@ -60,6 +94,24 @@ object AsofJoin {
     * `j08_asof_blocked_allowed_native`. */
   def blockedAfterAllowedNative(prep: DataFrame): DataFrame =
     gapSelect(asofFrames(prep, graft.plans.NativeAsof.asof))
+
+  /** Each Blocked event annotated with the client's most recent HOURLY
+    * Allowed rollup at-or-before it — the dim-sized-right as-of shape
+    * [[asofBroadcast]] exists for: the timeline is |clients| × |hours|
+    * (thousands of rows at any scale), so it broadcasts, and the blocked
+    * fact side flows shuffle-free from scan to result. */
+  def blockedVsHourlyAllowed(prep: DataFrame): DataFrame = {
+    val blocked = prep.filter(col("status_type") === "Blocked")
+      .select("client", "ts", "id")
+    val hourly = prep.filter(col("status_type") === "Allowed")
+      .groupBy(col("client"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_allowed"))
+      .withColumn("ts", col("hour_ts"))
+    asofBroadcast(blocked, hourly, "client", "ts", Seq("hour_ts", "n_allowed"))
+      .select(col("client"), col("id"), col("ts"),
+        col("asof_hour_ts").as("hour_ts"), col("asof_n_allowed").as("n_allowed"))
+      .orderBy("client", "ts", "id")
+  }
 
   private def asofFrames(
       prep: DataFrame,

@@ -61,6 +61,46 @@ class AsofNativeSpec extends SparkSpec {
       s.contains("AsOfJoin")) // AQE may wrap; string check above is the witness
   }
 
+  test("broadcast asof ≡ union+window asof, incl. no-match keys and ts collisions") {
+    val prep = FtlFixture.prep(spark, 7, 900)
+    val blocked = prep.filter(col("status_type") === "Blocked").select("client", "ts", "id")
+    val allowed = prep.filter(col("status_type") === "Allowed")
+      .select(col("client"), col("ts"), col("ts").as("allowed_ts"))
+    val viaWindow = AsofJoin.asof(blocked, allowed, "client", "ts", Seq("allowed_ts"))
+    val viaBcast = AsofJoin.asofBroadcast(blocked, allowed, "client", "ts", Seq("allowed_ts"))
+    assert(viaWindow.count() > 0)
+    assert(viaBcast.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaBcast).count() == 0)
+  }
+
+  test("broadcast asof tie-break: greatest payload tuple at equal (key, ts)") {
+    val left = df("client STRING, ts TIMESTAMP, id INT",
+      Seq(Row("c1", ts("2024-01-01 00:00:10"), 1)))
+    val right = df("client STRING, ts TIMESTAMP, v STRING", Seq(
+      Row("c1", ts("2024-01-01 00:00:10"), "m"),
+      Row("c1", ts("2024-01-01 00:00:10"), "z"),
+      Row("c1", ts("2024-01-01 00:00:10"), "a")))
+    val got = AsofJoin.asofBroadcast(left, right, "client", "ts", Seq("v"))
+      .select("asof_v").head.getString(0)
+    assert(got == "z")
+  }
+
+  test("broadcast asof plan: BroadcastHashJoin, no shuffle on the left side") {
+    val prep = FtlFixture.prep(spark, 7, 300)
+    val blocked = prep.filter(col("status_type") === "Blocked").select("client", "ts", "id")
+    val hourly = prep.filter(col("status_type") === "Allowed")
+      .groupBy(col("client"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_allowed")).withColumn("ts", col("hour_ts"))
+    val plan = AsofJoin.asofBroadcast(blocked, hourly, "client", "ts",
+      Seq("hour_ts", "n_allowed")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // the only shuffle allowed is the dim-side rollup aggregate; the left
+    // (fact) side must reach the join without an Exchange
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 1, s"left side must not shuffle:\n$plan")
+  }
+
   test("registerAll installs the planner strategy idempotently") {
     graft.functions.GraftExtensions.registerAll(spark)
     graft.functions.GraftExtensions.registerAll(spark)
