@@ -79,15 +79,24 @@ case class AsOfJoinExec(
 
   // payload columns as trailing right-side sort keys: when several right
   // rows share (key, ts), the LAST consumed (= greatest payload tuple)
-  // wins deterministically — same tie-break the window form pins.
+  // wins deterministically — same tie-break the window form pins. Cost:
+  // every payload column participates in the right-side sort comparator
+  // even when (key, ts) ties are impossible, and each must be an
+  // ORDERABLE type — both validated/documented at the NativeAsof API.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     SortOrder(rightKey, Ascending) +: SortOrder(rightTs, Ascending) +:
       payload.map(p => SortOrder(p, Ascending)))
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    // Null-guarded, nulls-FIRST comparisons — the children are sorted
+    // Ascending (= NULLS FIRST), and the interpreted ordering itself NPEs
+    // on null operands. Null keys therefore form the first group and
+    // match each other, and a null ts orders before every real ts (acts
+    // as -infinity) — exactly what the union+window form gives dirty
+    // data, keeping the documented equivalence (pinned in AsofNativeSpec).
+    val keyOrd = nullsFirst(TypeUtils.getInterpretedOrdering(leftKey.dataType))
+    val tsOrd = nullsFirst(TypeUtils.getInterpretedOrdering(leftTs.dataType))
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
@@ -129,6 +138,13 @@ case class AsOfJoinExec(
     }
   }
 
+  private def nullsFirst(ord: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
+    override def compare(a: Any, b: Any): Int =
+      if (a == null) { if (b == null) 0 else -1 }
+      else if (b == null) 1
+      else ord.compare(a, b)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -148,7 +164,13 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** DataFrame-level builder over [[AsOfJoinNode]] — the same signature
   * and output contract as `graft.operators.AsofJoin.asof` (left columns
   * plus `asof_<payload>` columns), so callers can swap implementations
-  * per workload shape. */
+  * per workload shape.
+  *
+  * Payload columns double as the right-side (key, ts) tie-break sort
+  * keys, so they must be ORDERABLE types (no map / nested non-orderable
+  * fields — validated here with a clear error), and wide payloads add
+  * sort-comparator cost even when ties are impossible; project the
+  * payload down, or use the union+window form, when that matters. */
 object NativeAsof {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -168,6 +190,13 @@ object NativeAsof {
       out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"$side side has no column '$n' (has: ${out.map(_.name).mkString(", ")})"))
     val payload = payloadCols.map(find(rPlan.output, _, "right"))
+    payload.find(p => !RowOrdering.isOrderable(p.dataType)).foreach { p =>
+      throw new IllegalArgumentException(
+        s"payload column '${p.name}' has non-orderable type " +
+          s"${p.dataType.catalogString}: the native as-of sorts payload columns " +
+          "for the (key, ts) tie-break — project it to an orderable type or " +
+          "use the union+window form (graft.operators.AsofJoin.asof)")
+    }
     val payloadOut = payload.map(p =>
       AttributeReference(s"asof_${p.name}", p.dataType, nullable = true)())
     val node = AsOfJoinNode(lPlan, rPlan,

@@ -103,21 +103,31 @@ object FtlIngest {
         (col("timestamp") >= fromEpoch && col("timestamp") < toEpoch))
   }
 
-  /** [[readCsv]] eagerly split into (clean, quarantine). The parsed
+  /** The two halves of a tolerant CSV parse plus the cache handle that
+    * backs them. `release()` frees the one MEMORY_AND_DISK cache — note
+    * that unpersisting `clean` or `quarantine` would be a silent no-op
+    * (`Dataset.unpersist` only uncaches plans that `sameResult` its own
+    * plan, and the derived frames' plans differ from the persisted raw
+    * one), which is why the handle is part of the result. */
+  final case class CsvSplit(clean: DataFrame, quarantine: DataFrame, raw: DataFrame) {
+    def release(): Unit = { raw.unpersist(); () }
+  }
+
+  /** [[readCsv]] eagerly split into clean/quarantine halves. The parsed
     * frame is persisted BEFORE the split so `_corrupt` is decided once
     * over full rows — immune to the per-query column-pruning caveat
     * above — and both halves stay consistent. Clean rows are typed and
     * range-filtered with `_corrupt` dropped; quarantine rows carry the
-    * raw offending line. Caller owns the unpersist (via the returned
-    * frames' shared lineage) once the quarantine is drained. */
+    * raw offending line. Call `release()` on the result once the
+    * quarantine is drained, or the cache lives for the session. */
   def readCsvSplit(spark: SparkSession, paths: Seq[String],
-                   fromEpoch: Long, toEpoch: Long): (DataFrame, DataFrame) = {
+                   fromEpoch: Long, toEpoch: Long): CsvSplit = {
     val raw = readCsv(spark, paths, fromEpoch, toEpoch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clean = raw.filter(col("_corrupt").isNull).drop("_corrupt")
     val quarantine = raw.filter(col("_corrupt").isNotNull)
       .select(col("_corrupt").as("raw_line"))
-    (clean, quarantine)
+    CsvSplit(clean, quarantine, raw)
   }
 
   /** S1/S2 over JDBC: one partitioned range-scan per database file. */

@@ -75,11 +75,14 @@ object StreamingSessions {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
     // expects (client, ts TIMESTAMP); in streaming the caller watermarks
-    // `ts` BEFORE this call (EventTimeTimeout requires it; late rows past
-    // the watermark are the caller's policy — flatMapGroupsWithState does
-    // not auto-drop them). The watermarked ts column must SURVIVE into
-    // the grouped input — watermark tracking is column metadata, and
-    // projecting the column away makes the checker reject the query.
+    // `ts` BEFORE this call (EventTimeTimeout requires it). Rows at or
+    // behind the watermark ARE dropped by the exec node before this
+    // function runs (StreamingSpec pins an at-watermark event being
+    // filtered), so the function body normally only sees fresh rows; the
+    // timeout clamp below is defense-in-depth, not the primary late-data
+    // policy. The watermarked ts column must SURVIVE into the grouped
+    // input — watermark tracking is column metadata, and projecting the
+    // column away makes the checker reject the query.
     events
       .select(col("client").cast("string").as("client"), col("ts"),
         unix_micros(col("ts")).as("micros"))
@@ -109,7 +112,17 @@ object StreamingSessions {
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp((cur.last + gapMicros) / 1000L + 1L)
+              // A timeout at or behind the current watermark throws
+              // IllegalArgumentException and fails the whole query; if a
+              // session's last+gap has already been passed by the
+              // watermark (possible only if a late row slipped through),
+              // clamp forward so it times out on the next batch instead.
+              // getCurrentWatermarkMs throws when no watermark is set
+              // (batch execution) — there timeouts never fire anyway.
+              val wmMs = try state.getCurrentWatermarkMs()
+                         catch { case _: UnsupportedOperationException => Long.MinValue }
+              state.setTimeoutTimestamp(
+                math.max(wmMs + 1L, (cur.last + gapMicros) / 1000L + 1L))
             }
           }
           closed.iterator

@@ -102,14 +102,18 @@ class FtlIngestSpec extends SparkSpec {
     f.println("1,1704067200,1,2,example.com,192.168.1.2,0.01")
     f.println("3,not_a_number,1,2,broken.example,192.168.1.4,zzz")
     f.close()
-    val (clean, quarantine) = FtlIngest.readCsvSplit(spark, Seq(s"$dir/export.csv"),
+    val split = FtlIngest.readCsvSplit(spark, Seq(s"$dir/export.csv"),
       fromEpoch = 1704067200L, toEpoch = 1704100000L)
     // consuming ONLY the quarantine half — the exact access pattern that
     // trips Spark's corrupt-column restriction on an unpersisted frame
-    val q = quarantine.collect()
+    val q = split.quarantine.collect()
     assert(q.length == 1 && q.head.getAs[String]("raw_line").contains("not_a_number"))
-    assert(!clean.columns.contains("_corrupt") && clean.count() == 1)
-    clean.unpersist()
+    assert(!split.clean.columns.contains("_corrupt") && split.clean.count() == 1)
+    // release() must free the ONE cache backing both halves (unpersisting
+    // a derived half would be a silent no-op — the reason for the handle)
+    assert(split.raw.storageLevel.useMemory)
+    split.release()
+    assert(!split.raw.storageLevel.useMemory, "release() must drop the cache")
   }
 
   test("probe returns global min/max (db.py:54-61)") {
