@@ -616,7 +616,73 @@ FROM allc a JOIN topc c USING(domain)"""
         |SELECT s.s_suppkey, s.s_name, r.total_revenue
         |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
-        |ORDER BY s.s_suppkey""".stripMargin
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "h04_priority_returns" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h07_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(o.o_orderdate) AS INT) AS l_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |JOIN nation n1 ON su.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "h17_small_qty_revenue" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+        |WHERE l.l_quantity < (
+        |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "h19_disjunctive_revenue" ->
+      """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "h21_sole_returned_supplier" ->
+      """WITH lf AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |r AS (SELECT l_orderkey, l_suppkey FROM lf WHERE l_returnflag = 'R')
+        |SELECT s.s_name, count(DISTINCT r.l_orderkey) AS numwait
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lf l2
+        |              WHERE l2.l_orderkey = r.l_orderkey AND l2.l_suppkey <> r.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM r r2
+        |                  WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 10""".stripMargin,
+
+    "h22_idle_rich_customers" ->
+      """SELECT c.c_nationkey, count(*) AS numcust,
+        |  round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                     WHERE c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Deterministic hash sampling + semi-structured extraction oracles. */

@@ -104,6 +104,12 @@ object SparkEntry {
     "h13_custdist"            -> ((s, d) => Joins.customerOrderDistribution(s, d)),
     "h14_promo_revenue"       -> ((s, d) => Joins.promoRevenue(s, d)),
     "h15_top_supplier"        -> ((s, d) => Joins.topSupplier(s, d)),
+    "h04_priority_returns"    -> ((s, d) => Joins.priorityReturns(s, d)),
+    "h07_nation_volume"       -> ((s, d) => Joins.nationVolume(s, d)),
+    "h17_small_qty_revenue"   -> ((s, d) => Joins.smallQtyRevenue(s, d)),
+    "h19_disjunctive_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
+    "h21_sole_returned_supplier" -> ((s, d) => Joins.soleReturnedSupplier(s, d)),
+    "h22_idle_rich_customers" -> ((s, d) => Joins.idleRichCustomers(s, d)),
     // training-data pipeline: dedup over documents
     "d01_exact_summary"       -> ((s, d) => Dedup.exactSummary(Tables.documents(s, d))),
     "d01_exact_groups"        -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),

@@ -230,4 +230,134 @@ object Joins {
       .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
       .orderBy("c_mktsegment")
   }
+
+  /** TPC-H Q4 shape: order counts per priority where EXISTS a qualifying
+    * lineitem (returned, standing in for the reference's late-delivery
+    * predicate — this testdata has no commit/receipt dates). The EXISTS
+    * is a left-semi join: the orders side never duplicates however many
+    * 'R' lines an order has, and the lineitem side carries only the join
+    * key through the shuffle. */
+  def priorityReturns(s: SparkSession, dir: String): DataFrame = {
+    val ret = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01"))
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape: bilateral trade volume — revenue between one pair
+    * of (supplier nation, customer nation), both directions, by year.
+    * Two independent nation lookups (aliased dims) hang off supplier and
+    * customer; nation/supplier broadcast (supplier is 1e-4 of lineitem
+    * in TPC-H proportions), orders⋈lineitem is the one big shuffle.
+    * The disjunctive nation-pair predicate can only be applied AFTER
+    * both lookups — it's the canonical "filter above a multi-join" that
+    * Catalyst can't push into either scan. */
+  def nationVolume(s: SparkSession, dir: String,
+                   nationA: String = "NATION_3", nationB: String = "NATION_8"): DataFrame = {
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q17 shape: revenue from small-quantity lines of one brand's
+    * parts, where "small" is a PER-PART correlated threshold (half that
+    * part's average quantity). The correlated scalar subquery becomes a
+    * self-aggregate + equi-join on partkey: the brand's part keys
+    * broadcast into both branches so the per-part average is computed
+    * over only the brand's lines (not all parts), and the avg⋈lines join
+    * shuffles both sides on l_partkey — co-partitioned, AQE-sized.
+    * l_quantity is integer-valued, so avg = exact integer sum / count on
+    * every engine — the threshold compare cannot flap (SURVEY.md §7.3-1). */
+  def smallQtyRevenue(s: SparkSession, dir: String, brand: String = "Brand#3"): DataFrame = {
+    val pk = Tables.part(s, dir).filter(col("p_brand") === brand).select("p_partkey")
+    val brandLines = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+    val halfAvg = brandLines.groupBy("l_partkey")
+      .agg((avg("l_quantity") * 0.5).as("half_avg"))
+    brandLines.join(halfAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: revenue under an OR of (brand, size-range,
+    * quantity-range) conjunctions. The join condition mixes the equi key
+    * with the disjunction; Catalyst extracts l_partkey = p_partkey into
+    * a BroadcastHashJoin and leaves the disjunction as the join residual
+    * — one lineitem scan, no shuffle, and each conjunct's part-side
+    * predicates still prune the broadcast build side. */
+  def disjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val cond = col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40)))
+    li.join(broadcast(p), cond)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE returner in
+    * multi-supplier finished orders — EXISTS (another supplier in the
+    * order) AND NOT EXISTS (another supplier who also returned), as one
+    * left-semi then one left-anti join over the same order-scoped
+    * relation. All three legs shuffle on l_orderkey, so the semi and
+    * anti reuse the returned-lines partitioning; nothing is ever
+    * materialized per-pair. countDistinct absorbs multi-line returns. */
+  def soleReturnedSupplier(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    val fOrders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val lf = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+    val r = lf.filter(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+    val others = lf.select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+    val rOthers = r.select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+    val sole = r
+      .join(others, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      .join(rOthers, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+    sole.groupBy("l_suppkey").agg(countDistinct("l_orderkey").as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name")).limit(n)
+  }
+
+  /** TPC-H Q22 shape: idle rich customers — balance above the global
+    * positive-balance average (scalar aggregate, broadcast as a 1-row
+    * frame into a theta join: no collect, stays one lazy plan) and no
+    * open orders (anti join), rolled up per nation. */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey", "c_acctbal")
+    val threshold = cust.filter(col("c_acctbal") > 0).agg(avg("c_acctbal").as("avg_bal"))
+    val open = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P").select("o_custkey")
+    cust.join(broadcast(threshold), col("c_acctbal") > col("avg_bal"))
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

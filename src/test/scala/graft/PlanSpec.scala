@@ -138,4 +138,44 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // "*(n)" prefixes mark WholeStageCodegen stages in the compact format
     assert(plan.contains("*(1)") && plan.contains("*(2)"), plan)
   }
+
+  test("h19 disjunctive join: equi key extracted into a broadcast join, OR as residual") {
+    // the OR-of-conjunctions must NOT demote the join to nested-loop —
+    // Catalyst extracts l_partkey = p_partkey as the hash key and keeps
+    // the disjunction as the join condition residual
+    val df = SparkEntry.queries("h19_disjunctive_revenue")(spark, dir)
+    val plan = executed(df)
+    val bhj = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, plan.toString.take(600))
+    assert(bhj.head.condition.isDefined &&
+      bhj.head.condition.get.toString.contains(" OR "),
+      "disjunction must survive as the hash-join residual")
+    assert(!plan.toString.contains("NestedLoop"), "must not fall back to nested loop")
+  }
+
+  test("h21 EXISTS/NOT-EXISTS compiles to one semi and one anti join on the same key") {
+    val plan = executed(
+      SparkEntry.queries("h21_sole_returned_supplier")(spark, dir)).toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+  }
+
+  test("h17 correlated-avg: brand keys prune lineitem before the per-part aggregate") {
+    // the broadcast semi-ish inner join on the brand's part keys must sit
+    // BELOW the groupBy(l_partkey) aggregate — the correlated average is
+    // computed over the brand's lines only, never the full table
+    val df = SparkEntry.queries("h17_small_qty_revenue")(spark, dir)
+    df.collect()
+    val plan = executed(df)
+    val aggs = collect(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("l_partkey")) => a
+    }
+    assert(aggs.nonEmpty, plan.toString.take(800))
+    assert(aggs.forall(a => collect(a.child) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty), "per-part aggregate must consume the brand-pruned join")
+  }
 }
