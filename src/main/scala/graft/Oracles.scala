@@ -994,6 +994,19 @@ FROM allc a JOIN topc c USING(domain)"""
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // identical expected output to s01 — the Spark side differs only in
+    // HOW the top-k is computed (native heap aggregate vs rank window)
+    "s07_knn_topk_agg" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "s03_embedding_near_dups" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.label, a.vec_id AS i, b.vec_id AS j,

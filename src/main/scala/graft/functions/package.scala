@@ -16,4 +16,12 @@ package object functions {
     * [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Single-pass grouped top-k by (score desc, id asc) → sorted
+    * array<struct<score, id>>. Partial-aggregating heap; ships k rows per
+    * group through the shuffle instead of the rank-window's everything —
+    * see [[TopKByScore]]. */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKByScore(ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
 }

@@ -60,6 +60,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** [[knnBrute]] re-expressed through the native single-pass top-k
+    * aggregate ([[graft.functions.TopKByScore]]) instead of a rank
+    * window: the scoring join's output reduces to k rows per query ON
+    * THE MAP SIDE (partial heaps combine before the exchange), where the
+    * window form shuffles and sorts every scored pair. Row-identical to
+    * [[knnBrute]] by construction — same rounding, same (score desc, id
+    * asc) tie-break — so it shares s01's DuckDB oracle as s07. */
+  def knnBruteAgg(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pairCos(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.topk_by_score(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.score").as("cos"), (col("pos") + 1).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component p[j][i] — a pure
     * arithmetic formula (sin of an index mix) so any engine reproduces it
     * without shipping weights. */

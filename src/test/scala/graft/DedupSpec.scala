@@ -87,4 +87,31 @@ class DedupSpec extends SparkSpec {
         col("cos").as("bcos")), Seq("query_id", "neighbor_id"))
     assert(joined.filter(col("cos") =!= col("bcos")).count() == 0)
   }
+
+  test("topk aggregate knn is row-identical to the rank-window form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val win = Similarity.knnBrute(emb, 4, 7)
+    val agg = Similarity.knnBruteAgg(emb, 4, 7)
+    assert(win.count() > 0)
+    assert(agg.exceptAll(win).count() == 0 && win.exceptAll(agg).count() == 0)
+  }
+
+  test("topk_by_score: heap semantics — k bound, score-desc id-asc order, null skip, merge") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    // 2 groups, ties on score, a null score, and a null id; force several
+    // partitions so partial heaps actually merge
+    val rows = Seq(
+      Row("g1", 0.9, 7L), Row("g1", 0.9, 3L), Row("g1", 0.5, 1L),
+      Row("g1", 0.99, 9L), Row("g1", null, 2L), Row("g1", 0.7, null),
+      Row("g2", 0.1, 4L))
+    val in = df("g STRING, s DOUBLE, id BIGINT", rows).repartition(4)
+    val out = in.groupBy("g")
+      .agg(graft.functions.topk_by_score(col("s"), col("id"), 3).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Row](1).map(p => (p.getDouble(0), p.getLong(1)))).toMap
+    // g1: best 3 of {(.9,7),(.9,3),(.5,1),(.99,9)} — ties by smaller id first
+    assert(out("g1") == Seq((0.99, 9L), (0.9, 3L), (0.9, 7L)))
+    assert(out("g2") == Seq((0.1, 4L)))
+  }
 }
