@@ -51,6 +51,16 @@ object GraftExtensions {
         case Seq(c) => RollingHash(c)
         case other => throw new IllegalArgumentException(
           s"rolling_hash expects 1 argument, got ${other.length}")
+      }),
+    ("topk_by_score",
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => args match {
+        // k must be a literal: it sizes the aggregation buffer at plan time
+        case Seq(s, i, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          TopKByScore(s, i, k)
+        case other => throw new IllegalArgumentException(
+          "topk_by_score expects (score, id, k literal int), got " +
+            other.map(_.sql).mkString(", "))
       }))
 
   /** Register into an already-constructed session (idempotent) —

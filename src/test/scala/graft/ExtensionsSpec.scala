@@ -20,6 +20,15 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT dot_product(array(1.0D), array(1))").collect()
     }
     assert(err.getMessage.toLowerCase.contains("dot_product"))
+    // the aggregate registers too — grouped top-k straight from SQL
+    val tk = spark.sql(
+      "SELECT g, topk_by_score(s, id, 2) AS top FROM VALUES " +
+        "('a', 0.5D, 1L), ('a', 0.9D, 2L), ('a', 0.7D, 3L), ('b', 0.1D, 4L) " +
+        "t(g, s, id) GROUP BY g ORDER BY g").collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1))))
+    assert(tk.toSeq == Seq(
+      "a" -> Seq((0.9, 2L), (0.7, 3L)), "b" -> Seq((0.1, 4L))))
   }
 
   test("extension injector: GraftExtensions.apply wires builders a registry can resolve") {
@@ -38,7 +47,7 @@ class ExtensionsSpec extends SparkSpec {
     exts.getClass
       .getMethod("registerFunctions", classOf[FunctionRegistry])
       .invoke(exts, reg)
-    for (name <- Seq("dot_product", "rolling_hash"))
+    for (name <- Seq("dot_product", "rolling_hash", "topk_by_score"))
       assert(reg.functionExists(FunctionIdentifier(name)), s"$name not injected")
     // the injected builder must produce a working expression, not just a name
     val rh = reg.lookupFunction(FunctionIdentifier("rolling_hash"),
