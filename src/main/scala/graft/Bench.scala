@@ -16,9 +16,10 @@ object Bench {
     "h_topn_per_customer", "h_anti_no_open_orders",
     "w02_longest_streaks", "w04_streak_runs_scalable", "w05_sessionize",
     "j03_gap_filled", "j05_asof_blocked_allowed", "j08_asof_blocked_allowed_native",
+    "h21_sole_returned_supplier",
     "d01_exact_summary", "d02_minhash_cands", "d03_jaccard_dups",
     "d05_simhash_cands",
-    "s01_knn_brute", "s02_knn_lsh", "s05_knn_ivf_trained",
+    "s01_knn_brute", "s07_knn_topk_agg", "s02_knn_lsh", "s05_knn_ivf_trained",
     "t01_lang_id", "t04_fingerprint_groups",
     "m02_media_features", "p02_regex_filter")
 
