@@ -211,6 +211,37 @@ class StreamingSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("date_str"), scan)
   }
 
+  test("streaming HLL daily rollup: drained sketches re-merge to the batch estimate") {
+    import graft.streaming.StreamingSketch
+    val dir = "/root/testdata/sf0.001"
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString
+    val stream = StreamingHourly.eventsStream(spark, dir).select("ts", "domain")
+    val q = StreamingSketch.dailyDomainSketch(stream)
+      .writeStream.queryName("hll_stream").outputMode("append").format("memory")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rollup = spark.table("hll_stream")
+    // append mode withholds days the final watermark hasn't closed — the
+    // emitted days' per-day estimates must equal the batch HLL exactly
+    // (same sketch algorithm, same lgK), and the re-merged range estimate
+    // must match a batch union over the same days
+    val prep = Preprocess.preprocessEvents(Tables.events(spark, dir))
+    val batchDaily = prep
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("domain"))).as("est"))
+    val mismatch = rollup.select(col("day"), col("approx_domains"))
+      .join(batchDaily, Seq("day"))
+      .filter(col("approx_domains") =!= col("est"))
+    assert(rollup.count() > 0 && mismatch.count() == 0)
+    val merged = StreamingSketch.mergeRange(rollup).head
+    val batchMerged = prep
+      .join(rollup.select(date_format(col("day"), "yyyy-MM-dd").as("d")).distinct(),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd") === col("d"), "left_semi")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("domain"))).as("est")).head
+    assert(merged.getLong(0) > 0 && merged.getLong(1) == batchMerged.getLong(0))
+  }
+
   test("streaming session counts drain equals batch session_window (all on-time)") {
     val dir = "/root/testdata/sf0.001"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
