@@ -233,11 +233,21 @@ object Dedup {
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
     val sh = shared(wordShingles(docs))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cands = shared(candidatesFrom(sh, k, bands))
+    // Verification only ever reads CANDIDATE docs' shingles, but Catalyst
+    // cannot infer that: without this broadcast semi-filter the (j, s)
+    // intersection join below shuffles the WHOLE shingle relation on a
+    // wide string key. Candidate docs are ~|dup pairs|-scale (a sliver of
+    // the corpus at any SF), so the semi-join is a broadcast and every
+    // downstream shuffle — sizes aggregate included — shrinks to the
+    // candidates' shingles.
+    val candDocs = cands.select(col("i").as("doc_id"))
+      .unionByName(cands.select(col("j").as("doc_id"))).distinct()
+    val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
-      .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .join(shC.select(col("doc_id").as("i"), col("s")), Seq("i"))
+      .join(shC.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
       .groupBy("i", "j").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
