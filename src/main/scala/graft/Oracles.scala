@@ -1113,7 +1113,18 @@ FROM allc a JOIN topc c USING(domain)"""
         |           ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term) AS rank
         |  FROM tf JOIN df USING (term) CROSS JOIN n
         |  WHERE tf.doc_id < 50)
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t07_normalized_dups" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |           AS norm_text
+        |  FROM documents)
+        |SELECT md5(norm_text) AS norm_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_id,
+        |  CAST(min(length(norm_text)) AS INTEGER) AS norm_len
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure

@@ -52,6 +52,13 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"rolling_hash expects 1 argument, got ${other.length}")
       }),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case other => throw new IllegalArgumentException(
+          s"nfc_normalize expects 1 argument, got ${other.length}")
+      }),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => args match {

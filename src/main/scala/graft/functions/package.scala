@@ -17,6 +17,12 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Unicode NFC canonical composition → string. Custom codegen
+    * expression (Spark has no builtin) mirrored by DuckDB's
+    * nfc_normalize — see [[NfcNormalize]]. */
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
   /** Single-pass grouped top-k by (score desc, id asc) → sorted
     * array<struct<score, id>>. Partial-aggregating heap; ships k rows per
     * group through the shuffle instead of the rank-window's everything —

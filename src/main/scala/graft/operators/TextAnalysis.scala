@@ -101,6 +101,31 @@ object TextAnalysis {
   /** T4: content fingerprint = md5 of the whitespace-normalized,
     * lowercased text; groups = near-trivially-duplicate docs (case /
     * spacing variants). */
+  /** Text normalization — the stage that runs BEFORE any exact/near
+    * dedup so that byte-different-but-equal texts (decomposed vs
+    * composed unicode, case, whitespace runs) collapse: NFC canonical
+    * composition (the custom codegen expression
+    * [[graft.functions.NfcNormalize]] — Spark has no builtin), lowercase,
+    * whitespace runs → single space, trim. Pure per-row projection, rides
+    * the scan at any scale; DuckDB mirrors every step (nfc_normalize /
+    * lower / regexp_replace 'g' / trim), so the whole stage — and the
+    * dedup grouping on its md5 — is oracle-checked. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(
+        lower(graft.functions.nfc_normalize(col("text"))),
+        "\\s+", " ")).as("norm_text"))
+
+  /** Normalization-aware exact-dedup rollup: group sizes + canonical
+    * keeper by md5(norm_text) — the d01 shape, robust to the byte-level
+    * variation [[normalizeText]] erases. */
+  def normalizedDupGroups(docs: DataFrame): DataFrame =
+    normalizeText(docs)
+      .groupBy(md5(col("norm_text")).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        min(length(col("norm_text"))).as("norm_len"))
+      .orderBy("norm_hash")
+
   def fingerprintGroups(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))

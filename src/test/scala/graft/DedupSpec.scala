@@ -88,6 +88,31 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("cos") =!= col("bcos")).count() == 0)
   }
 
+  test("nfc normalization: composed ≡ decomposed, case/whitespace collapse, dedup-visible") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val composed = "café au lait"          // é as single codepoint
+    val decomposed = "café au lait"       // e + combining acute
+    val spaced = "  Café   AU \t lait "    // case + whitespace noise
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, composed), Row(2L, decomposed), Row(3L, spaced), Row(4L, "unrelated")))
+    val norm = TextAnalysis.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == norm(2L), "NFC must unify composed/decomposed forms")
+    assert(norm(3L) == norm(1L), "case + whitespace runs must collapse")
+    assert(norm(1L) == "café au lait")
+    // the normalization-aware dedup sees one group of 3
+    val groups = TextAnalysis.normalizedDupGroups(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((3L, 1L), (1L, 4L)))
+    // SQL surface: a decomposed literal comes back composed
+    val viaSql = {
+      graft.functions.GraftExtensions.registerAll(spark)
+      spark.sql(s"SELECT nfc_normalize('café')").head.getString(0)
+    }
+    assert(viaSql == "café")
+  }
+
   test("topk aggregate knn is row-identical to the rank-window form") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val win = Similarity.knnBrute(emb, 4, 7)
