@@ -152,6 +152,15 @@ class FtlIngestSpec extends SparkSpec {
     val viaCsv = FtlIngest.readCsv(spark, Seq(s"$dir/export.csv"),
       1704067200L, 1704100000L).filter(col("_corrupt").isNull).drop("_corrupt")
     assert(df.exceptAll(viaCsv).count() == 0 && viaCsv.exceptAll(df).count() == 0)
+    // multi-database load: one partition per file, duplicates kept (S3)
+    val f2 = new java.io.PrintWriter(s"$dir/export2.csv")
+    f2.println("id,timestamp,type,status,domain,client,reply_time")
+    f2.println("1,1704067200,1,2,example.com,192.168.1.2,0.01")
+    f2.close()
+    val multi = spark.read.format("ftl-csv")
+      .load(s"$dir/export.csv", s"$dir/export2.csv")
+    assert(multi.count() == 5 && multi.rdd.getNumPartitions == 2)
+    assert(multi.filter(col("id") === 1).count() == 2, "duplicates must be kept")
   }
 
   test("probe returns global min/max (db.py:54-61)") {
