@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // keep travelling down to the scan in the same fixed point
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 
@@ -82,7 +83,8 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
-    val rules = Seq(graft.plans.AsOfJoinPushdown, graft.plans.AsOfJoinPruning)
+    val rules = Seq(graft.plans.AsOfJoinPushdown, graft.plans.AsOfJoinPruning,
+      graft.plans.TopKRewrite)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
