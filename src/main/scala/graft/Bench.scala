@@ -30,6 +30,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100 entries: 31 warmed queries × several
+      // codegen stages each overflow it, so measured runs would Janino-
+      // recompile what the warmup just compiled (d02 measured 5.0s in
+      // bench context vs 1.4s isolated before this). A long-running
+      // engine sizes the class cache to its workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     // ERROR, not WARN: WindowExec/AQE warnings land in the driver's
     // captured output tail and can displace the JSON result line.

@@ -70,12 +70,13 @@ object Dedup {
     wordShinglesAll(docs).distinct()
 
   /** The multiset form — shingles WITHOUT the per-doc dedup shuffle.
-    * `min(hash(s))` is idempotent to duplicates, so every signature-only
-    * consumer ([[lshCandidates]], [[dupClusters]], [[editVerified]], the
-    * xx/K-M variants) reads this and skips a full exchange; only the
-    * Jaccard set arithmetic ([[jaccardVerified]]) needs [[wordShingles]]'
-    * distinct semantics. Same output on both engines because the oracle's
-    * DISTINCT shingle CTE feeds the same min(). */
+    * `min(hash(s))` is idempotent to duplicates, so every signature
+    * consumer ([[lshCandidates]], [[dupClusters]], [[editVerified]],
+    * [[jaccardVerified]], the xx/K-M variants) reads this and skips a
+    * full exchange; the Jaccard set arithmetic re-derives distinctness
+    * AFTER the candidate semi-filter, where it is candidates-sized. Same
+    * output on both engines because the oracle's DISTINCT shingle CTE
+    * feeds the same min(). */
   private def wordShinglesAll(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -232,18 +233,24 @@ object Dedup {
     * branches. */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    val sh = shared(wordShingles(docs))
-    val cands = shared(candidatesFrom(sh, k, bands))
+    // Multiset shingles feed the signatures (min() is duplicate-
+    // idempotent), so the candidate stage pays NO distinct shuffle; the
+    // set semantics Jaccard needs are restored below, but only for
+    // candidate docs — a per-doc dedup of the full corpus would be the
+    // single largest exchange in this pipeline and all of it except the
+    // candidates' sliver would be thrown away.
+    val shAll = shared(wordShinglesAll(docs))
+    val cands = shared(candidatesFrom(shAll, k, bands))
     // Verification only ever reads CANDIDATE docs' shingles, but Catalyst
     // cannot infer that: without this broadcast semi-filter the (j, s)
     // intersection join below shuffles the WHOLE shingle relation on a
     // wide string key. Candidate docs are ~|dup pairs|-scale (a sliver of
     // the corpus at any SF), so the semi-join is a broadcast and every
-    // downstream shuffle — sizes aggregate included — shrinks to the
-    // candidates' shingles.
+    // downstream shuffle — the distinct, the sizes aggregate, the
+    // intersection — shrinks to the candidates' shingles.
     val candDocs = cands.select(col("i").as("doc_id"))
       .unionByName(cands.select(col("j").as("doc_id"))).distinct()
-    val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val shC = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
     val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(shC.select(col("doc_id").as("i"), col("s")), Seq("i"))
