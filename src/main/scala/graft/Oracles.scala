@@ -682,7 +682,94 @@ FROM allc a JOIN topc c USING(domain)"""
         |                     WHERE c2.c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h02_min_cost_supplier" ->
+      """WITH sup AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l.l_partkey, l.l_suppkey, min(l.l_extendedprice) AS supply_cost
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |    AND p.p_size = 15 AND p.p_type = 'STANDARD'
+        |  JOIN sup ON l.l_suppkey = sup.s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT sup.s_acctbal, sup.s_name, sup.n_name,
+        |       c.l_partkey AS p_partkey, round(c.supply_cost, 2) AS supply_cost
+        |FROM cost c JOIN sup ON c.l_suppkey = sup.s_suppkey
+        |WHERE c.supply_cost = (SELECT min(c2.supply_cost) FROM cost c2
+        |                       WHERE c2.l_partkey = c.l_partkey)
+        |ORDER BY sup.s_acctbal DESC, sup.n_name, sup.s_name, p_partkey
+        |LIMIT 20""".stripMargin,
+
+    "h06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "h08_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+        |        / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE o.o_custkey IN (
+        |  SELECT c.c_custkey FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "h09_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "h11_important_parts" ->
+      """WITH lines AS (
+        |  SELECT l.l_partkey, l.l_extendedprice
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5')
+        |SELECT l_partkey AS p_partkey, round(sum(l_extendedprice), 2) AS value
+        |FROM lines GROUP BY 1
+        |HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.002 FROM lines)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "h16_parts_suppliers" ->
+      """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_size <= 10
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "h20_promo_stock_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(l.l_quantity) > 40.0)
+        |ORDER BY s.s_suppkey""".stripMargin
   )
 
   /** Deterministic hash sampling + semi-structured extraction oracles. */

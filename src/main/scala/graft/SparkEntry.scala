@@ -110,6 +110,13 @@ object SparkEntry {
     "h19_disjunctive_revenue" -> ((s, d) => Joins.disjunctiveRevenue(s, d)),
     "h21_sole_returned_supplier" -> ((s, d) => Joins.soleReturnedSupplier(s, d)),
     "h22_idle_rich_customers" -> ((s, d) => Joins.idleRichCustomers(s, d)),
+    "h02_min_cost_supplier"   -> ((s, d) => Joins.minCostSupplier(s, d)),
+    "h06_forecast_revenue"    -> ((s, d) => Joins.forecastRevenue(s, d)),
+    "h08_market_share"        -> ((s, d) => Joins.marketShare(s, d)),
+    "h09_product_profit"      -> ((s, d) => Joins.productProfit(s, d)),
+    "h11_important_parts"     -> ((s, d) => Joins.importantParts(s, d)),
+    "h16_parts_suppliers"     -> ((s, d) => Joins.partsSupplierBreadth(s, d)),
+    "h20_promo_stock_suppliers" -> ((s, d) => Joins.promoStockSuppliers(s, d)),
     // training-data pipeline: dedup over documents
     "d01_exact_summary"       -> ((s, d) => Dedup.exactSummary(Tables.documents(s, d))),
     "d01_exact_groups"        -> ((s, d) => Dedup.exactGroups(Tables.documents(s, d))),

@@ -360,4 +360,185 @@ object Joins {
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q2 shape: min-cost supplier per part. This schema has no
+    * partsupp, so lineitem plays the part↔supplier price list: cost =
+    * min(l_extendedprice) per (part, supplier). For the filtered parts
+    * (one size+type sliver) and one region's suppliers, keep the
+    * supplier(s) achieving each part's regional minimum — the correlated
+    * MIN subquery as a window over the grouped relation.
+    *
+    * Scale shape: part-filter and supplier-filter both broadcast into
+    * the ONE lineitem scan (the fact table is touched once, with both
+    * prunes applied); the (part, supp) aggregate shuffles on a composite
+    * key, and the per-part min is a window partitioned by partkey over
+    * that already-reduced relation — never a second scan or self-join of
+    * the fact table. Q2's ORDER BY (acctbal DESC) with deterministic
+    * key tie-breaks. */
+  def minCostSupplier(s: SparkSession, dir: String, region: String = "EUROPE",
+                      size: Int = 15, ptype: String = "STANDARD", n: Int = 20): DataFrame = {
+    val pk = Tables.part(s, dir)
+      .filter(col("p_size") === size && col("p_type") === ptype)
+      .select("p_partkey")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("supply_cost"))
+    val w = Window.partitionBy("l_partkey")
+    cost.withColumn("min_cost", min("supply_cost").over(w))
+      .filter(col("supply_cost") === col("min_cost"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), round(col("supply_cost"), 2).as("supply_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+      .limit(n)
+  }
+
+  /** TPC-H Q6 shape: the forecasting-revenue-change scan — one filter,
+    * one global sum, zero joins and zero shuffles beyond the final
+    * single-row reduce. Matters at scale precisely because of what is
+    * NOT in the plan: all three predicates reach the parquet scan as
+    * PushedFilters (min/max row-group pruning on shipdate), and the
+    * aggregate is a map-side partial + 1-row final. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** TPC-H Q8 shape: national market share — of all revenue flowing to
+    * one region's customers for one part type, the fraction supplied by
+    * one nation, per year. The conditional-sum ratio form (no
+    * self-join): every row carries its supplier nation, so share =
+    * sum(when)/sum per year group. part (filtered) and the two dim
+    * lookups broadcast; orders⋈lineitem is the single big shuffle. */
+  def marketShare(s: SparkSession, dir: String, nation: String = "NATION_3",
+                  region: String = "ASIA", ptype: String = "STANDARD"): DataFrame = {
+    val pk = Tables.part(s, dir).filter(col("p_type") === ptype).select("p_partkey")
+    val custR = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(when(col("supp_nation") === nation, rev).otherwise(lit(0.0)))
+        / sum(rev), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape: product-line profit per (supplier nation, year).
+    * No partsupp → profit omits supply cost: sum(extprice·(1−disc))
+    * over parts whose name carries the product line. The LIKE-filtered
+    * part keys broadcast into lineitem (the only fact-table prune
+    * available for a mid-string pattern — no scan pushdown for '%x%'),
+    * nation broadcast; one shuffle for orders (year) + one for the
+    * final (nation, year) aggregate. */
+  def productProfit(s: SparkSession, dir: String, namePart: String = "widget"): DataFrame = {
+    val pk = Tables.part(s, dir)
+      .filter(col("p_name").contains(namePart)).select("p_partkey")
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q11 shape: important parts — per-part shipped value for one
+    * nation's suppliers, kept where the part's value exceeds a fraction
+    * of the nation's total. The HAVING-over-global-aggregate is the h22
+    * pattern again: the 1-row total broadcast into a theta join, never a
+    * collect. The per-part aggregate and the total share one scan of the
+    * nation-pruned lines via a cached-free diamond: Spark recomputes the
+    * sliver twice, which at 100 TB is still cheaper than caching the
+    * fact table — the nation prune (1/25) is applied at scan time on
+    * both branches. */
+  def importantParts(s: SparkSession, dir: String, nation: String = "NATION_5",
+                     fraction: Double = 0.002): DataFrame = {
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val lines = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+    val perPart = lines.groupBy("l_partkey").agg(sum("l_extendedprice").as("value"))
+    val total = lines.agg((sum("l_extendedprice") * fraction).as("threshold"))
+    perPart.join(broadcast(total), col("value") > col("threshold"))
+      .select(col("l_partkey").as("p_partkey"), round(col("value"), 2).as("value"))
+      .orderBy(desc("value"), asc("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape: supplier breadth per (brand, size) — how many
+    * distinct suppliers ship each part class, excluding one brand and
+    * excluding deadbeat suppliers (negative balance — the NOT IN
+    * "complaints" analog, executed as a broadcast anti-join, NOT a
+    * NOT-IN nested loop). The part↔supplier relationship comes from
+    * lineitem (no partsupp); countDistinct dedups the many lines per
+    * pair. The excluded-supplier set is dim-sized → broadcast anti; the
+    * distinct-count aggregate is the one real shuffle. */
+  def partsSupplierBreadth(s: SparkSession, dir: String, excludeBrand: String = "Brand#5",
+                           maxSize: Int = 10): DataFrame = {
+    val pf = Tables.part(s, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_size") <= maxSize)
+      .select("p_partkey", "p_brand", "p_size")
+    val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_size"))
+  }
+
+  /** TPC-H Q20 shape: suppliers with surplus stock of a promoted part
+    * line — here: one nation's suppliers who shipped more than
+    * `minQty` units of some 'red%' part in one year. The semi-join
+    * CHAIN (nation → supplier ← qualifying shipments ← red parts) runs
+    * innermost-out: red part keys broadcast into the lineitem scan, the
+    * (supp, part) HAVING aggregate reduces to qualifying suppliers, and
+    * the final supplier join is semi — each supplier emitted once no
+    * matter how many parts qualified it. */
+  def promoStockSuppliers(s: SparkSession, dir: String, nation: String = "NATION_3",
+                          namePrefix: String = "red", minQty: Double = 40.0): DataFrame = {
+    val pk = Tables.part(s, dir)
+      .filter(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val qualified = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > minQty)
+      .select("l_suppkey")
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
 }
