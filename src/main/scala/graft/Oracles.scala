@@ -79,6 +79,32 @@ object Oracles {
         |FROM prep WHERE reply_time IS NOT NULL
         |GROUP BY status_type ORDER BY status_type""".stripMargin),
 
+    "a29_client_rank_dist" -> p(
+      """SELECT client, cnt,
+        |  round(percent_rank() OVER (ORDER BY cnt, client), 6) AS pct_rank,
+        |  round(cume_dist() OVER (ORDER BY cnt, client), 6) AS cum_dist
+        |FROM (SELECT client, count(*) AS cnt FROM prep GROUP BY client)
+        |ORDER BY client""".stripMargin),
+
+    // The EWMA recurrence replayed step-for-step: a recursive CTE walks
+    // each status class's daily series in row_number order applying the
+    // SAME multiply-add as the Spark fold — identical operation order =>
+    // bit-identical doubles before the display round.
+    "j10_ewma_daily" -> (Prep.replace("WITH prep", "WITH RECURSIVE prep") +
+      """,
+        |daily AS (
+        |  SELECT status_type, date, CAST(count(*) AS DOUBLE) AS cnt,
+        |         row_number() OVER (PARTITION BY status_type ORDER BY date) AS rn
+        |  FROM prep GROUP BY status_type, date),
+        |rec AS (
+        |  SELECT status_type, date, rn, cnt AS ewma FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.status_type, d.date, d.rn, 0.3 * d.cnt + 0.7 * r.ewma
+        |  FROM daily d JOIN rec r
+        |    ON d.status_type = r.status_type AND d.rn = r.rn + 1)
+        |SELECT status_type, date, round(ewma, 6) AS ewma FROM rec
+        |ORDER BY status_type, date""".stripMargin),
+
     // ntile → INTEGER and sum(BIGINT) → BIGINT: DuckDB widens to
     // BIGINT/HUGEINT where Spark stays int/long
     // explicit bin arithmetic (DuckDB has no width_bucket); floor math
@@ -868,7 +894,18 @@ FROM allc a JOIN topc c USING(domain)"""
         |  round(avg(value), 6) AS avg_value
         |FROM (SELECT k0 - ((k0 % 10) + 10) % 10 AS k_decade, value FROM (
         |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k0, value FROM events))
-        |GROUP BY k_decade ORDER BY k_decade""".stripMargin
+        |GROUP BY k_decade ORDER BY k_decade""".stripMargin,
+
+    // from_json's typed parse mirrored with per-path extraction — on
+    // clean documents the two agree; both map malformed docs to NULL.
+    "p10_json_typed" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k,
+        |  round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type,
+        |        TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   // ---- dedup / similarity oracles (documents, embeddings tables) ----

@@ -120,4 +120,25 @@ object Preprocess {
         round(avg("value"), 6).as("avg_value"))
       .orderBy("k_decade")
   }
+
+  /** P8's typed sibling: SCHEMA-projected JSON parse via `from_json`
+    * into a struct, instead of per-path string extraction. One parse
+    * materializes every needed field (get_json_object re-parses the
+    * document per path — fine for one field, wasteful for many), the
+    * struct fields are real typed columns from there on, and `mode
+    * PERMISSIVE` maps malformed documents to a NULL struct rather than
+    * failing — the schema-on-read contract for a 100 TB semi-structured
+    * column. Rollup: per event_type, the typed k field's spread plus a
+    * parse-health count. */
+  def jsonPropsTyped(rawEvents: DataFrame): DataFrame =
+    rawEvents
+      .select(col("event_type"),
+        from_json(col("props"), lit("struct<k:int>")).as("p"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("p.k")).as("n_parsed"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"),
+        round(avg(col("p.k")), 6).as("avg_k"))
+      .orderBy("event_type")
 }

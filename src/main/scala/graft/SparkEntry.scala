@@ -87,6 +87,8 @@ object SparkEntry {
     "a23_reply_percentiles"   -> ((s, d) => Stats.replyPercentiles(prep(s, d))),
     "a24_rollup_daily"        -> ((s, d) => Stats.rollupDaily(prep(s, d))),
     "a25_cube_period_status"  -> ((s, d) => Stats.cubePeriodStatus(prep(s, d))),
+    "a29_client_rank_dist"    -> ((s, d) => Stats.clientRankDist(prep(s, d))),
+    "j10_ewma_daily"          -> ((s, d) => Stats.ewmaDaily(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
     "j08_asof_blocked_allowed_native" -> ((s, d) => AsofJoin.blockedAfterAllowedNative(prep(s, d))),
     "j09_asof_hourly_bcast" -> ((s, d) => AsofJoin.blockedVsHourlyAllowed(prep(s, d))),
@@ -150,6 +152,7 @@ object SparkEntry {
     "p07_stratified_summary"  -> ((s, d) => Sampling.stratifiedSummary(Tables.documents(s, d))),
     // semi-structured extraction from the raw events' JSON props
     "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
+    "p10_json_typed"          -> ((s, d) => Preprocess.jsonPropsTyped(Tables.eventsRaw(s, d))),
     // the composed curation pipeline (exact dedup -> near-dup clusters ->
     // quality floor -> deterministic 3/4 sample), oracle-checked end-to-end
     "p09_curated_corpus"      -> ((s, d) => Pipeline.curate(Tables.documents(s, d), sampleBuckets = 192)),

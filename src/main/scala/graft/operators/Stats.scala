@@ -406,4 +406,56 @@ object Stats {
       .agg((avg(col("gap_us")) / 1e6).as("mean_gap_s"))
       .orderBy("status_type")
   }
+
+  /** Exponentially-weighted moving average of the daily count series,
+    * per status class — the time-series smoothing layer a monitoring
+    * dashboard puts over A7's raw counts. EWMA is a RECURRENCE
+    * (y_t = α·x_t + (1−α)·y_{t−1}), which no SQL window frame can
+    * express — Spark's window aggregates cannot reference their own
+    * previous output. The idiomatic escape hatch (before reaching for a
+    * custom Expression) is a higher-order-function fold: collect each
+    * group's already-tiny daily series into an ordered array and run
+    * `aggregate` over it, appending each step's smoothed value.
+    *
+    * Scale shape: the fold is PER GROUP over a bounded series (one
+    * element per day — 365 rows/year/group), parallel across groups,
+    * after a map-side-combined daily pre-aggregate has reduced the fact
+    * table by ~|rows/day|. The group cardinality (status classes, or
+    * clients in a per-client variant) carries the parallelism; the
+    * series length is the only sequential dimension, exactly as the
+    * recurrence demands. The oracle mirrors the fold step-for-step with
+    * a recursive CTE — same multiply-add order, so the doubles match
+    * bit-for-bit before the final display round. */
+  def ewmaDaily(prep: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val daily = prep.groupBy("status_type", "date")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    daily.groupBy("status_type")
+      .agg(array_sort(collect_list(struct(col("date"), col("cnt")))).as("series"))
+      .select(col("status_type"), explode(expr(
+        s"""aggregate(series,
+           |  cast(array() as array<struct<date:date,ewma:double>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'date', x.date,
+           |    'ewma', if(size(acc) = 0, x.cnt,
+           |               $alpha * x.cnt + ${1 - alpha} * element_at(acc, -1).ewma))))"""
+          .stripMargin)).as("e"))
+      .select(col("status_type"), col("e.date").as("date"),
+        round(col("e.ewma"), 6).as("ewma"))
+      .orderBy("status_type", "date")
+  }
+
+  /** Relative-standing analytics over per-client activity: percent_rank
+    * (share of clients strictly below) and cume_dist (share at-or-below)
+    * — the ranking-family members a27's ntile does not cover. Both are
+    * rank-function rewrites over one ordered pass of the |clients|-sized
+    * aggregate; ties share a value, so the output is shuffle-order-
+    * independent given the deterministic (cnt, client) sort. */
+  def clientRankDist(prep: DataFrame): DataFrame = {
+    val counts = prep.groupBy("client").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(asc("cnt"), asc("client"))
+    counts.select(col("client"), col("cnt"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy("client")
+  }
 }

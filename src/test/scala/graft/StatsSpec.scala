@@ -91,6 +91,33 @@ class StatsSpec extends SparkSpec {
     assert(r.getString(3) == "c1") // top client within class (2 allowed? c1:1, c2:1 → tie → asc → c1)
   }
 
+  test("EWMA daily: recurrence y_t = 0.3 x_t + 0.7 y_{t-1}, seeded at x_0") {
+    // one status class (Allowed), three days with counts 2, 1, 3:
+    // y0=2, y1=.3*1+.7*2=1.7, y2=.3*3+.7*1.7=2.09
+    def day(n: Int) = 1704067200L + n * 86400L
+    val rows = Seq(
+      Row(1, day(0), 1, 2, "d", "c", 1.0), Row(2, day(0), 1, 2, "d", "c", 1.0),
+      Row(3, day(1), 1, 2, "d", "c", 1.0),
+      Row(4, day(2), 1, 2, "d", "c", 1.0), Row(5, day(2), 1, 2, "d", "c", 1.0),
+      Row(6, day(2), 1, 2, "d", "c", 1.0))
+    val e = Stats.ewmaDaily(prepOf(rows)).collect().map(_.getDouble(2)).toSeq
+    assert(e == Seq(2.0, 1.7, 2.09))
+    // empty input: plan still executes
+    assert(Stats.ewmaDaily(emptyPrep).count() == 0)
+  }
+
+  test("client rank distributions: percent_rank in [0,1], cume_dist ends at 1") {
+    val rows = Seq(
+      Row(1, 1704067200L, 1, 2, "d", "c1", 1.0),
+      Row(2, 1704067201L, 1, 2, "d", "c1", 1.0),
+      Row(3, 1704067202L, 1, 2, "d", "c2", 1.0),
+      Row(4, 1704067203L, 1, 2, "d", "c3", 1.0))
+    val r = Stats.clientRankDist(prepOf(rows)).collect()
+      .map(x => (x.getString(0), x.getDouble(2), x.getDouble(3))).toSeq
+    // order by client: c1 (cnt 2, highest) pct_rank 1.0; c2 < c3 by tie-break
+    assert(r == Seq(("c1", 1.0, 1.0), ("c2", 0.0, 0.333333), ("c3", 0.5, 0.666667)))
+  }
+
   test("inter-arrival means per class (stats.py:382-388)") {
     // Allowed at t=0,10,30 → gaps 10,20 → mean 15; Blocked at t=5,6 → gap 1
     val rows = Seq(
