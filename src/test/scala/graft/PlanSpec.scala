@@ -178,4 +178,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }.nonEmpty), "per-part aggregate must consume the brand-pruned join")
   }
+
+  test("h02 correlated min: lineitem scanned once, 3 columns, both prunes broadcast") {
+    val df = SparkEntry.queries("h02_min_cost_supplier")(spark, dir)
+    val liScans = leafScans(df).filter(_.contains("lineitem.parquet"))
+    assert(liScans.size == 1, s"fact table must be scanned once, got ${liScans.size}")
+    assert(liScans.head.contains(
+      "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,l_extendedprice:double>"),
+      liScans.head)
+    // the per-part regional min is a Window over the (part, supp)
+    // aggregate — never a self-join of the fact table
+    val plan = executed(df).toString
+    assert(plan.contains("Window"), plan.take(500))
+  }
+
+  test("h16 NOT-IN supplier exclusion compiles to a broadcast anti join") {
+    val df = SparkEntry.queries("h16_parts_suppliers")(spark, dir)
+    val plan = executed(df).toString
+    assert(plan.contains("LeftAnti") && plan.contains("Broadcast"), plan.take(800))
+  }
 }
