@@ -138,6 +138,7 @@ object SparkEntry {
     "s05_knn_ivf_trained"     -> ((s, d) => Similarity.knnIvfTrained(Tables.embeddings(s, d), 5, 10)),
     "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
     "s07_knn_topk_agg"        -> ((s, d) => Similarity.knnBruteAgg(Tables.embeddings(s, d), 5, 10)),
+    "s08_knn_pq"              -> ((s, d) => Similarity.knnPq(Tables.embeddings(s, d), 5, 10)),
     // training-data pipeline: text analysis over documents
     "t01_lang_id"             -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "t02_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),

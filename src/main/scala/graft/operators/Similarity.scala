@@ -303,6 +303,102 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization codebooks: the embedding dimension is cut into
+    * `m` contiguous subspaces and a `codes`-entry k-means codebook is
+    * trained per subspace over the corpus' subvectors (reusing
+    * [[kmeansCentroids]] per slice — training is a write-time batch job
+    * at scale, typically over a sample). Returns (subspace, cell, centv)
+    * with |rows| = m·codes — always broadcastable. */
+  def pqCodebooks(emb: DataFrame, m: Int, codes: Int, iterations: Int): DataFrame = {
+    val dim = 64 // embeddings table contract; validated in MultimodalSpec fixtures
+    val sub = dim / m
+    (0 until m).map { i =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), i * sub + 1, sub).as("embedding"))
+      kmeansCentroids(sliced, codes, iterations)
+        .select(lit(i).as("subspace"), col("cell"), col("centv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: each vector becomes `m` small integers — the id of its
+    * nearest codebook entry per subspace. 64 float dims compress to m
+    * bytes (64× here), which is what lets a 100 TB corpus' index live in
+    * executor memory. One dimension-sliced explode (no shuffle), a
+    * broadcast of the m·codes codebook, and an argmin window partitioned
+    * by (vec_id, subspace). */
+  def pqEncode(emb: DataFrame, books: DataFrame, m: Int): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
+      slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
+    val sliced = emb.select(col("vec_id"), explode(subs).as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"),
+        transform(col("s.sv"), x => x.cast("double")).as("dv"))
+    val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist2"), asc("cell"))
+    sliced.join(broadcast(books), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"), col("cell"),
+        (dot(col("dv"), col("dv")) - lit(2.0) * dot(col("dv"), col("centv"))
+          + dot(col("centv"), col("centv"))).as("dist2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("cell").as("code"))
+  }
+
+  /** PQ-ADC kNN with exact re-ranking — the compressed-index scale path.
+    * Asymmetric distance computation: each query precomputes a lookup
+    * table ||q_s − c||² per (subspace, code) — nQueries·m·codes rows,
+    * broadcast — and a vector's approximate distance is the SUM of its m
+    * codes' table entries. The corpus side therefore never ships
+    * embeddings: the (vec_id, subspace, code) relation joins the
+    * broadcast table, the per-vector sum partial-aggregates map-side
+    * (m rows → 1), and the per-query shortlist reduces through the
+    * single-pass top-k heap aggregate ([[graft.functions.TopKByScore]])
+    * — k·partitions rows cross the final shuffle, not |corpus|.
+    * The shortlist is then re-scored EXACTLY (cosine over the real
+    * vectors, a |shortlist|-sized broadcast semi-join) so the output
+    * ranking is true cosine order — approximation affects recall only,
+    * never the reported scores. Rows-only driver check (like s04-s06:
+    * learned quantization isn't SQL-mirrorable); recall vs brute and
+    * code-range invariants pinned in StorageSpec. */
+  def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
+            codes: Int = 16, iterations: Int = 2, shortlist: Int = 50): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    // no persist needed: kmeansCentroids returns a driver-local relation
+    // (m·codes rows), so both consumers below read a LocalRelation
+    val books = pqCodebooks(emb, m, codes, iterations)
+    val codesDf = pqEncode(emb, books, m)
+    // per-query ADC lookup table: ||q_s - c||^2 for every (subspace, code)
+    val qsubs = array((0 until m).map(i => struct(lit(i).as("subspace"),
+      slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
+    val qTable = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(qsubs).as("s"))
+      .select(col("query_id"), col("s.subspace").as("subspace"),
+        transform(col("s.sv"), x => x.cast("double")).as("qdv"))
+      .join(broadcast(books), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cell").as("code"),
+        (dot(col("qdv"), col("qdv")) - lit(2.0) * dot(col("qdv"), col("centv"))
+          + dot(col("centv"), col("centv"))).as("d2"))
+    val approx = codesDf.join(broadcast(qTable), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id").agg(sum("d2").as("adist"))
+    val short = approx.groupBy("query_id")
+      .agg(graft.functions.topk_by_score(-col("adist"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.id").as("neighbor_id"))
+    // exact re-rank of the shortlist
+    val vecs = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vn"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("vn").as("qn"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    short
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pairCos(col("qv"), col("embedding"), col("qn"), col("vn")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Pairwise cosine above `threshold` within label blocks — embedding
     * near-duplicate detection with an explicit blocking key, the standard
     * way to bound the pair join (block × block instead of n²). At 100 TB

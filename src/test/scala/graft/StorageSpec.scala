@@ -148,6 +148,32 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z").count() == 20000)
   }
 
+  test("PQ-ADC: codes compress to [0, K), re-ranked scores are exact, recall usable") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = Similarity.pqCodebooks(emb, m = 4, codes = 8, iterations = 1)
+    assert(books.count() == 32) // 4 subspaces × 8 codes
+    assert(books.collect().forall(_.getAs[Seq[Double]]("centv").length == 16))
+    val codes = Similarity.pqEncode(emb, books, m = 4)
+    // every vector gets exactly one code per subspace, all within range
+    assert(codes.count() == 500 * 4)
+    assert(codes.agg(min("code"), max("code")).head match {
+      case r => r.getInt(0) >= 0 && r.getInt(1) < 8
+    })
+    val brute = Similarity.knnBrute(emb, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.knnPq(emb, 5, 10, m = 4, codes = 8,
+      iterations = 1, shortlist = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the exact re-rank means any pair ALSO in the brute result carries
+    // the identical cosine — approximation affects recall, never scores
+    val common = brute.keySet & pq.keySet
+    assert(common.forall(p => brute(p) == pq(p)))
+    val recall = common.size.toDouble / brute.size
+    assert(recall > 0.5, s"PQ recall too low: $recall")
+  }
+
   test("multi-probe LSH recall dominates single-probe and candidate pairs are unique") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
