@@ -1248,7 +1248,42 @@ FROM allc a JOIN topc c USING(domain)"""
         |SELECT md5(norm_text) AS norm_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_id,
         |  CAST(min(length(norm_text)) AS INTEGER) AS norm_len
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every fraction below is a ratio of exact integers; identical
+    // double division order on both engines
+    "t08_repetition_rules" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY doc_id, w
+        |), ws AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, count(*) AS n_distinct,
+        |         max(cnt) AS top_word_cnt,
+        |         CAST(sum(length(w) * cnt) AS DOUBLE) / sum(cnt) AS mwl,
+        |         CAST(sum(CASE WHEN w IN ('the', 'a') THEN cnt ELSE 0 END) AS BIGINT) AS stop_cnt
+        |  FROM wc GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         count(DISTINCT b) AS n_distinct_bigrams
+        |  FROM (SELECT doc_id,
+        |          ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS b
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+        |             unnest(generate_series(1, len(ws) - 1)) t(i)
+        |        WHERE len(ws) >= 2)
+        |  GROUP BY doc_id)
+        |SELECT ws.doc_id, n_words, n_distinct,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(CAST(top_word_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+        |  round(CAST(stop_cnt AS DOUBLE) / n_words, 6) AS stop_frac,
+        |  round(coalesce(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 0.0), 6)
+        |    AS dup_bigram_frac,
+        |  (n_words BETWEEN 10 AND 1000 AND mwl BETWEEN 2.0 AND 10.0
+        |   AND CAST(top_word_cnt AS DOUBLE) / n_words <= 0.12
+        |   AND coalesce(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 0.0) <= 0.2)
+        |    AS keep
+        |FROM ws LEFT JOIN bg ON ws.doc_id = bg.doc_id
+        |ORDER BY ws.doc_id""".stripMargin
   )
 
   /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure

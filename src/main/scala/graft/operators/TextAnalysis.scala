@@ -173,4 +173,50 @@ object TextAnalysis {
   def rollingFingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.functions.rolling_hash(col("text")).as("rh"))
       .orderBy("doc_id")
+
+  /** T8: Gopher-style repetition/quality rules — the filter battery a
+    * pretraining pipeline runs before anything model-based. Unlike T2's
+    * per-row scalar features, the repetition signals need DISTRIBUTIONAL
+    * stats of each document (top-word share, duplicate-bigram share), so
+    * the shape is explode → per-(doc, term) count → per-doc aggregate:
+    * two shuffles keyed by doc_id, both map-side combined, merged by a
+    * co-partitioned join. Thresholds are the Gopher paper's adapted to
+    * this corpus; `keep` is their conjunction. Every fraction is an
+    * integer ratio rounded identically on both engines. */
+  def repetitionRules(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(col("ws")).as("w"))
+    val wordStats = words.filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_word_cnt"),
+        (sum(length(col("w")) * col("cnt")).cast("double") / sum("cnt")).as("mwl"),
+        sum(when(col("w").isin("the", "a"), col("cnt")).otherwise(lit(0L))).as("stop_cnt"))
+    val bigrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+    val bigramStats = bigrams.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      countDistinct(col("bg")).as("n_distinct_bigrams"))
+    val topFrac = col("top_word_cnt").cast("double") / col("n_words")
+    val stopFrac = col("stop_cnt").cast("double") / col("n_words")
+    val dupBgFrac = lit(1.0) -
+      col("n_distinct_bigrams").cast("double") / col("n_bigrams")
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        round(topFrac, 6).as("top_word_frac"),
+        round(stopFrac, 6).as("stop_frac"),
+        round(coalesce(dupBgFrac, lit(0.0)), 6).as("dup_bigram_frac"),
+        (col("n_words").between(10, 1000) &&
+          col("mwl").between(2.0, 10.0) &&
+          topFrac <= 0.12 &&
+          coalesce(dupBgFrac, lit(0.0)) <= 0.2).as("keep"))
+      .orderBy("doc_id")
+  }
 }
