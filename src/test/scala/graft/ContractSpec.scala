@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite {
     * byte-walk). */
   private val rowsOnly = Set(
     "a11_approx_distinct", "a11_hll_daily_rollup", "a11_cms_domain_counts",
-    "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained", "s06_knn_lsh_multiprobe")
+    "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained", "s06_knn_lsh_multiprobe",
+    "s08_knn_pq")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
