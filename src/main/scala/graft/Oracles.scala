@@ -79,6 +79,26 @@ object Oracles {
         |FROM prep WHERE reply_time IS NOT NULL
         |GROUP BY status_type ORDER BY status_type""".stripMargin),
 
+    "a30_grouping_sets" -> p(
+      """SELECT date, status_type, count(*) AS cnt,
+        |  CAST(GROUPING(date, status_type) AS INTEGER) AS gid
+        |FROM prep
+        |GROUP BY GROUPING SETS ((date), (status_type), ())
+        |ORDER BY date ASC NULLS FIRST, status_type ASC NULLS FIRST""".stripMargin),
+
+    // forward as-of mirrored as a correlated min-subquery: earliest
+    // blocked event at-or-after each allowed event per client
+    "j11_asof_forward" -> p(
+      """SELECT a.client, a.id, a.ts,
+        |  (SELECT min(b.ts) FROM prep b
+        |   WHERE b.status_type = 'Blocked' AND b.client = a.client
+        |     AND b.ts >= a.ts) AS next_blocked_ts,
+        |  round((epoch_us((SELECT min(b.ts) FROM prep b
+        |                   WHERE b.status_type = 'Blocked' AND b.client = a.client
+        |                     AND b.ts >= a.ts)) - epoch_us(a.ts)) / 1e6, 6) AS gap_s
+        |FROM prep a WHERE a.status_type = 'Allowed'
+        |ORDER BY a.client, a.ts, a.id""".stripMargin),
+
     "a29_client_rank_dist" -> p(
       """SELECT client, cnt,
         |  round(percent_rank() OVER (ORDER BY cnt, client), 6) AS pct_rank,

@@ -88,7 +88,9 @@ object SparkEntry {
     "a24_rollup_daily"        -> ((s, d) => Stats.rollupDaily(prep(s, d))),
     "a25_cube_period_status"  -> ((s, d) => Stats.cubePeriodStatus(prep(s, d))),
     "a29_client_rank_dist"    -> ((s, d) => Stats.clientRankDist(prep(s, d))),
+    "a30_grouping_sets"       -> ((s, d) => Stats.groupingSetsDailyStatus(prep(s, d))),
     "j10_ewma_daily"          -> ((s, d) => Stats.ewmaDaily(prep(s, d))),
+    "j11_asof_forward"        -> ((s, d) => AsofJoin.allowedBeforeBlocked(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
     "j08_asof_blocked_allowed_native" -> ((s, d) => AsofJoin.blockedAfterAllowedNative(prep(s, d))),
     "j09_asof_hourly_bcast" -> ((s, d) => AsofJoin.blockedVsHourlyAllowed(prep(s, d))),

@@ -48,6 +48,37 @@ object AsofJoin {
       .drop("_is_left").drop(payloadCols.map(c => s"_r_$c"): _*)
   }
 
+  /** The FORWARD as-of — each left row gains the payload of the EARLIEST
+    * right row with `right.ts >= left.ts` on the same key (null when
+    * none): "next event at-or-after". Mirror image of [[asof]]: same
+    * union + one-shuffle window plan, but the frame runs from the
+    * current row FORWARD and `first(..., ignoreNulls)` picks the nearest
+    * following right row. Left rows sort BEFORE right rows on equal ts
+    * (`_is_left` desc) so ties are included — ">=" semantics; payload
+    * columns as trailing ascending sort keys make equal-(key, ts) right
+    * rows resolve to the SMALLEST payload tuple, the forward-direction
+    * twin of [[asof]]'s greatest-tuple rule. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val leftTagged = left.withColumn("_is_left", lit(1))
+      .withColumns(payloadCols.map(c => s"_r_$c" -> lit(null)).toMap)
+    val rightTagged = right
+      .select(Seq(col(keyCol), col(tsCol)) ++ payloadCols.map(c => col(c).as(s"_r_$c")): _*)
+      .withColumn("_is_left", lit(0))
+    val unioned = leftTagged.columns.foldLeft(rightTagged) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(leftTagged.columns.map(col): _*).unionByName(leftTagged)
+    val tieBreaks = payloadCols.map(c => col(s"_r_$c").asc_nulls_last)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc +: col("_is_left").desc +: tieBreaks: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", first(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_left") === 1)
+      .drop("_is_left").drop(payloadCols.map(c => s"_r_$c"): _*)
+  }
+
   /** Broadcast as-of — the zero-left-shuffle form for dim-sized right
     * sides. The union+window and native forms both shuffle the LEFT side
     * on the key; at the 100 TB design point the left is the fact table,
@@ -110,6 +141,22 @@ object AsofJoin {
     asofBroadcast(blocked, hourly, "client", "ts", Seq("hour_ts", "n_allowed"))
       .select(col("client"), col("id"), col("ts"),
         col("asof_hour_ts").as("hour_ts"), col("asof_n_allowed").as("n_allowed"))
+      .orderBy("client", "ts", "id")
+  }
+
+  /** The forward analytic: for each Allowed event, the NEXT Blocked
+    * event of the same client at-or-after it — "time to next failure".
+    * Same one-shuffle plan as j05, direction reversed. */
+  def allowedBeforeBlocked(prep: DataFrame): DataFrame = {
+    val allowed = prep.filter(col("status_type") === "Allowed")
+      .select("client", "ts", "id")
+    val blocked = prep.filter(col("status_type") === "Blocked")
+      .select(col("client"), col("ts"), col("ts").as("blocked_ts"))
+    asofForward(allowed, blocked, "client", "ts", Seq("blocked_ts"))
+      .select(col("client"), col("id"), col("ts"),
+        col("asof_blocked_ts").as("next_blocked_ts"),
+        round((unix_micros(col("asof_blocked_ts")) - unix_micros(col("ts"))) / lit(1e6), 6)
+          .as("gap_s"))
       .orderBy("client", "ts", "id")
   }
 

@@ -407,6 +407,20 @@ object Stats {
       .orderBy("status_type")
   }
 
+  /** Explicit GROUPING SETS — the general grouping-set form beyond
+    * rollup (a24, prefix lattice) and cube (a25, full lattice): exactly
+    * the requested sets ((date), (status_type), ()) computed in ONE scan
+    * with a single expand+aggregate, where three separate queries would
+    * scan three times. `grouping_id` disambiguates which set produced a
+    * row (bit = 1 means the column was aggregated away). */
+  def groupingSetsDailyStatus(prep: DataFrame): DataFrame =
+    prep.groupingSets(
+        Seq(Seq(col("date")), Seq(col("status_type")), Seq()),
+        col("date"), col("status_type"))
+      .agg(count(lit(1)).as("cnt"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(asc_nulls_first("date"), asc_nulls_first("status_type"))
+
   /** Exponentially-weighted moving average of the daily count series,
     * per status class — the time-series smoothing layer a monitoring
     * dashboard puts over A7's raw counts. EWMA is a RECURRENCE

@@ -37,6 +37,22 @@ class AsofNativeSpec extends SparkSpec {
       viaWindow.exceptAll(viaNative).count() == 0)
   }
 
+  test("forward asof: earliest at-or-after right row, ties included, none → null") {
+    val left = df("client STRING, ts TIMESTAMP, id INT", Seq(
+      Row("c1", ts("2024-01-01 00:00:05"), 1),   // next right at :07
+      Row("c1", ts("2024-01-01 00:00:07"), 2),   // tie: >= includes :07
+      Row("c1", ts("2024-01-01 00:00:30"), 3),   // nothing after → null
+      Row("c2", ts("2024-01-01 00:00:01"), 4)))  // no right rows at all
+    val right = df("client STRING, ts TIMESTAMP, v STRING", Seq(
+      Row("c1", ts("2024-01-01 00:00:03"), "before"),
+      Row("c1", ts("2024-01-01 00:00:07"), "b"),
+      Row("c1", ts("2024-01-01 00:00:07"), "a"))) // equal-ts tie → smallest
+    val out = AsofJoin.asofForward(left, right, "client", "ts", Seq("v"))
+      .orderBy("id").select("id", "asof_v").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq
+    assert(out == Seq(1 -> Some("a"), 2 -> Some("a"), 3 -> None, 4 -> None))
+  }
+
   test("native asof tie-break: several right rows on one (key, ts) attach the greatest payload") {
     val left = df("client STRING, ts TIMESTAMP, id INT",
       Seq(Row("c1", ts("2024-01-01 00:00:10"), 1)))
