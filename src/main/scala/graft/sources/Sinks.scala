@@ -45,4 +45,24 @@ object Sinks {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Incremental maintenance of a date-partitioned layout: REPLACE only
+    * the partitions present in `delta`, leave every other day's files
+    * untouched. This is how the hourly "materialized view" (a16) stays
+    * current at 100 TB — late events re-derive their affected days and
+    * this upsert rewrites exactly those directories, never the history.
+    * Implemented with dynamic partition overwrite (scoped to this write
+    * via the DataFrameWriter option, not session state), the same
+    * mechanism a nightly backfill or GDPR-delete rewrite uses. A full
+    * `mode("overwrite")` without it would TRUNCATE the table — pinned as
+    * the counter-case in `StorageSpec`. */
+  def upsertDatePartitions(delta: DataFrame, path: String,
+                           maxRecordsPerFile: Long = 5000000L): Unit =
+    delta.repartition(col("date"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("date")
+      .parquet(path)
 }

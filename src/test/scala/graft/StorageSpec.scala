@@ -48,6 +48,29 @@ class StorageSpec extends SparkSpec {
     assert(tsOrder.sameElements(tsOrder.sorted((a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b))))
   }
 
+  test("Sinks.upsertDatePartitions: delta days replaced, other days untouched, full overwrite truncates") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val prep = FtlFixture.prep(spark, 11, 2000)
+    graft.sources.Sinks.writeDatePartitioned(prep, s"$dir/view")
+    val before = spark.read.parquet(s"$dir/view")
+    val total = before.count()
+    val days = before.select("date").distinct().count()
+    // rebuild ONE day with halved content (late-data reprocessing shape)
+    val day = before.select(min("date")).head.getDate(0)
+    val delta = prep.filter(col("date") === lit(day)).filter(col("id") % 2 === 0)
+    val deltaN = delta.count()
+    val oldDayN = before.filter(col("date") === lit(day)).count()
+    graft.sources.Sinks.upsertDatePartitions(delta, s"$dir/view")
+    val after = spark.read.parquet(s"$dir/view")
+    // the delta day now holds exactly the delta rows; everything else intact
+    assert(after.filter(col("date") === lit(day)).count() == deltaN)
+    assert(after.count() == total - oldDayN + deltaN)
+    assert(after.select("date").distinct().count() == days)
+    // counter-case: static overwrite of the same delta TRUNCATES history
+    graft.sources.Sinks.writeDatePartitioned(delta, s"$dir/view")
+    assert(spark.read.parquet(s"$dir/view").count() == deltaN)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_wh").toString
     spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
