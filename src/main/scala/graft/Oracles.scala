@@ -1123,7 +1123,27 @@ FROM allc a JOIN topc c USING(domain)"""
       |  FROM sim, (VALUES (0), (1), (2), (3)) c(chunk_idx))
       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-      |ORDER BY i, j""".stripMargin)
+      |ORDER BY i, j""".stripMargin),
+
+    // candidates + exact Hamming over the two 32-bit signature halves
+    "d10_simhash_verified" -> (simhashCte + """,
+      |ch AS (
+      |  SELECT doc_id, c.chunk_idx, substr(simhash, c.chunk_idx * 4 + 1, 4) AS chunk
+      |  FROM sim, (VALUES (0), (1), (2), (3)) c(chunk_idx)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM ch a JOIN ch b
+      |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      |h AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(simhash, 1, 8)) AS BIGINT) AS h1,
+      |         CAST(('0x' || substr(simhash, 9, 8)) AS BIGINT) AS h2
+      |  FROM sim)
+      |SELECT c.i, c.j,
+      |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INTEGER) AS hamming
+      |FROM cands c JOIN h a ON a.doc_id = c.i JOIN h b ON b.doc_id = c.j
+      |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+      |ORDER BY c.i, c.j""".stripMargin)
   )
 
   val similarity: Map[String, String] = Map(

@@ -131,6 +131,7 @@ object SparkEntry {
     "d06_dup_clusters"        -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
     "d08_edit_verified"       -> ((s, d) => Dedup.editVerified(Tables.documents(s, d))),
     "d09_minhash_cands_fast"  -> ((s, d) => Dedup.lshCandidatesFast(Tables.documents(s, d))),
+    "d10_simhash_verified"    -> ((s, d) => Dedup.simhashVerified(Tables.documents(s, d))),
     "d07_verified_clusters"   -> ((s, d) => Dedup.verifiedClusters(Tables.documents(s, d), 0.8)),
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),

@@ -364,7 +364,10 @@ object Dedup {
     * equal (pigeonhole) — the banding trick again, on bit-chunks. */
   def simhashCandidates(docs: DataFrame): DataFrame = {
     freshPipeline()
-    val sig = shared(simhashSig(docs))
+    simhashCandsFrom(shared(simhashSig(docs)))
+  }
+
+  private def simhashCandsFrom(sig: DataFrame): DataFrame = {
     val chunks = (0 until 4).map(cn =>
       struct(lit(cn).as("chunk_idx"), expr(s"substr(simhash, ${cn * 4 + 1}, 4)").as("chunk")))
     val chunked = sig.select(col("doc_id"), explode(array(chunks: _*)).as("c"))
@@ -373,6 +376,32 @@ object Dedup {
     val b = chunked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("j"))
     a.join(b, Seq("chunk_idx", "chunk")).filter(col("i") < col("j"))
       .select("i", "j").distinct().orderBy("i", "j")
+  }
+
+  /** The SimHash VERIFY stage: exact Hamming distance over the candidate
+    * pairs, keeping those within `maxHamming` bits — the cheap
+    * fingerprint-space verification (64-bit XOR + popcount per pair,
+    * vs Jaccard's shingle-intersection join; use [[jaccardVerified]]
+    * when the verdict must reflect content, this when fingerprint
+    * distance suffices). The 16-hex signature is compared as two 32-bit
+    * halves: each parses into a non-negative BIGINT on every engine
+    * (one 64-bit parse would overflow signed range), and
+    * bit_count(xor()) stays whole-stage-codegen'd — no UDF. Banding
+    * guarantees (pigeonhole) that NO pair within maxHamming=3 is
+    * missed: 4 chunks, ≤3 flipped bits → some chunk untouched. */
+  def simhashVerified(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    freshPipeline()
+    val sig = shared(simhashSig(docs))
+    val cands = simhashCandsFrom(sig)
+    def halves(side: String) = sig.select(col("doc_id").as(side),
+      expr("cast(conv(substr(simhash, 1, 8), 16, 10) as bigint)").as(s"_h1$side"),
+      expr("cast(conv(substr(simhash, 9, 8), 16, 10) as bigint)").as(s"_h2$side"))
+    cands.join(halves("i"), Seq("i")).join(halves("j"), Seq("j"))
+      .select(col("i"), col("j"),
+        (bit_count(col("_h1i").bitwiseXOR(col("_h1j"))) +
+         bit_count(col("_h2i").bitwiseXOR(col("_h2j")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("i", "j")
   }
 
   /** Correct shingle relation (doc_id, s) — distinct n-gram per doc. */
