@@ -34,4 +34,32 @@ object StreamingSketch {
       count(lit(1)).as("n_days"),
       hll_sketch_estimate(hll_union_agg(col("domain_sketch")))
         .as("est_distinct_domains"))
+
+  /** The FREQUENCY twin of [[dailyDomainSketch]]: one count-min sketch
+    * per closed day, maintained incrementally under the same watermark.
+    * CMS partials are counter matrices — commutative, mergeable, fixed
+    * size — so the streaming state per open day is constant no matter
+    * the domain cardinality, exactly like the HLL path but answering
+    * "how often" instead of "how many distinct". The emitted binary
+    * sketch re-merges downstream ([[probeCounts]]) for any date range
+    * without touching the stream again. Seed pinned (42) so batch and
+    * streaming sketches are bit-comparable. */
+  def dailyDomainCms(prep: DataFrame): DataFrame =
+    prep.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr("count_min_sketch(domain, 0.001d, 0.99d, 42)").as("cms"))
+      .select(col("w.start").as("day"), col("cms"))
+
+  /** Merge a CMS rollup's days on the driver and probe the given keys —
+    * the serving-side read of the incremental rollup (estimates are
+    * upper bounds: ≥ true count, ≤ true + ε·N w.h.p.). */
+  def probeCounts(rollup: DataFrame, keys: Seq[String]): Seq[(String, Long)] = {
+    val sketches = rollup.select("cms").collect().map(_.getAs[Array[Byte]](0))
+      .map(b => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+    sketches.reduceOption { (a, b) => a.mergeInPlace(b); a } match {
+      case Some(m) => keys.map(k => k -> m.estimateCount(k))
+      case None => keys.map(_ -> 0L)
+    }
+  }
 }

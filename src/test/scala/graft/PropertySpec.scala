@@ -47,6 +47,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("forward asof equals the naive per-row min(right.ts >= left.ts), ties included") {
+    for (seed <- 1L to 8L) {
+      val evs = sample(eventsGen, seed).zipWithIndex
+      val left = df("client STRING, ts TIMESTAMP, id BIGINT",
+        evs.collect { case ((k, t, 1), i) =>
+          Row(k, new java.sql.Timestamp(t * 1000), i.toLong) })
+      val right = df("client STRING, ts TIMESTAMP, blocked_ts TIMESTAMP",
+        evs.collect { case ((k, t, 0), _) =>
+          Row(k, new java.sql.Timestamp(t * 1000), new java.sql.Timestamp(t * 1000)) })
+      val got = AsofJoin.asofForward(left, right, "client", "ts", Seq("blocked_ts"))
+        .select("client", "id", "asof_blocked_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> Option(r.getTimestamp(2))).toMap
+      // naive oracle: for each left row, the min right ts >= its ts
+      val rightTs = evs.collect { case ((k, t, 0), _) => (k, t) }
+      val want = evs.collect { case ((k, t, 1), i) =>
+        (k, i.toLong) -> rightTs.filter(r => r._1 == k && r._2 >= t)
+          .map(_._2).minOption.map(m => new java.sql.Timestamp(m * 1000))
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("exact-dedup summary satisfies its counting identities on random corpora") {
     val corpusGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e", "f words here"))
     for (seed <- 1L to 5L) {

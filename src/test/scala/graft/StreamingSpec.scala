@@ -242,6 +242,45 @@ class StreamingSpec extends SparkSpec {
     assert(merged.getLong(0) > 0 && merged.getLong(1) == batchMerged.getLong(0))
   }
 
+  test("streaming CMS daily rollup: merged probes bound exact counts from above") {
+    import graft.streaming.StreamingSketch
+    val dir = "/root/testdata/sf0.001"
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_cms_ckpt").toString
+    val stream = StreamingHourly.eventsStream(spark, dir).select("ts", "domain")
+    val q = StreamingSketch.dailyDomainCms(stream)
+      .writeStream.queryName("cms_stream").outputMode("append").format("memory")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rollup = spark.table("cms_stream")
+    assert(rollup.count() > 0)
+    // exact counts restricted to the EMITTED days (append mode withholds
+    // the last open day), keyed the same way the probe is
+    val prep = Preprocess.preprocessEvents(Tables.events(spark, dir))
+    val emitted = prep.join(rollup.select(col("day")).distinct(),
+      date_trunc("DAY", col("ts")) === col("day"), "left_semi")
+    val exact = emitted.groupBy("domain").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("domain")).limit(5).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val probes = StreamingSketch.probeCounts(rollup, exact.map(_._1).toSeq).toMap
+    val total = emitted.count()
+    exact.foreach { case (dom, cnt) =>
+      val est = probes(dom)
+      assert(est >= cnt, s"CMS must never undercount: $dom est=$est exact=$cnt")
+      assert(est <= cnt + (0.001 * 2 * total).toLong + 1,
+        s"CMS estimate too loose: $dom est=$est exact=$cnt n=$total")
+    }
+    // streaming per-day sketch ≡ batch per-day sketch (same seed/eps):
+    // probing the same key through either path gives the same estimate
+    val batchCms = prep
+      .join(rollup.select(col("day")).distinct(),
+        date_trunc("DAY", col("ts")) === col("day"), "left_semi")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(expr("count_min_sketch(domain, 0.001d, 0.99d, 42)").as("cms"))
+    val batchProbes = StreamingSketch.probeCounts(batchCms, exact.map(_._1).toSeq).toMap
+    assert(exact.forall { case (dom, _) => probes(dom) == batchProbes(dom) })
+  }
+
   test("streaming session counts drain equals batch session_window (all on-time)") {
     val dir = "/root/testdata/sf0.001"
     val checkpoint = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
