@@ -396,7 +396,12 @@ object Dedup {
     def halves(side: String) = sig.select(col("doc_id").as(side),
       expr("cast(conv(substr(simhash, 1, 8), 16, 10) as bigint)").as(s"_h1$side"),
       expr("cast(conv(substr(simhash, 9, 8), 16, 10) as bigint)").as(s"_h2$side"))
-    cands.join(halves("i"), Seq("i")).join(halves("j"), Seq("j"))
+    // the candidate pairs (~|near-dups|) are the BUILD side of both
+    // lookups; the corpus-scale signature relation streams through two
+    // broadcast joins un-shuffled — the same asymmetry jaccardVerified
+    // exploits with its semi-filter
+    broadcast(broadcast(cands).join(halves("i"), Seq("i")))
+      .join(halves("j"), Seq("j"))
       .select(col("i"), col("j"),
         (bit_count(col("_h1i").bitwiseXOR(col("_h1j"))) +
          bit_count(col("_h2i").bitwiseXOR(col("_h2j")))).cast("int").as("hamming"))

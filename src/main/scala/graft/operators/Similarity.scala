@@ -310,8 +310,7 @@ object Similarity {
     * at scale, typically over a sample). Returns (subspace, cell, centv)
     * with |rows| = m·codes — always broadcastable. */
   def pqCodebooks(emb: DataFrame, m: Int, codes: Int, iterations: Int): DataFrame = {
-    val dim = 64 // embeddings table contract; validated in MultimodalSpec fixtures
-    val sub = dim / m
+    val sub = embeddingDim(emb) / m
     (0 until m).map { i =>
       val sliced = emb.select(col("vec_id"),
         slice(col("embedding"), i * sub + 1, sub).as("embedding"))
@@ -326,9 +325,16 @@ object Similarity {
     * executor memory. One dimension-sliced explode (no shuffle), a
     * broadcast of the m·codes codebook, and an argmin window partitioned
     * by (vec_id, subspace). */
+  /** Embedding width probed from one row — a limit-1 action (the array
+    * type doesn't carry its length in the schema). Empty corpus → a
+    * placeholder width so downstream plans still build and return empty
+    * results instead of throwing (Verify runs queries blind). */
+  private def embeddingDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(64)
+
   def pqEncode(emb: DataFrame, books: DataFrame, m: Int): DataFrame = {
-    val dim = 64
-    val sub = dim / m
+    val sub = embeddingDim(emb) / m
     val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
       slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
     val sliced = emb.select(col("vec_id"), explode(subs).as("s"))
@@ -361,8 +367,7 @@ object Similarity {
     * code-range invariants pinned in StorageSpec. */
   def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
             codes: Int = 16, iterations: Int = 2, shortlist: Int = 50): DataFrame = {
-    val dim = 64
-    val sub = dim / m
+    val sub = embeddingDim(emb) / m
     // no persist needed: kmeansCentroids returns a driver-local relation
     // (m·codes rows), so both consumers below read a LocalRelation
     val books = pqCodebooks(emb, m, codes, iterations)
