@@ -431,12 +431,15 @@ object Joins {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // region semi-filter applied to ORDERS before the fact join: the
+    // custkey shuffle then moves |orders| rows, not the joined
+    // lineitem×orders relation — filters travel down the bigger side
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
-      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(when(col("supp_nation") === nation, rev).otherwise(lit(0.0)))
