@@ -79,6 +79,13 @@ object Oracles {
         |FROM prep WHERE reply_time IS NOT NULL
         |GROUP BY status_type ORDER BY status_type""".stripMargin),
 
+    "a31_client_rank_ties" -> p(
+      """SELECT client, cnt,
+        |  CAST(rank() OVER (ORDER BY cnt DESC) AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER (ORDER BY cnt DESC) AS INTEGER) AS drnk
+        |FROM (SELECT client, count(*) AS cnt FROM prep GROUP BY client)
+        |ORDER BY client""".stripMargin),
+
     "a30_grouping_sets" -> p(
       """SELECT date, status_type, count(*) AS cnt,
         |  CAST(GROUPING(date, status_type) AS INTEGER) AS gid

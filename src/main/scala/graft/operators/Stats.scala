@@ -407,6 +407,21 @@ object Stats {
       .orderBy("status_type")
   }
 
+  /** rank / dense_rank over per-client activity — the gapped and
+    * gapless ranking pair (row_number appears throughout the top-k
+    * queries; these two complete the ranking family). Ordered by count
+    * alone so TIED clients share a rank — the semantics under test; the
+    * output is still deterministic because equal keys get equal ranks
+    * and the final sort is total. */
+  def clientRankTies(prep: DataFrame): DataFrame = {
+    val counts = prep.groupBy("client").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"))
+    counts.select(col("client"), col("cnt"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"))
+      .orderBy("client")
+  }
+
   /** Explicit GROUPING SETS — the general grouping-set form beyond
     * rollup (a24, prefix lattice) and cube (a25, full lattice): exactly
     * the requested sets ((date), (status_type), ()) computed in ONE scan

@@ -48,4 +48,24 @@ class SketchSpec extends SparkSpec {
     val again = Stats.cmsDomainEstimates(prep).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be deterministic")
   }
+
+  test("percentile_approx stays within its rank-error guarantee vs the exact percentile") {
+    // approx_percentile(acc) guarantees a result whose RANK is within
+    // n/acc of the target rank — the scale swap a23 documents. Verify by
+    // rank, not value: find the exact ranks of the approx answers.
+    import org.apache.spark.sql.functions._
+    val prep = FtlFixture.prep(spark, 3, 4000).filter(col("reply_time").isNotNull)
+    val acc = 100
+    val n = prep.count()
+    val sorted = prep.select("reply_time").collect().map(_.getDouble(0)).sorted
+    for (p <- Seq(0.5, 0.9, 0.99)) {
+      val approx = prep.agg(
+        expr(s"approx_percentile(reply_time, $p, $acc)")).head.getDouble(0)
+      // rank of the approx answer in the exact ordered data
+      val rank = sorted.count(_ <= approx)
+      val target = p * n
+      assert(math.abs(rank - target) <= n.toDouble / acc + 1,
+        s"p=$p approx=$approx rank=$rank target=$target n=$n")
+    }
+  }
 }
