@@ -21,7 +21,11 @@ object Bench {
     "d05_simhash_cands",
     "s01_knn_brute", "s07_knn_topk_agg", "s02_knn_lsh", "s05_knn_ivf_trained",
     "t01_lang_id", "t04_fingerprint_groups",
-    "m02_media_features", "p02_regex_filter")
+    "m02_media_features", "p02_regex_filter",
+    // round-4 flagships: completed TPC-H shapes, PQ-ANN, SimHash verify,
+    // repetition rules, the EWMA fold
+    "h02_min_cost_supplier", "s08_knn_pq", "d10_simhash_verified",
+    "t08_repetition_rules", "j10_ewma_daily")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
