@@ -305,18 +305,55 @@ object Similarity {
 
   /** Product-quantization codebooks: the embedding dimension is cut into
     * `m` contiguous subspaces and a `codes`-entry k-means codebook is
-    * trained per subspace over the corpus' subvectors (reusing
-    * [[kmeansCentroids]] per slice — training is a write-time batch job
-    * at scale, typically over a sample). Returns (subspace, cell, centv)
-    * with |rows| = m·codes — always broadcastable. */
+    * trained per subspace over the corpus' subvectors. All m codebooks
+    * train JOINTLY — subspace is just another grouping column — so each
+    * Lloyd iteration is ONE assign job + ONE mean job over the
+    * dimension-sliced relation, not m of each: driver barriers don't
+    * scale with m, and the corpus is read once per iteration. Same
+    * math as per-slice training (subspaces are independent in both).
+    * Returns (subspace, cell, centv) with |rows| = m·codes — always
+    * broadcastable. Training is a write-time batch job at scale,
+    * typically over a sample. */
   def pqCodebooks(emb: DataFrame, m: Int, codes: Int, iterations: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val sub = embeddingDim(emb) / m
-    (0 until m).map { i =>
-      val sliced = emb.select(col("vec_id"),
-        slice(col("embedding"), i * sub + 1, sub).as("embedding"))
-      kmeansCentroids(sliced, codes, iterations)
-        .select(lit(i).as("subspace"), col("cell"), col("centv"))
-    }.reduce(_ unionByName _)
+    val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
+      slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
+    val vecs = emb.select(col("vec_id"), explode(subs).as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"),
+        transform(col("s.sv"), x => x.cast("double")).as("v"))
+    def toLocal(rows: Array[(Int, Int, Seq[Double])]): DataFrame =
+      rows.toSeq.toDF("subspace", "cell", "centv")
+    // deterministic init: the first `codes` vectors' subvectors seed
+    // every subspace's codebook (mirrors kmeansCentroids' first-k rule)
+    var centRows: Array[(Int, Int, Seq[Double])] = vecs.filter(col("vec_id") < codes)
+      .select(col("subspace"), col("vec_id").cast("int").as("cell"), col("v"))
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
+    for (_ <- 0 until iterations) {
+      val cents = toLocal(centRows)
+      val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist2"), asc("cell"))
+      val assigned = vecs.join(broadcast(cents), Seq("subspace"))
+        .select(col("vec_id"), col("subspace"), col("v"), col("cell"),
+          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centv"))
+            + dot(col("centv"), col("centv"))).as("dist2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val recomputed = assigned
+        .select(col("subspace"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("subspace", "cell", "dim").agg(avg(col("x")).as("mx"))
+        .groupBy("subspace", "cell").agg(
+          array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
+        .select(col("subspace"), col("cell"),
+          transform(col("pairs"), p => p.getField("mx")).as("centv"))
+      // empty cells keep their previous centroid (standard handling),
+      // so every subspace always carries exactly `codes` cells
+      val next = recomputed.as[(Int, Int, Seq[Double])].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      centRows = centRows.map { case (s, c, prev) =>
+        (s, c, next.getOrElse((s, c), prev))
+      }
+    }
+    toLocal(centRows)
   }
 
   /** PQ encoding: each vector becomes `m` small integers — the id of its
