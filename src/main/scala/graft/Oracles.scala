@@ -79,6 +79,27 @@ object Oracles {
         |FROM prep WHERE reply_time IS NOT NULL
         |GROUP BY status_type ORDER BY status_type""".stripMargin),
 
+    "w08_transition_matrix" -> p(
+      """SELECT from_status, to_status, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_status), 6) AS p
+        |FROM (
+        |  SELECT from_status, to_status, count(*) AS n FROM (
+        |    SELECT lag(status_type) OVER (PARTITION BY client ORDER BY ts, id) AS from_status,
+        |           status_type AS to_status
+        |    FROM prep)
+        |  WHERE from_status IS NOT NULL
+        |  GROUP BY 1, 2)
+        |ORDER BY from_status, to_status""".stripMargin),
+
+    "p11_notin_null" -> p(
+      """SELECT
+        |  (SELECT count(*) FROM prep
+        |   WHERE domain NOT IN (SELECT domain FROM prep WHERE status_type = 'NoSuchClass'))
+        |    AS cnt_vs_empty_set,
+        |  (SELECT count(*) FROM prep
+        |   WHERE domain NOT IN (SELECT CAST(NULL AS VARCHAR)))
+        |    AS cnt_vs_null_set""".stripMargin),
+
     "a31_client_rank_ties" -> p(
       """SELECT client, cnt,
         |  CAST(rank() OVER (ORDER BY cnt DESC) AS INTEGER) AS rnk,

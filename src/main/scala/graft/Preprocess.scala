@@ -130,6 +130,28 @@ object Preprocess {
     * failing — the schema-on-read contract for a 100 TB semi-structured
     * column. Rollup: per event_type, the typed k field's spread plus a
     * parse-health count. */
+  /** NOT IN's three-valued-logic corner, exercised deliberately: against
+    * an EMPTY subquery every row passes; against a set CONTAINING NULL
+    * no row ever passes (x NOT IN (..., NULL) is never true). Spark
+    * plans the nullable case as a null-aware anti join — a different
+    * physical path from h16's broadcast anti (which requires provably
+    * non-null keys) — and getting this wrong silently corrupts any
+    * exclusion-list filter fed by a column with NULLs. Expressed in SQL
+    * because only the NOT IN form triggers the null-aware plan. */
+  def notInNullSemantics(prep: DataFrame): DataFrame = {
+    val spark = prep.sparkSession
+    val view = "graft_naa_prep"
+    prep.createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM $view
+         |   WHERE domain NOT IN (SELECT domain FROM $view WHERE status_type = 'NoSuchClass'))
+         |    AS cnt_vs_empty_set,
+         |  (SELECT count(*) FROM $view
+         |   WHERE domain NOT IN (SELECT CAST(NULL AS STRING)))
+         |    AS cnt_vs_null_set""".stripMargin)
+  }
+
   def jsonPropsTyped(rawEvents: DataFrame): DataFrame =
     rawEvents
       .select(col("event_type"),

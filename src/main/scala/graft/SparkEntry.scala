@@ -90,6 +90,8 @@ object SparkEntry {
     "a29_client_rank_dist"    -> ((s, d) => Stats.clientRankDist(prep(s, d))),
     "a30_grouping_sets"       -> ((s, d) => Stats.groupingSetsDailyStatus(prep(s, d))),
     "a31_client_rank_ties"    -> ((s, d) => Stats.clientRankTies(prep(s, d))),
+    "w08_transition_matrix"   -> ((s, d) => Stats.transitionMatrix(prep(s, d))),
+    "p11_notin_null"          -> ((s, d) => Preprocess.notInNullSemantics(prep(s, d))),
     "j10_ewma_daily"          -> ((s, d) => Stats.ewmaDaily(prep(s, d))),
     "j11_asof_forward"        -> ((s, d) => AsofJoin.allowedBeforeBlocked(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),

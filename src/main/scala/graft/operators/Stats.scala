@@ -407,6 +407,28 @@ object Stats {
       .orderBy("status_type")
   }
 
+  /** Status-transition matrix: for each client's time-ordered event
+    * sequence, count (previous status → current status) pairs and the
+    * per-source transition probability — the Markov-chain view of the
+    * event stream (and the shape sequence-model training data prep
+    * uses). The lag window partitions by client (parallel; order is
+    * per-client only), the pair count is a map-side-combined aggregate
+    * over ≤ |statuses|² groups, and the row-probability denominator is
+    * a window over that tiny aggregate — nothing order-dependent ever
+    * sees more than one client's rows. */
+  def transitionMatrix(prep: DataFrame): DataFrame = {
+    val w = Window.partitionBy("client").orderBy("ts", "id")
+    val pairs = prep
+      .select(col("client"), col("status_type").as("to_status"),
+        lag(col("status_type"), 1).over(w).as("from_status"))
+      .filter(col("from_status").isNotNull)
+      .groupBy("from_status", "to_status").agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_status")
+    pairs.select(col("from_status"), col("to_status"), col("n"),
+        round(col("n").cast("double") / sum("n").over(wFrom), 6).as("p"))
+      .orderBy("from_status", "to_status")
+  }
+
   /** rank / dense_rank over per-client activity — the gapped and
     * gapless ranking pair (row_number appears throughout the top-k
     * queries; these two complete the ranking family). Ordered by count
