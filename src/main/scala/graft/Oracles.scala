@@ -79,6 +79,21 @@ object Oracles {
         |FROM prep WHERE reply_time IS NOT NULL
         |GROUP BY status_type ORDER BY status_type""".stripMargin),
 
+    "u04_day_minus_night_bag" -> p(
+      """SELECT client, count(*) AS surplus FROM (
+        |  SELECT client FROM prep WHERE day_period = 'Day'
+        |  EXCEPT ALL
+        |  SELECT client FROM prep WHERE day_period = 'Night')
+        |GROUP BY client ORDER BY client""".stripMargin),
+
+    "a32_argmax_single_pass" -> p(
+      """SELECT status_type,
+        |  arg_max(domain, lpad(CAST(cnt AS VARCHAR), 12, '0') || domain) AS top_domain,
+        |  max(cnt) AS cnt
+        |FROM (SELECT status_type, domain, count(*) AS cnt
+        |      FROM prep GROUP BY status_type, domain)
+        |GROUP BY status_type ORDER BY status_type""".stripMargin),
+
     "w08_transition_matrix" -> p(
       """SELECT from_status, to_status, n,
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_status), 6) AS p

@@ -55,6 +55,8 @@ object SparkEntry {
     "a28_reply_histogram"     -> ((s, d) => Stats.replyHistogram(prep(s, d))),
     "a27_client_quartiles"    -> ((s, d) => Stats.clientQuartiles(prep(s, d))),
     "u03_both_period_clients" -> ((s, d) => Stats.bothPeriodClients(prep(s, d))),
+    "u04_day_minus_night_bag" -> ((s, d) => Stats.dayMinusNightBag(prep(s, d))),
+    "a32_argmax_single_pass"  -> ((s, d) => Stats.argmaxDomainSinglePass(prep(s, d))),
     "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),
     "a14_slowest_domain"      -> ((s, d) => Stats.slowestDomain(prep(s, d))),
     "a15_reply_by_date"       -> ((s, d) => Stats.replyByDate(prep(s, d))),

@@ -407,6 +407,32 @@ object Stats {
       .orderBy("status_type")
   }
 
+  /** Bag-semantics set difference: each client's Day events minus Night
+    * events AS A MULTISET — a client with 7 Day and 3 Night events
+    * survives 4 times (u02's EXCEPT collapses to distinct clients).
+    * Spark compiles exceptAll to a Union + replicate-rows aggregate,
+    * never a join explosion. */
+  def dayMinusNightBag(prep: DataFrame): DataFrame =
+    prep.filter(col("day_period") === "Day").select("client")
+      .exceptAll(prep.filter(col("day_period") === "Night").select("client"))
+      .groupBy("client").agg(count(lit(1)).as("surplus"))
+      .orderBy("client")
+
+  /** Single-pass argmax: the top domain per status class via `max_by`
+    * over the (status, domain) counts — one aggregate instead of the
+    * sort/window+filter the other top-1 queries use; at |groups| scale
+    * the difference is a full sort of the counts relation vs a running
+    * max. max_by's tie behavior is engine-unspecified, so the ordering
+    * key EMBEDS the tie-break: zero-padded count then domain, making
+    * "greatest count, then greatest domain" total on both engines. */
+  def argmaxDomainSinglePass(prep: DataFrame): DataFrame = {
+    val counts = prep.groupBy("status_type", "domain").agg(count(lit(1)).as("cnt"))
+    val ordKey = concat(lpad(col("cnt").cast("string"), 12, "0"), col("domain"))
+    counts.groupBy("status_type")
+      .agg(max_by(col("domain"), ordKey).as("top_domain"), max("cnt").as("cnt"))
+      .orderBy("status_type")
+  }
+
   /** Status-transition matrix: for each client's time-ordered event
     * sequence, count (previous status → current status) pairs and the
     * per-source transition probability — the Markov-chain view of the
