@@ -79,6 +79,16 @@ object Oracles {
         |FROM prep WHERE reply_time IS NOT NULL
         |GROUP BY status_type ORDER BY status_type""".stripMargin),
 
+    // each event lands in exactly size/slide = 4 sliding windows whose
+    // starts are its 15-min bucket minus 0..3 slides (epoch-aligned on
+    // both engines)
+    "a33_sliding_hourly" -> p(
+      """SELECT w_start, count(*) AS cnt FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - o.off * INTERVAL '15 minutes' AS w_start
+        |  FROM prep, (VALUES (0), (1), (2), (3)) o(off))
+        |GROUP BY w_start ORDER BY w_start""".stripMargin),
+
     "u04_day_minus_night_bag" -> p(
       """SELECT client, count(*) AS surplus FROM (
         |  SELECT client FROM prep WHERE day_period = 'Day'

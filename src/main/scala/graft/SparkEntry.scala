@@ -64,6 +64,7 @@ object SparkEntry {
     // plot-data layer (SURVEY.md §2.4 A16-A20, §2.3 J3, §2.2 P2/P5, §2.8 F10)
     "a16_hourly_view"         -> ((s, d) => PlotData.hourlyView(prep(s, d))),
     "a17_view_by_status"      -> ((s, d) => PlotData.viewByStatus(prep(s, d))),
+    "a33_sliding_hourly"      -> ((s, d) => PlotData.slidingHourlyLoad(prep(s, d))),
     "a17_client_activity"     -> ((s, d) => PlotData.clientActivity(prep(s, d), 10)),
     "j03_gap_filled"          -> ((s, d) => PlotData.gapFilledByStatus(prep(s, d))),
     "j04_gap_filled_client"   -> ((s, d) => PlotData.gapFilledByClient(prep(s, d), 10)),

@@ -52,6 +52,21 @@ object PlotData {
     hourlyView(prep).groupBy("ts_hour", "status_type")
       .agg(sum("cnt").as("cnt")).orderBy("ts_hour", "status_type")
 
+  /** SLIDING-window load: event counts per 1-hour window sliding every
+    * 15 minutes — the overlapping-window generalization of A16's
+    * tumbling hour (Spark's `window(ts, size, slide)` generator: each
+    * row replicates into size/slide windows BEFORE the aggregate, so
+    * the shuffle carries 4× rows here — the cost knob is the ratio,
+    * which is why production slides are coarse). Same operator drives
+    * the streaming form unchanged. Overlap makes trailing spikes
+    * visible at 15-minute resolution without a per-row RANGE frame
+    * (w07 is the per-event exact variant). */
+  def slidingHourlyLoad(prep: DataFrame): DataFrame =
+    prep.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+      .orderBy("w_start")
+
   /** A17/P5: per-client activity restricted to the top-n clients — the
     * left-semi join against the broadcast top-k relation
     * (reference: plot.py:291-294). */
