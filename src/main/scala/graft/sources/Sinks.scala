@@ -65,4 +65,21 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("date")
       .parquet(path)
+
+  /** Small-file compaction for chosen days of a date-partitioned
+    * layout — the maintenance job that keeps a streaming/incremental
+    * sink scannable. Frequent micro-batch appends leave each day as
+    * many tiny files (per-file open cost and lost row-group locality
+    * dominate scans long before data volume does); this reads ONLY the
+    * named partitions (partition pruning applies to the maintenance
+    * read too), rewrites each as few ts-sorted files, and swaps them in
+    * via the same dynamic-overwrite mechanism as
+    * [[upsertDatePartitions]] — untouched days never rewritten. */
+  def compactDatePartitions(spark: org.apache.spark.sql.SparkSession,
+                            path: String, dates: Seq[java.sql.Date],
+                            maxRecordsPerFile: Long = 5000000L): Unit = {
+    val slice = spark.read.parquet(path)
+      .filter(col("date").isin(dates.map(lit(_)): _*))
+    upsertDatePartitions(slice, path, maxRecordsPerFile)
+  }
 }

@@ -71,6 +71,36 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/view").count() == deltaN)
   }
 
+  test("Sinks.compactDatePartitions: file count collapses, data identical, other days' files untouched") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val prep = FtlFixture.prep(spark, 11, 2000)
+    // simulate a micro-batch-fragmented day: 8 appends into one partition
+    graft.sources.Sinks.writeDatePartitioned(prep, s"$dir/view")
+    val day = spark.read.parquet(s"$dir/view").select(min("date")).head.getDate(0)
+    val dayRows = prep.filter(col("date") === lit(day))
+    for (i <- 0 until 8)
+      dayRows.filter(col("id") % 8 === i).drop("date")
+        .withColumn("date", lit(day))
+        .write.mode("append").partitionBy("date").parquet(s"$dir/view")
+    def dayFiles = new java.io.File(s"$dir/view/date=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    def otherDir = new java.io.File(s"$dir/view").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date=") && !f.getName.contains(day.toString))
+      .maxBy(_.getName)
+    val fragmented = dayFiles
+    assert(fragmented >= 9, s"expected fragmentation, got $fragmented files")
+    val before = spark.read.parquet(s"$dir/view").filter(col("date") === lit(day))
+      .drop("date").collect().map(_.toSeq).sortBy(_.toString)
+    val otherStamp = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    graft.sources.Sinks.compactDatePartitions(spark, s"$dir/view", Seq(day))
+    assert(dayFiles == 1, s"compaction should leave 1 file, got $dayFiles")
+    val after = spark.read.parquet(s"$dir/view").filter(col("date") === lit(day))
+      .drop("date").collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq == before.toSeq)
+    // untouched day's files not rewritten
+    assert(otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap == otherStamp)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_wh").toString
     spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
