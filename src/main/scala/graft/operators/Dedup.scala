@@ -64,26 +64,28 @@ object Dedup {
   /** Distinct word 3-gram shingles per doc — the default unit for MinHash.
     * ~6× fewer rows than char 5-grams on prose (one shingle per word, not
     * per char), which directly scales down every downstream hash/join.
-    * Spark arrays are 0-indexed (`w[i]`); the DuckDB oracle mirrors with
-    * its 1-based lists. */
+    *
+    * Set semantics with ZERO shuffle: the shingle array is built and
+    * deduplicated INSIDE one projection (`array_distinct` over the
+    * `transform` output), then exploded — a doc's duplicate shingles are
+    * co-located in its own row by construction, so no exchange is needed
+    * to remove them. This dominates both earlier shapes: the corpus-wide
+    * `.distinct()` (round 3) paid a full shuffle of the shingle relation,
+    * and the multiset form (round 4) skipped the shuffle but re-hashed
+    * every OCCURRENCE of every shingle — prose repeats shingles heavily,
+    * the md5 stage dominated, and d03 regressed 2.5×. Here the md5 stage
+    * hashes each distinct shingle exactly once AND no shuffle happens.
+    * Spark arrays are 0-indexed (`element_at` is 1-based); the DuckDB
+    * oracle mirrors with its 1-based lists. */
   def wordShingles(docs: DataFrame): DataFrame =
-    wordShinglesAll(docs).distinct()
-
-  /** The multiset form — shingles WITHOUT the per-doc dedup shuffle.
-    * `min(hash(s))` is idempotent to duplicates, so every signature
-    * consumer ([[lshCandidates]], [[dupClusters]], [[editVerified]],
-    * [[jaccardVerified]], the xx/K-M variants) reads this and skips a
-    * full exchange; the Jaccard set arithmetic re-derives distinctness
-    * AFTER the candidate semi-filter, where it is candidates-sized. Same
-    * output on both engines because the oracle's DISTINCT shingle CTE
-    * feeds the same min(). */
-  private def wordShinglesAll(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", expr("w[i]"), expr("w[i+1]"), expr("w[i+2]")).as("s"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("w")) - 3),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3))))).as("s"))
 
   /** Exact duplicate groups by content hash: md5(text) → group size +
     * canonical (min) doc_id. `n_copies > 1` rows are the duplicate sets;
@@ -171,7 +173,7 @@ object Dedup {
   def lshCandidatesXx(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
     val rows = k / bands
-    val sig = shared(xxSignaturesFrom(wordShinglesAll(docs), k))
+    val sig = shared(xxSignaturesFrom(wordShingles(docs), k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"x${b * rows + r}"))
       struct(lit(b).as("band_idx"), xxhash64(slice: _*).as("band_key"))
@@ -190,7 +192,7 @@ object Dedup {
   def lshCandidatesFast(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
     val rows = k / bands
-    val sig = shared(kmSignaturesFrom(wordShinglesAll(docs), k))
+    val sig = shared(kmSignaturesFrom(wordShingles(docs), k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"g${b * rows + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
@@ -203,6 +205,10 @@ object Dedup {
       .select("i", "j").distinct().orderBy("i", "j")
   }
 
+  /** Unordered candidate pairs — the form every downstream JOIN consumes
+    * ([[jaccardVerified]], [[dupClusters]], [[editVerified]]): a global
+    * sort before a hash join is a wasted range shuffle, so the ordering
+    * lives only on the public query surface ([[lshCandidates]]). */
   private def candidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val sig = shared(signaturesFrom(sh, k))
@@ -215,7 +221,7 @@ object Dedup {
     val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
     val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
-      .select("i", "j").distinct().orderBy("i", "j")
+      .select("i", "j").distinct()
   }
 
   /** LSH banding: k mins split into `bands` bands of k/bands rows; band
@@ -223,7 +229,7 @@ object Dedup {
     * are candidates. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    candidatesFrom(wordShinglesAll(docs), k, bands)
+    candidatesFrom(wordShingles(docs), k, bands).orderBy("i", "j")
   }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
@@ -233,24 +239,22 @@ object Dedup {
     * branches. */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    // Multiset shingles feed the signatures (min() is duplicate-
-    // idempotent), so the candidate stage pays NO distinct shuffle; the
-    // set semantics Jaccard needs are restored below, but only for
-    // candidate docs — a per-doc dedup of the full corpus would be the
-    // single largest exchange in this pipeline and all of it except the
-    // candidates' sliver would be thrown away.
-    val shAll = shared(wordShinglesAll(docs))
+    // wordShingles is per-doc DISTINCT with no shuffle (array_distinct
+    // inside the projection), so the relation is directly usable both as
+    // signature input and as the Jaccard set — no distinct anywhere in
+    // this pipeline.
+    val shAll = shared(wordShingles(docs))
     val cands = shared(candidatesFrom(shAll, k, bands))
     // Verification only ever reads CANDIDATE docs' shingles, but Catalyst
     // cannot infer that: without this broadcast semi-filter the (j, s)
     // intersection join below shuffles the WHOLE shingle relation on a
     // wide string key. Candidate docs are ~|dup pairs|-scale (a sliver of
     // the corpus at any SF), so the semi-join is a broadcast and every
-    // downstream shuffle — the distinct, the sizes aggregate, the
-    // intersection — shrinks to the candidates' shingles.
+    // downstream shuffle — the sizes aggregate, the intersection —
+    // shrinks to the candidates' shingles.
     val candDocs = cands.select(col("i").as("doc_id"))
       .unionByName(cands.select(col("j").as("doc_id"))).distinct()
-    val shC = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    val shC = shAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(shC.select(col("doc_id").as("i"), col("s")), Seq("i"))
@@ -274,7 +278,7 @@ object Dedup {
   def dupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
                   maxIter: Int = 20): DataFrame = {
     freshPipeline()
-    val pairs = candidatesFrom(wordShinglesAll(docs), k, bands)
+    val pairs = candidatesFrom(wordShingles(docs), k, bands)
     val nodes = docs.select(col("doc_id").as("node"))
     val labels = shared(ConnectedComponents.minLabel(nodes, pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
@@ -293,7 +297,7 @@ object Dedup {
   def editVerified(docs: DataFrame, maxDist: Int = 20,
                    k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    val pairs = candidatesFrom(wordShinglesAll(docs), k, bands)
+    val pairs = candidatesFrom(wordShingles(docs), k, bands)
     val t = docs.select(col("doc_id"), col("text"))
     pairs
       .join(t.select(col("doc_id").as("i"), col("text").as("_ti")), Seq("i"))
@@ -364,9 +368,11 @@ object Dedup {
     * equal (pigeonhole) — the banding trick again, on bit-chunks. */
   def simhashCandidates(docs: DataFrame): DataFrame = {
     freshPipeline()
-    simhashCandsFrom(shared(simhashSig(docs)))
+    simhashCandsFrom(shared(simhashSig(docs))).orderBy("i", "j")
   }
 
+  /** Unordered chunk-collision pairs — [[simhashVerified]] joins these,
+    * so the global sort lives only on the public [[simhashCandidates]]. */
   private def simhashCandsFrom(sig: DataFrame): DataFrame = {
     val chunks = (0 until 4).map(cn =>
       struct(lit(cn).as("chunk_idx"), expr(s"substr(simhash, ${cn * 4 + 1}, 4)").as("chunk")))
@@ -375,7 +381,7 @@ object Dedup {
     val a = chunked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("i"))
     val b = chunked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("j"))
     a.join(b, Seq("chunk_idx", "chunk")).filter(col("i") < col("j"))
-      .select("i", "j").distinct().orderBy("i", "j")
+      .select("i", "j").distinct()
   }
 
   /** The SimHash VERIFY stage: exact Hamming distance over the candidate
@@ -396,11 +402,14 @@ object Dedup {
     def halves(side: String) = sig.select(col("doc_id").as(side),
       expr("cast(conv(substr(simhash, 1, 8), 16, 10) as bigint)").as(s"_h1$side"),
       expr("cast(conv(substr(simhash, 9, 8), 16, 10) as bigint)").as(s"_h2$side"))
-    // the candidate pairs (~|near-dups|) are the BUILD side of both
-    // lookups; the corpus-scale signature relation streams through two
-    // broadcast joins un-shuffled — the same asymmetry jaccardVerified
-    // exploits with its semi-filter
-    broadcast(broadcast(cands).join(halves("i"), Seq("i")))
+    // ONE broadcast: the candidate pairs (~|near-dups|) build against the
+    // streaming corpus-scale signature relation. The second lookup's
+    // strategy is left to AQE — its left input is the first join's output
+    // (still candidates-scale), which AQE sees at runtime and broadcasts;
+    // hinting it statically would force a driver materialization of a
+    // relation whose size scales with the corpus duplication rate (on a
+    // dup-heavy corpus, a driver OOM).
+    broadcast(cands).join(halves("i"), Seq("i"))
       .join(halves("j"), Seq("j"))
       .select(col("i"), col("j"),
         (bit_count(col("_h1i").bitwiseXOR(col("_h1j"))) +
