@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,17 +12,28 @@ import scala.collection.mutable.ArrayBuffer
   * stats.py:323-365 streak aggregation, stats.py:369-415 idle gaps).
   *
   * The reference relies on one global pandas sort; in Spark these are the
-  * only operators that need a total order. Expressed with an unpartitioned
-  * `Window.orderBy(ts, id)`: Spark range-partitions the sort, but the
-  * running-sum window then coalesces to a single task — acceptable at bench
-  * scale and flagged in SURVEY.md §7.3-3. The scalable treatment for the
-  * 100 TB design point is the classic two-pass trick: (1) per-partition
-  * run-length encoding via mapPartitions after a repartitionByRange(ts),
-  * (2) a driver-side prefix-merge of the ≤ numPartitions boundary runs.
-  * Because stage 2's input is 2 rows per partition, it is O(partitions),
-  * not O(rows) — see [[streakRuns]]' doc for why we keep the window form
-  * here: its output IS the per-run relation the merge would produce, and
-  * correctness at driver scale is oracle-checked.
+  * only operators that need a total order. [[streakRuns]] keeps the
+  * unpartitioned-`Window` form as the executable SEMANTIC SPEC (its plan
+  * coalesces to a single task — the documented limit, SURVEY.md §7.3-3);
+  * every flagship query (W2/W3/W4) routes through the PARALLEL two-pass
+  * machinery instead:
+  *
+  *   pass 1 — per-partition boundary stats (first/last flag, change
+  *     count) via `mapPartitionsWithIndex`: O(rows) work fully parallel,
+  *     O(partitions) bytes to the driver (the classic parallel-prefix
+  *     shape; at 10k partitions that is a 10k-element array);
+  *   driver — a fold over those stats assigns each partition its global
+  *     starting run id and a "continues previous run" bit;
+  *   pass 2 — re-reads the same shuffled RDD (Spark reuses the shuffle
+  *     files across jobs on one lineage) and run-length-encodes each
+  *     partition with globally-correct run ids; a run spanning partitions
+  *     emits one fragment per partition under ONE id and merges in an
+  *     ordinary parallel `groupBy(grp)` — no single-task stage anywhere.
+  *
+  * W2 (longest streak) and W3 (longest idle) therefore contain NO Window
+  * operator at all (pinned in PlanSpec): W2 is a TakeOrdered over the run
+  * relation; W3 reduces per-partition maxima plus the O(partitions)
+  * boundary gaps.
   */
 object Streaks {
 
@@ -48,83 +59,132 @@ object Streaks {
 
   /** W2: longest streak of a class — argmax run by length, earliest start
     * on ties (pandas idxmax returns the first = earliest group,
-    * stats.py:337-344). */
+    * stats.py:337-344). Routed through the parallel run relation: the
+    * argmax is a TakeOrdered over runs — the plan carries no Window
+    * operator and no single-task stage. */
   def longestStreak(prep: DataFrame, statusType: String): DataFrame =
-    streakRuns(prep, statusType)
+    topRunOfClass(parallelRunsBy(prep, col("status_type"), StringType), statusType)
+
+  private def topRunOfClass(runs: DataFrame, statusType: String): DataFrame =
+    runs.filter(col("key") === statusType)
       .orderBy(desc("streak_len"), asc("start_ts")).limit(1)
       .select(lit(statusType).as("status_type"), col("streak_len"), col("start_ts"))
 
   /** W2 both classes in one result (reference computes blocked + allowed,
-    * stats.py:336-359). */
-  def longestStreaks(prep: DataFrame): DataFrame =
-    longestStreak(prep, "Allowed").unionByName(longestStreak(prep, "Blocked"))
+    * stats.py:336-359). ONE scan for both classes: runs are computed on
+    * the status VALUE (a maximal Allowed stretch is the same row set
+    * whether bounded by "≠ Allowed" or by a value change), so the two
+    * argmax branches share the run relation — and its shuffle — instead
+    * of scanning the events twice. */
+  def longestStreaks(prep: DataFrame): DataFrame = {
+    val runs = parallelRunsBy(prep, col("status_type"), StringType)
+    topRunOfClass(runs, "Allowed").unionByName(topRunOfClass(runs, "Blocked"))
       .orderBy("status_type")
+  }
 
-  private val runSchema = StructType(Seq(
-    StructField("pid", IntegerType, nullable = false),
-    StructField("run_idx", IntegerType, nullable = false),
-    StructField("flag", BooleanType, nullable = false),
-    StructField("run_len", LongType, nullable = false),
-    StructField("start_ts", TimestampType, nullable = false)))
+  /** Flag-run form: `grp` ids identical to [[streakRuns]]' window cumsum
+    * (first run = 1, sequential over BOTH flag values). */
+  private[graft] def parallelRuns(prep: DataFrame, statusType: String,
+                                  numPartitions: Int = 32): DataFrame =
+    parallelRunsBy(prep, col("status_type") === statusType, BooleanType, numPartitions)
+      .withColumnRenamed("key", "flag")
 
-  /** The SCALE-PATH streak computation (SURVEY.md §7.3-3): identical
-    * semantics to [[streakRuns]] but no global single-task window.
+  /** The parallel run relation: (grp, key, streak_len, start_ts) for ALL
+    * maximal stretches of equal `key` values in (ts, id) order, with
+    * `grp` ids equal to the window form's running change count.
     *
-    * Two passes:
-    *   1. `repartitionByRange(ts)` + per-partition run-length encoding in
-    *     `mapPartitions` — the O(rows) work is fully parallel; each
-    *     partition emits only its RUNS (for DNS logs, runs ≪ rows);
-    *   2. a window over the runs relation merges runs that continue
-    *     across partition boundaries — O(runs) on one task, which is the
-    *     classic boundary-merge prefix step, not a full-data sort.
+    * Two passes over one range-shuffled sort (see the object doc):
+    * pass 1 collects O(partitions) boundary stats, a driver fold turns
+    * them into per-partition (starting run id, continues-previous) pairs,
+    * and pass 2 emits per-partition RLE fragments with globally correct
+    * ids. Fragments of a partition-spanning run share a `grp` and merge
+    * in the final parallel groupBy — `sum(run_len)`, `min(start_ts)`.
     *
-    * Output is renumbered by start time (`run_no`) so it is deterministic
-    * and engine-comparable; the degenerate worst case (alternating flags,
-    * runs ≈ rows) falls back to window-like cost and is the documented
-    * limit of the approach.
-    */
-  def streakRunsScalable(prep: DataFrame, statusType: String,
-                         numPartitions: Int = 32): DataFrame = {
+    * The degenerate worst case (alternating keys, runs ≈ rows) keeps
+    * the same shape: the groupBy then shuffles ~|rows| run fragments,
+    * which is still a parallel aggregation, not a single-task window. */
+  private[graft] def parallelRunsBy(prep: DataFrame, key: Column,
+                                    keyType: DataType,
+                                    numPartitions: Int = 32): DataFrame = {
     val spark = prep.sparkSession
-    val sorted = prep
-      .select(col("ts"), col("id"), (col("status_type") === statusType).as("flag"))
+    val runSchema = StructType(Seq(
+      StructField("grp", LongType, nullable = false),
+      StructField("key", keyType, nullable = true),
+      StructField("run_len", LongType, nullable = false),
+      StructField("start_ts", TimestampType, nullable = false)))
+    val rdd = prep
+      .select(col("ts"), col("id"), key.as("key"))
       .repartitionByRange(numPartitions, col("ts"), col("id"))
       .sortWithinPartitions("ts", "id")
-    val runsRdd = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val out = ArrayBuffer.empty[Row]
-      var runIdx = -1
-      var flag = false
-      var len = 0L
-      var start: java.sql.Timestamp = null
+      .rdd
+    // pass 1: (pid, firstKey, lastKey, internal changes) per non-empty
+    // partition — constant bytes per partition, like the k-means
+    // centroid collect: O(partitions) driver data by construction
+    val stats = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var n = 0L; var flips = 0L
+      var first: Any = null; var last: Any = null
       rows.foreach { r =>
-        val f = r.getBoolean(2)
-        if (runIdx < 0 || f != flag) {
-          if (runIdx >= 0) out += Row(pid, runIdx, flag, len, start)
-          runIdx += 1; flag = f; len = 0L; start = r.getTimestamp(0)
-        }
-        len += 1
+        val f = r.get(2)
+        if (n == 0L) first = f else if (f != last) flips += 1
+        last = f; n += 1
       }
-      if (runIdx >= 0) out += Row(pid, runIdx, flag, len, start)
-      out.iterator
+      if (n == 0L) Iterator.empty else Iterator.single((pid, first, last, flips))
+    }.collect().sortBy(_._1)
+    // driver fold: partition p's first run id and whether its first row
+    // continues the previous partition's last run (same key)
+    val bases = Map.newBuilder[Int, (Long, Boolean)]
+    var runsSoFar = 0L
+    var prevLast: Option[Any] = None
+    stats.foreach { case (pid, first, last, flips) =>
+      val continues = prevLast.contains(first)
+      bases += pid -> (runsSoFar, continues)
+      runsSoFar += (if (continues) 0L else 1L) + flips
+      prevLast = Some(last)
     }
-    val runs = spark.createDataFrame(runsRdd, runSchema)
-    // boundary merge over the (small) runs relation
-    val w = Window.orderBy("pid", "run_idx")
-    val acc = Window.orderBy("pid", "run_idx")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = runs
-      .withColumn("chg",
-        when(lag(col("flag"), 1).over(w).isNull || lag(col("flag"), 1).over(w) =!= col("flag"), 1)
-          .otherwise(0))
-      .withColumn("grp", sum(col("chg")).over(acc))
+    val bc = spark.sparkContext.broadcast(bases.result())
+    // pass 2: per-partition RLE with global run ids; reuses pass 1's
+    // shuffle files (same RDD lineage), so the events scan+exchange run
+    // once across the two jobs
+    val runsRdd = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      bc.value.get(pid) match {
+        case None => Iterator.empty[Row]
+        case Some((base, continues)) =>
+          val out = ArrayBuffer.empty[Row]
+          var grp = base; var started = false
+          var cur: Any = null; var len = 0L; var start: java.sql.Timestamp = null
+          rows.foreach { r =>
+            val f = r.get(2)
+            if (!started) {
+              grp = if (continues) base else base + 1
+              started = true; cur = f; len = 0L; start = r.getTimestamp(0)
+            } else if (f != cur) {
+              out += Row(grp, cur, len, start)
+              grp += 1; cur = f; len = 0L; start = r.getTimestamp(0)
+            }
+            len += 1
+          }
+          if (started) out += Row(grp, cur, len, start)
+          out.iterator
+      }
+    }
+    spark.createDataFrame(runsRdd, runSchema)
       .groupBy("grp")
-      .agg(first(col("flag")).as("flag"), sum(col("run_len")).as("streak_len"),
+      .agg(min(col("key")).as("key"), sum(col("run_len")).as("streak_len"),
         min(col("start_ts")).as("start_ts"))
-      .filter(col("flag"))
-    merged.select(
-      row_number().over(Window.orderBy("start_ts")).as("run_no"),
-      col("streak_len"), col("start_ts"))
   }
+
+  /** The SCALE-PATH streak relation (SURVEY.md §7.3-3): identical output
+    * to [[streakRuns]] but renumbered by start time (`run_no`) so it is
+    * deterministic and engine-comparable. All O(rows) work happens in
+    * [[parallelRuns]]; the one remaining Window is the final
+    * `row_number` renumber over the RUN relation (runs ≪ rows for DNS
+    * logs — and the renumber is presentation, not computation). */
+  def streakRunsScalable(prep: DataFrame, statusType: String,
+                         numPartitions: Int = 32): DataFrame =
+    parallelRuns(prep, statusType, numPartitions).filter(col("flag"))
+      .select(
+        row_number().over(Window.orderBy("start_ts")).as("run_no"),
+        col("streak_len"), col("start_ts"))
 
   /** Sessionization per client: a new session starts when the gap to the
     * previous event of the SAME client exceeds `gapSeconds` — the
@@ -203,15 +263,58 @@ object Streaks {
       .orderBy("client")
   }
 
-  def longestIdle(prep: DataFrame): DataFrame = {
-    val w = Window.orderBy("ts", "id")
-    prep.select(col("ts"), col("id"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("gap_s",
-        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(1e6))
-      .filter(col("gap_s").isNotNull)
-      .orderBy(desc("gap_s"), asc("ts")).limit(1)
-      .select(round(col("gap_s"), 6).as("gap_s"),
-        col("prev_ts").as("before_gap"), col("ts").as("after_gap"))
+  def longestIdle(prep: DataFrame, numPartitions: Int = 32): DataFrame = {
+    val spark = prep.sparkSession
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    // one parallel pass: each partition reduces to its max internal gap
+    // (strict > keeps the EARLIEST after-ts on ties, matching the window
+    // form's `ORDER BY gap DESC, ts`) plus its first/last timestamps for
+    // the O(partitions) boundary gaps
+    val parts = prep.select(col("ts"), col("id"))
+      .repartitionByRange(numPartitions, col("ts"), col("id"))
+      .sortWithinPartitions("ts", "id")
+      .rdd.mapPartitionsWithIndex { (pid, rows) =>
+        var first: java.sql.Timestamp = null
+        var prev: java.sql.Timestamp = null
+        var bestGap = -1L
+        var bestBefore: java.sql.Timestamp = null
+        var bestAfter: java.sql.Timestamp = null
+        rows.foreach { r =>
+          val t = r.getTimestamp(0)
+          if (first == null) first = t
+          else {
+            val g = micros(t) - micros(prev)
+            if (g > bestGap) { bestGap = g; bestBefore = prev; bestAfter = t }
+          }
+          prev = t
+        }
+        if (first == null) Iterator.empty
+        else Iterator.single((pid, first, prev, bestGap, bestBefore, bestAfter))
+      }.collect().sortBy(_._1)
+    // driver: candidates = per-partition maxima + gaps across consecutive
+    // NON-EMPTY partitions (range partitioning can leave holes); winner by
+    // (gap desc, after-ts asc) — exact long-micros comparison, no float
+    val cands = ArrayBuffer.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+    parts.foreach { case (_, _, _, g, b, a) => if (g >= 0L) cands += ((g, b, a)) }
+    parts.iterator.sliding(2).withPartial(false).foreach { case Seq(p, q) =>
+      cands += ((micros(q._2) - micros(p._3), p._3, q._2))
+    }
+    val outSchema = StructType(Seq(
+      StructField("before_gap", TimestampType, nullable = false),
+      StructField("after_gap", TimestampType, nullable = false)))
+    val winner = cands.sortBy { case (g, _, a) => (-g, micros(a)) }.headOption
+    val bounds = spark.createDataFrame(
+      spark.sparkContext.parallelize(winner.map(w => Row(w._2, w._3)).toSeq, 1),
+      outSchema)
+    // the gap value is computed by the ENGINE's own expressions (same
+    // unix_micros arithmetic + round as the window form), so rounding
+    // semantics stay oracle-identical
+    bounds.select(
+      round((unix_micros(col("after_gap")) - unix_micros(col("before_gap"))) / lit(1e6), 6)
+        .as("gap_s"),
+      col("before_gap"), col("after_gap"))
   }
 }

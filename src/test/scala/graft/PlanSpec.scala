@@ -60,6 +60,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       shuffles.map(_.outputPartitioning).mkString(";"))
   }
 
+  test("w02/w03 flagship plans carry no Window operator at all") {
+    // longest streak / longest idle route through the parallel two-pass
+    // machinery: the plan is a TakeOrdered (w02) or a LocalRelation-fed
+    // projection (w03) over the run relation — an unpartitioned Window
+    // here would mean the single-task scale hazard is back
+    val w02 = SparkEntry.queries("w02_longest_streaks")(spark, dir)
+    assert(!executed(w02).toString.contains("Window"),
+      "w02 must not contain any Window operator")
+    val w03 = SparkEntry.queries("w03_longest_idle")(spark, dir)
+    assert(!executed(w03).toString.contains("Window"),
+      "w03 must not contain any Window operator")
+  }
+
   test("t06 tfidf tokenizes the corpus exactly once (no diamond re-explode)") {
     val plan = executed(SparkEntry.queries("t06_tfidf_top_terms")(spark, dir))
     val generates = collect(plan) {

@@ -55,6 +55,41 @@ class StreaksSpec extends SparkSpec {
     }
   }
 
+  test("parallel run ids match the window form's cumsum grp ids exactly") {
+    val prep2000 = FtlFixture.prep(spark, 3, 2000)
+    val expected = Streaks.streakRuns(prep2000, "Blocked")
+      .select("grp", "streak_len", "start_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Streaks.parallelRuns(prep2000, "Blocked", parts)
+        .filter(org.apache.spark.sql.functions.col("flag"))
+        .select("grp", "streak_len", "start_ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("parallel longest-idle equals the window form at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val prep2000 = FtlFixture.prep(spark, 3, 2000)
+    // the window form IS the spec — computed inline here
+    val w = Window.orderBy("ts", "id")
+    val exp = prep2000.select(col("ts"), col("id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(1e6))
+      .filter(col("gap_s").isNotNull)
+      .orderBy(desc("gap_s"), asc("ts")).limit(1)
+      .select(round(col("gap_s"), 6).as("gap_s"),
+        col("prev_ts").as("before_gap"), col("ts").as("after_gap"))
+      .head
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Streaks.longestIdle(prep2000, parts).head
+      assert(got == exp, s"parts=$parts")
+    }
+  }
+
   test("sliding RANGE window: trailing hour, equal-ts rows are mutual peers") {
     // client c: events at t=0s, 1800s, 3599s, 3600s, 3600s, 7300s
     // trailing-hour counts (ts-3599.999999s .. ts]:
