@@ -15,12 +15,13 @@ import graft.operators.{PlotData, Stats, Streaks}
   * same sentinels, same display formats, same quirks); `plotData` the
   * chart-table dictionary (plot.py:12-162).
   *
-  * Execution model: each entry collects a SMALL aggregate (1..k rows) to
-  * the driver — dashboard latency, ~15 Spark jobs per call, each a
-  * partial+final aggregate over one scan. The 100 TB pattern is to cache
-  * or materialize `prep` once (`prep.cache()` / write the hourly view)
-  * and let the jobs share it; the plans themselves never materialize the
-  * fact table on the driver.
+  * Execution model: `computeStats` persists `prep` for its own duration
+  * (the 100 TB pattern — materialize the fact table once, let every
+  * aggregate share it) and fuses the ~25 small collects into ≤ 12 Spark
+  * jobs by UNIONING result frames that share a collect: the per-operator
+  * plans are unchanged (each union branch is the same oracle-checked
+  * operator), only the number of driver round-trips shrinks. Every job
+  * returns 1..k rows; the fact table never reaches the driver.
   */
 object Engine {
 
@@ -59,12 +60,27 @@ object Engine {
   /** The reference's full stats dictionary. Keys, sentinel values ("N/A",
     * 0, 0.0), tie-breaks (pandas idxmax = first in key order) and quirks
     * (max_idle_ms holding SECONDS, stats.py:404; slowest_avg_reply_time
-    * unscaled, stats.py:465) are preserved exactly. */
+    * unscaled, stats.py:465) are preserved exactly.
+    *
+    * `prep` is persisted for the duration of the call and released on
+    * exit; job count is pinned ≤ 12 in EngineSpec. */
   def computeStats(prep: DataFrame): Map[String, Any] = {
+    val cached = prep.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try computeStatsImpl(cached)
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** Null columns for the tall-union frames, typed so unionByName lines
+    * up: s* string, cnt long, dval double. */
+  private val nulls = (lit(null).cast("string"), lit(null).cast("bigint"), lit(null).cast("double"))
+
+  private def computeStatsImpl(prep: DataFrame): Map[String, Any] = {
     val m = scala.collection.mutable.Map.empty[String, Any]
+    val (nullS, nullL, nullD) = nulls
 
     // ---- one-pass global summary: totals + range + uniques + reply
-    // (stats.py:10-52, 420-423, 446-455 — four reference scans, one job) ----
+    // (stats.py:10-52, 420-423, 446-455 — four reference scans, one job;
+    // also the job that materializes the persisted prep) ----
     val g = Stats.globalSummary(prep).head
     val total = g.getAs[Long]("total")
     m("n_data_points") = total
@@ -88,19 +104,48 @@ object Engine {
       m("data_span_str") = "0d,0h and 0min"
     }
 
-    // ---- top clients overall and per class (stats.py:56-72) ----
-    m("top_client") = Stats.topClient(prep).collect()
-      .headOption.map(_.getString(0)).getOrElse("N/A")
-    val byClass = Stats.topClientByClass(prep).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    m("top_allowed_client") = byClass.getOrElse("Allowed", "N/A")
-    m("top_blocked_client") = byClass.getOrElse("Blocked", "N/A")
+    // ---- ONE fused job for every small "argmax + misc" collect: top
+    // clients (stats.py:56-72), persistent client (stats.py:119-139),
+    // most diverse client (stats.py:425-440), slowest domain
+    // (stats.py:457-467), inter-arrival gaps (stats.py:409-415). Each
+    // union branch is the unchanged oracle-checked operator — fusing
+    // changes the number of driver round-trips, not any value. ----
+    val misc = Stats.topClient(prep)
+      .select(lit("top_client").as("src"), col("client").as("s1"), nullS.as("s2"),
+        nullL.as("cnt"), nullD.as("dval"))
+      .unionByName(Stats.topClientByClass(prep)
+        .select(concat(lit("top_client_"), col("status_type")).as("src"),
+          col("client").as("s1"), nullS.as("s2"), nullL.as("cnt"), nullD.as("dval")))
+      .unionByName(Stats.persistentClient(prep)
+        .select(lit("persistent").as("src"), col("client").as("s1"),
+          col("domain").as("s2"), col("cnt"), nullD.as("dval")))
+      .unionByName(Stats.diverseClient(prep)
+        .select(lit("diverse").as("src"), col("client").as("s1"), nullS.as("s2"),
+          col("n_domains").as("cnt"), nullD.as("dval")))
+      .unionByName(Stats.slowestDomainRaw(prep)
+        .select(lit("slowest").as("src"), col("domain").as("s1"), nullS.as("s2"),
+          nullL.as("cnt"), col("avg_reply").as("dval")))
+      .unionByName(Stats.interArrivalRaw(prep)
+        .select(concat(lit("gap_"), col("status_type")).as("src"), nullS.as("s1"),
+          nullS.as("s2"), nullL.as("cnt"), col("mean_gap_s").as("dval")))
+      .collect().groupBy(_.getString(0))
+    def miscRow(src: String): Option[Row] = misc.get(src).map(_.head)
 
-    // ---- top domains + quirky counts (stats.py:74-115) ----
-    def domainBlock(prefix: String, statusType: String): Unit =
-      Stats.topDomainOfClass(prep, statusType).collect().headOption match {
+    m("top_client") = miscRow("top_client").map(_.getString(1)).getOrElse("N/A")
+    m("top_allowed_client") = miscRow("top_client_Allowed").map(_.getString(1)).getOrElse("N/A")
+    m("top_blocked_client") = miscRow("top_client_Blocked").map(_.getString(1)).getOrElse("N/A")
+
+    // ---- top domains + quirky counts (stats.py:74-115): both classes in
+    // one fused collect ----
+    val domains = Stats.topDomainOfClass(prep, "Allowed")
+      .select(lit("top_allowed").as("prefix"), col("domain"), col("all_cnt"), col("client"))
+      .unionByName(Stats.topDomainOfClass(prep, "Blocked")
+        .select(lit("top_blocked").as("prefix"), col("domain"), col("all_cnt"), col("client")))
+      .collect().groupBy(_.getString(0))
+    for (prefix <- Seq("top_allowed", "top_blocked"))
+      domains.get(prefix).map(_.head) match {
         case Some(r) =>
-          m(s"${prefix}_domain") = r.getString(0)
+          m(s"${prefix}_domain") = r.getString(1)
           m(s"${prefix}_domain_count") = r.getLong(2) // ALL statuses — quirk
           m(s"${prefix}_domain_client") = r.getString(3)
         case None =>
@@ -108,22 +153,33 @@ object Engine {
           m(s"${prefix}_domain_count") = 0L
           m(s"${prefix}_domain_client") = "N/A"
       }
-    domainBlock("top_allowed", "Allowed")
-    domainBlock("top_blocked", "Blocked")
 
-    // ---- most persistent client (stats.py:119-139) ----
-    Stats.persistentClient(prep).collect().headOption match {
+    // ---- most persistent client (stats.py:119-139; from the misc job) ----
+    miscRow("persistent") match {
       case Some(r) =>
-        m("most_persistent_client") = r.getString(0)
-        m("blocked_domain") = r.getString(1)
-        m("repeat_attempts") = r.getLong(2)
+        m("most_persistent_client") = r.getString(1)
+        m("blocked_domain") = r.getString(2)
+        m("repeat_attempts") = r.getLong(3)
       case None =>
         m("most_persistent_client") = "N/A"; m("blocked_domain") = "N/A"
         m("repeat_attempts") = 0L
     }
 
-    // ---- activity by date / hour / weekday (stats.py:148-205) ----
-    val daily = Stats.dailyCounts(prep).collect() // date-ascending
+    // ---- activity by date / hour / weekday (stats.py:148-205): one
+    // fused job; daily rows carry ISO date strings, which sort
+    // chronologically ----
+    val cal = Stats.dailyCounts(prep)
+      .select(lit("d").as("src"), col("date").cast("string").as("key"),
+        col("cnt").as("c1"), col("blocked_cnt").as("c2"), col("allowed_cnt").as("c3"),
+        nullD.as("avg"))
+      .unionByName(Stats.hourlyCounts(prep)
+        .select(lit("h").as("src"), col("hour").cast("string").as("key"),
+          col("cnt").as("c1"), lit(0L).as("c2"), lit(0L).as("c3"), nullD.as("avg")))
+      .unionByName(Stats.weekdayAvgRaw(prep)
+        .select(lit("w").as("src"), col("day_name").as("key"),
+          nullL.as("c1"), nullL.as("c2"), nullL.as("c3"), col("avg_cnt").as("avg")))
+      .collect().groupBy(_.getString(0))
+    val daily = cal.getOrElse("d", Array.empty[Row]).sortBy(_.getString(1))
     // pandas idxmax/idxmin take the FIRST max/min in date order; the
     // blocked/allowed groupbys only contain dates with >0 such rows
     def argDateNonZero(measure: Row => Long, most: Boolean): String = {
@@ -132,21 +188,21 @@ object Engine {
       else {
         val vals = rows.map(measure)
         val target = if (most) vals.max else vals.min
-        rows(vals.indexOf(target)).getDate(0).toLocalDate.format(DayFmt)
+        java.time.LocalDate.parse(rows(vals.indexOf(target)).getString(1)).format(DayFmt)
       }
     }
-    m("date_most_queries") = argDateNonZero(_.getLong(1), most = true)
-    m("date_least_queries") = argDateNonZero(_.getLong(1), most = false)
-    m("date_most_blocked") = argDateNonZero(_.getLong(2), most = true)
-    m("date_least_blocked") = argDateNonZero(_.getLong(2), most = false)
-    m("date_most_allowed") = argDateNonZero(_.getLong(3), most = true)
-    m("date_least_allowed") = argDateNonZero(_.getLong(3), most = false)
+    m("date_most_queries") = argDateNonZero(_.getLong(2), most = true)
+    m("date_least_queries") = argDateNonZero(_.getLong(2), most = false)
+    m("date_most_blocked") = argDateNonZero(_.getLong(3), most = true)
+    m("date_least_blocked") = argDateNonZero(_.getLong(3), most = false)
+    m("date_most_allowed") = argDateNonZero(_.getLong(4), most = true)
+    m("date_least_allowed") = argDateNonZero(_.getLong(4), most = false)
 
-    val hourly = Stats.hourlyCounts(prep).collect() // hour-ascending
+    val hourly = cal.getOrElse("h", Array.empty[Row]).sortBy(_.getString(1).toInt)
     if (hourly.nonEmpty) {
-      val vals = hourly.map(_.getLong(1))
-      m("most_active_hour") = hourly(vals.indexOf(vals.max)).getInt(0)
-      m("least_active_hour") = hourly(vals.indexOf(vals.min)).getInt(0)
+      val vals = hourly.map(_.getLong(2))
+      m("most_active_hour") = hourly(vals.indexOf(vals.max)).getString(1).toInt
+      m("least_active_hour") = hourly(vals.indexOf(vals.min)).getString(1).toInt
       m("avg_queries_most") = vals.max
       m("avg_queries_least") = vals.min
     } else {
@@ -156,27 +212,47 @@ object Engine {
 
     // RAW means — the reference argmaxes and int()-truncates unrounded
     // values (stats.py:203-205); rounding first could flip both
-    val weekly = Stats.weekdayAvgRaw(prep).collect() // day_name-ascending (pandas index order)
+    val weekly = cal.getOrElse("w", Array.empty[Row])
+      .sortBy(_.getString(1)) // day_name-ascending (pandas index order)
     if (weekly.nonEmpty) {
-      val vals = weekly.map(_.getDouble(1))
-      m("most_active_day") = weekly(vals.indexOf(vals.max)).getString(0)
+      val vals = weekly.map(_.getDouble(5))
+      m("most_active_day") = weekly(vals.indexOf(vals.max)).getString(1)
       m("most_active_avg") = vals.max.toLong
-      m("least_active_day") = weekly(vals.indexOf(vals.min)).getString(0)
+      m("least_active_day") = weekly(vals.indexOf(vals.min)).getString(1)
       m("least_active_avg") = vals.min.toLong
     } else {
       m("most_active_day") = "N/A"; m("least_active_day") = "N/A"
       m("most_active_avg") = 0L; m("least_active_avg") = 0L
     }
 
-    // ---- day/night block (stats.py:211-321) ----
-    val dnTotals = Stats.dayNightTotals(prep).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val dnClient = Stats.dayNightTopClient(prep).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val dnClassClient = dayNightTopClientByClass(prep).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-    def dnDomain(statusType: String) = dayNightDomainBlock(prep, statusType).collect()
-      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    // ---- day/night block (stats.py:211-321): two fused jobs — one for
+    // the client-side tables (totals + top client + per-class top
+    // client), one for both classes' domain blocks ----
+    val dnClients = Stats.dayNightTotals(prep)
+      .select(lit("tot").as("src"), col("day_period").as("period"),
+        nullS.as("cls"), nullS.as("client"), col("cnt"))
+      .unionByName(Stats.dayNightTopClient(prep)
+        .select(lit("top").as("src"), col("day_period").as("period"),
+          nullS.as("cls"), col("client"), nullL.as("cnt")))
+      .unionByName(dayNightTopClientByClass(prep)
+        .select(lit("bycls").as("src"), col("day_period").as("period"),
+          col("status_type").as("cls"), col("client"), nullL.as("cnt")))
+      .collect().groupBy(_.getString(0))
+    val dnTotals = dnClients.getOrElse("tot", Array.empty[Row])
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    val dnClient = dnClients.getOrElse("top", Array.empty[Row])
+      .map(r => r.getString(1) -> r.getString(3)).toMap
+    val dnClassClient = dnClients.getOrElse("bycls", Array.empty[Row])
+      .map(r => (r.getString(1), r.getString(2)) -> r.getString(3)).toMap
+    val dnDomains = dayNightDomainBlock(prep, "Allowed")
+      .select(lit("Allowed").as("cls"), col("day_period"), col("domain"),
+        col("all_cnt"), col("client"))
+      .unionByName(dayNightDomainBlock(prep, "Blocked")
+        .select(lit("Blocked").as("cls"), col("day_period"), col("domain"),
+          col("all_cnt"), col("client")))
+      .collect().groupBy(_.getString(0))
+    def dnDomain(statusType: String) = dnDomains.getOrElse(statusType, Array.empty[Row])
+      .map(r => r.getString(1) -> ((r.getString(2), r.getLong(3), r.getString(4)))).toMap
     val dnAllowedDom = dnDomain("Allowed")
     val dnBlockedDom = dnDomain("Blocked")
     for ((period, prefix) <- Seq("Day" -> "day", "Night" -> "night")) {
@@ -192,26 +268,28 @@ object Engine {
       }
     }
 
-    // ---- uniques (stats.py:420-440; counts from the one-pass summary) ----
+    // ---- uniques (stats.py:420-440; counts from the one-pass summary,
+    // diverse client from the misc job) ----
     m("unique_domains") = g.getAs[Long]("n_domains")
     m("unique_clients") = g.getAs[Long]("n_clients")
-    Stats.diverseClient(prep).collect().headOption match {
+    miscRow("diverse") match {
       case Some(r) =>
-        m("most_diverse_client") = r.getString(0)
-        m("unique_domains_count") = r.getLong(1)
+        m("most_diverse_client") = r.getString(1)
+        m("unique_domains_count") = r.getLong(3)
       case None =>
         m("most_diverse_client") = "N/A"; m("unique_domains_count") = 0L
     }
 
-    // ---- reply times (stats.py:444-467; ms stats from the summary) ----
+    // ---- reply times (stats.py:444-467; ms stats from the summary,
+    // slowest domain from the misc job) ----
     m("avg_reply_time") = g.getAs[Double]("avg_reply_ms")
     m("max_reply_time") = g.getAs[Double]("max_reply_ms")
     m("min_reply_time") = g.getAs[Double]("min_reply_ms")
     // slowest_avg_reply_time is UNSCALED seconds in the reference — quirk
-    Stats.slowestDomainRaw(prep).collect().headOption match {
+    miscRow("slowest") match {
       case Some(r) =>
-        m("slowest_domain") = r.getString(0)
-        m("slowest_avg_reply_time") = r.getDouble(1)
+        m("slowest_domain") = r.getString(1)
+        m("slowest_avg_reply_time") = r.getDouble(4)
       case None =>
         m("slowest_domain") = "N/A"; m("slowest_avg_reply_time") = 0.0
     }
@@ -240,10 +318,10 @@ object Engine {
       case None =>
         m("max_idle_ms") = null; m("before_gap") = null; m("after_gap") = null
     }
-    val gaps = Stats.interArrivalRaw(prep).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    m("avg_time_between_allowed") = gaps.get("Allowed").orNull
-    m("avg_time_between_blocked") = gaps.get("Blocked").orNull
+    m("avg_time_between_allowed") =
+      miscRow("gap_Allowed").map(_.getDouble(4): Any).orNull
+    m("avg_time_between_blocked") =
+      miscRow("gap_Blocked").map(_.getDouble(4): Any).orNull
 
     m.toMap
   }

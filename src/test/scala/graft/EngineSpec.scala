@@ -49,6 +49,45 @@ class EngineSpec extends SparkSpec {
     assert(stats("data_span_days") == 30L)
   }
 
+  test("computeStats makes at most 12 driver round-trips (fused collects + persisted prep)") {
+    // raw Spark job count inflates under AQE (each query stage is its own
+    // job), so the pinned metric is ACTIONS: SQL executions (one per
+    // DataFrame collect) plus RDD jobs outside any SQL execution (the
+    // streak/idle boundary-stats passes)
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val execs = new AtomicInteger
+    val rddJobs = new AtomicInteger
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ => ()
+      }
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties == null ||
+            js.properties.getProperty("spark.sql.execution.id") == null)
+          rddJobs.incrementAndGet()
+    }
+    val prep = FtlFixture.prep(spark, 2, 1500)
+    spark.sparkContext.addSparkListener(listener)
+    val actions =
+      try {
+        Engine.computeStats(prep)
+        // the listener bus is async — poll until the counters stabilize
+        var prev = -1
+        var cur = execs.get + rddJobs.get
+        var tries = 0
+        while (cur != prev && tries < 50) {
+          Thread.sleep(100); prev = cur; cur = execs.get + rddJobs.get; tries += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions <= 12,
+      s"computeStats made $actions driver round-trips " +
+        s"(${execs.get} SQL executions + ${rddJobs.get} RDD jobs) — budget is 12")
+  }
+
   test("computeStats yields reference sentinels on an empty relation (test_stats.py:293-318)") {
     val stats = Engine.computeStats(
       Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL, Seq.empty)))
