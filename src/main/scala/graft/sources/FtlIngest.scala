@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
   *     (PushedFilters), partition-parallel for free. The reference's
   *     memory-adaptive chunking (db.py:39-52) is superseded entirely by
   *     Spark's split planning (`maxPartitionBytes`).
-  *   - **JDBC** (direct SQLite): available when an `org.sqlite.JDBC`
-  *     driver is on the classpath; partitions the scan on `timestamp`
-  *     (`partitionColumn`/`numPartitions`) which reproduces the
-  *     reference's chunked generator (db.py:137-152) as parallel range
-  *     scans. Fails with a clear message when the driver is absent (this
-  *     build environment has none — the code path is exercised only for
-  *     the error contract).
+  *   - **SQLite `.db`** (the reference's primary format): read natively
+  *     by [[SqliteRead]] — page-parallel leaf scans replace the
+  *     reference's chunked generator (db.py:137-152). Exercised
+  *     end-to-end in FtlIngestSpec against fixture databases built with
+  *     the reference DDL.
+  *   - **JDBC**: kept for deployments with an `org.sqlite.JDBC` driver
+  *     jar (absent here); fails with a clear message otherwise.
   *
   * Multi-database behavior matches the reference: UNION ALL with
   * duplicates KEPT (README.md:56), via `unionByName`.
@@ -130,7 +130,24 @@ object FtlIngest {
     CsvSplit(clean, quarantine, raw)
   }
 
-  /** S1/S2 over JDBC: one partitioned range-scan per database file. */
+  /** S1/S2/S3 straight from SQLite `.db` files — the reference's PRIMARY
+    * source format (db.py:16-30,130-135), read natively via
+    * [[SqliteRead]] (driver walks the interior B-tree, executors parse
+    * leaf pages in parallel; overflow chains, rowid-alias `id`, lossy
+    * UTF-8 all handled). Multi-database = UNION ALL with duplicates
+    * kept, same as [[readParquet]]. The timestamp range filter applies
+    * after the scan (the 7-column projection happens in the page
+    * parser); [[probeRange]] works unchanged on the result. */
+  def readSqlite(spark: SparkSession, dbPaths: Seq[String],
+                 fromEpoch: Long, toEpoch: Long, numPartitions: Int = 8): DataFrame =
+    dbPaths.map(p => SqliteRead.readTable(spark, p, "queries", SourceSchema, numPartitions))
+      .reduce(_ unionByName _)
+      .filter(col("timestamp") >= fromEpoch && col("timestamp") < toEpoch)
+
+  /** S1/S2 over JDBC: one partitioned range-scan per database file.
+    * Requires an org.sqlite.JDBC driver jar on the classpath (absent in
+    * this build — [[readSqlite]] is the first-class direct-.db path;
+    * this stays for deployments that prefer the JDBC connector). */
   def readJdbc(spark: SparkSession, dbPaths: Seq[String],
                fromEpoch: Long, toEpoch: Long, numPartitions: Int = 8): DataFrame = {
     try Class.forName("org.sqlite.JDBC")

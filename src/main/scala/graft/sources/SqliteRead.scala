@@ -1,0 +1,344 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native read path for SQLite database files — the reference's primary
+  * source format (reference: db.py:16-30,130-135 reads the FTL `queries`
+  * table straight from the `.db` file). The build has no JDBC driver jar
+  * and zero egress, so this implements the minimal READ slice of the
+  * public SQLite file format (sqlite.org/fileformat2: header, table
+  * B-trees, varints, record serial types, overflow chains) directly.
+  *
+  * Scale design — the same split as every other source here:
+  *   - the DRIVER walks only the table's INTERIOR B-tree pages to
+  *     enumerate leaf page numbers (fan-out ~hundreds, so interior pages
+  *     are ~1/300th of the file) and partitions that list;
+  *   - EXECUTORS open the file themselves and parse only their leaf
+  *     pages (plus any overflow chains those leaves reference) — the
+  *     Spark-shaped replacement for the reference's memory-adaptive
+  *     chunked generator (db.py:39-52,137-152): chunk = page range, and
+  *     chunks scan in parallel instead of sequentially.
+  *
+  * Semantics matched to the reference:
+  *   - text decodes UTF-8 with replacement (db.py:17 sets a lossy
+  *     `text_factory`; S6 in SURVEY.md §2) — blobs in TEXT columns and
+  *     mangled bytes yield U+FFFD, never a failed scan;
+  *   - `INTEGER PRIMARY KEY` columns are rowid aliases: stored as NULL
+  *     in the record, materialized from the cell's rowid;
+  *   - SQLite columns are dynamically typed, so values coerce to the
+  *     requested Spark type (an INTEGER-stored 0 in a REAL column reads
+  *     as 0.0).
+  *
+  * Limits (documented, not silent): UTF-8 databases only (encodings 2/3
+  * are UTF-16 — rejected), no WAL-journal replay (read a checkpointed
+  * file), table B-trees only (`WITHOUT ROWID` tables are index B-trees —
+  * rejected by page type).
+  */
+object SqliteRead {
+
+  /** Read `table` from a SQLite file as a DataFrame with the requested
+    * schema (fields matched to table columns by name, coerced to the
+    * field type). `numPartitions` splits the leaf-page list. */
+  def readTable(spark: SparkSession, dbPath: String, table: String,
+                schema: StructType, numPartitions: Int = 8): DataFrame = {
+    val (rootPage, createSql) = withFile(dbPath) { f =>
+      val h = header(f)
+      findTable(f, h, table)
+        .getOrElse(throw new IllegalArgumentException(
+          s"table '$table' not found in $dbPath"))
+    }
+    val cols = columnsOf(createSql)
+    val rowidAlias = rowidAliasOf(createSql)
+    val fieldSrc = schema.fields.map { fld =>
+      val idx = cols.indexWhere(_.equalsIgnoreCase(fld.name))
+      require(idx >= 0, s"column '${fld.name}' not in table '$table' ($cols)")
+      idx
+    }
+    val aliasIdx = rowidAlias.map(a => cols.indexWhere(_.equalsIgnoreCase(a))).getOrElse(-1)
+    val leaves = withFile(dbPath)(f => leafPages(f, header(f), rootPage))
+    val parts = math.max(1, math.min(numPartitions, leaves.length))
+    val rdd = spark.sparkContext
+      .parallelize(splitEvenly(leaves, parts), parts)
+      .flatMap { pages =>
+        withFile(dbPath) { f =>
+          val h = header(f)
+          pages.iterator.flatMap(p => leafRows(f, h, p)).map { case (rowid, rec) =>
+            Row.fromSeq(fieldSrc.zip(schema.fields).map { case (src, fld) =>
+              val v = if (src == aliasIdx && (src >= rec.length || rec(src) == null))
+                java.lang.Long.valueOf(rowid) // INTEGER PRIMARY KEY = rowid alias
+              else if (src < rec.length) rec(src)
+              else null // short record: missing trailing columns are NULL
+              coerce(v, fld.dataType)
+            }.toSeq)
+          }.toVector // materialize before the file handle closes
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- file-level helpers ----
+
+  private def withFile[A](path: String)(body: RandomAccessFile => A): A = {
+    val f = new RandomAccessFile(path, "r")
+    try body(f) finally f.close()
+  }
+
+  /** (pageSize, usableSize) from the 100-byte header; asserts UTF-8. */
+  private case class Header(pageSize: Int, usable: Int)
+
+  private def header(f: RandomAccessFile): Header = {
+    val magic = new Array[Byte](16)
+    f.seek(0); f.readFully(magic)
+    require(new String(magic, StandardCharsets.US_ASCII).startsWith("SQLite format 3"),
+      "not a SQLite database file")
+    f.seek(16)
+    val raw = f.readUnsignedShort()
+    val pageSize = if (raw == 1) 65536 else raw
+    f.seek(20)
+    val reserved = f.readUnsignedByte()
+    f.seek(56)
+    val enc = f.readInt()
+    require(enc == 1, s"only UTF-8 SQLite databases supported (encoding=$enc)")
+    Header(pageSize, pageSize - reserved)
+  }
+
+  private def pageOffset(h: Header, page: Int): Long = (page - 1).toLong * h.pageSize
+
+  /** B-tree page header fields at `page` (page 1 skips the 100-byte file
+    * header). Returns (type, nCells, cellPtrArrayOffset, rightChild). */
+  private def btHeader(f: RandomAccessFile, h: Header, page: Int): (Int, Int, Long, Int) = {
+    val base = pageOffset(h, page) + (if (page == 1) 100 else 0)
+    f.seek(base)
+    val typ = f.readUnsignedByte()
+    f.skipBytes(2) // first freeblock
+    val nCells = f.readUnsignedShort()
+    f.skipBytes(3) // cell content start (2) + fragmented bytes (1)
+    val right = if (typ == 2 || typ == 5) f.readInt() else 0
+    val headerLen = if (typ == 2 || typ == 5) 12 else 8
+    (typ, nCells, base + headerLen, right)
+  }
+
+  private def cellOffsets(f: RandomAccessFile, h: Header, page: Int,
+                          ptrArray: Long, nCells: Int): Seq[Long] = {
+    f.seek(ptrArray)
+    val buf = new Array[Byte](nCells * 2)
+    f.readFully(buf)
+    (0 until nCells).map { i =>
+      val off = ((buf(2 * i) & 0xff) << 8) | (buf(2 * i + 1) & 0xff)
+      pageOffset(h, page) + off
+    }
+  }
+
+  /** All leaf page numbers under `root`, in key order — reads ONLY
+    * interior pages (the driver-side part of the scan). */
+  private def leafPages(f: RandomAccessFile, h: Header, root: Int): Vector[Int] = {
+    val out = Vector.newBuilder[Int]
+    def walk(page: Int): Unit = {
+      val (typ, nCells, ptrs, right) = btHeader(f, h, page)
+      typ match {
+        case 13 => out += page
+        case 5 =>
+          val children = cellOffsets(f, h, page, ptrs, nCells).map { off =>
+            f.seek(off); f.readInt()
+          }
+          (children :+ right).foreach(walk)
+        case other =>
+          throw new IllegalStateException(
+            s"page $page: expected table b-tree (5/13), got type $other " +
+              "(WITHOUT ROWID / index pages are not table data)")
+      }
+    }
+    walk(root)
+    out.result()
+  }
+
+  /** Parse every (rowid, record values) on one table leaf page,
+    * following overflow chains where the payload spills. */
+  private def leafRows(f: RandomAccessFile, h: Header, page: Int): Seq[(Long, Array[Any])] = {
+    val (typ, nCells, ptrs, _) = btHeader(f, h, page)
+    require(typ == 13, s"page $page is not a table leaf (type $typ)")
+    cellOffsets(f, h, page, ptrs, nCells).map { off =>
+      f.seek(off)
+      val payloadLen = readVarint(f)
+      val rowid = readVarint(f)
+      (rowid, parseRecord(readPayload(f, h, payloadLen)))
+    }
+  }
+
+  /** Local/overflow split per the format spec: X = U-35 all-local
+    * threshold, M the minimum local share, K the modular balance point. */
+  private def readPayload(f: RandomAccessFile, h: Header, len: Long): Array[Byte] = {
+    val u = h.usable
+    val x = u - 35
+    val out = new Array[Byte](len.toInt)
+    if (len <= x) {
+      f.readFully(out)
+      return out
+    }
+    val m = (u - 12) * 32 / 255 - 23
+    val k = m + ((len - m) % (u - 4)).toInt
+    val local = if (k <= x) k else m
+    f.readFully(out, 0, local)
+    var next = f.readInt()
+    var pos = local
+    while (next != 0 && pos < len) {
+      f.seek(pageOffset(h, next))
+      next = f.readInt()
+      val take = math.min(u - 4, len.toInt - pos)
+      f.readFully(out, pos, take)
+      pos += take
+    }
+    require(pos == len, s"overflow chain truncated: $pos of $len bytes")
+    out
+  }
+
+  /** SQLite record → column values (serial types per the format spec). */
+  private def parseRecord(payload: Array[Byte]): Array[Any] = {
+    val p = new Parser(payload)
+    val headerLen = p.varint()
+    val types = ArrayBuffer.empty[Long]
+    while (p.pos < headerLen) types += p.varint()
+    types.map { t =>
+      t match {
+        case 0 => null
+        case 1 => p.int(1)
+        case 2 => p.int(2)
+        case 3 => p.int(3)
+        case 4 => p.int(4)
+        case 5 => p.int(6)
+        case 6 => p.int(8)
+        case 7 => java.lang.Double.longBitsToDouble(p.int(8).longValue())
+        case 8 => java.lang.Long.valueOf(0L)
+        case 9 => java.lang.Long.valueOf(1L)
+        case n if n >= 13 && n % 2 == 1 => p.text(((n - 13) / 2).toInt)
+        case n if n >= 12 && n % 2 == 0 => p.bytes(((n - 12) / 2).toInt)
+        case n => throw new IllegalStateException(s"reserved serial type $n")
+      }
+    }.toArray[Any]
+  }
+
+  private final class Parser(buf: Array[Byte]) {
+    var pos: Int = 0
+    def varint(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) {
+        val b = buf(pos); pos += 1
+        v = (v << 7) | (b & 0x7f)
+        if ((b & 0x80) == 0) return v
+        i += 1
+      }
+      val b = buf(pos); pos += 1
+      (v << 8) | (b & 0xff)
+    }
+    def int(n: Int): java.lang.Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (buf(pos + i) & 0xff); i += 1 }
+      pos += n
+      // sign-extend from n bytes
+      val shift = 64 - 8 * n
+      java.lang.Long.valueOf((v << shift) >> shift)
+    }
+    def text(n: Int): String = {
+      // UTF-8 with replacement — java.lang.String's default for malformed
+      // input, matching the reference's lossy text_factory (db.py:17)
+      val s = new String(buf, pos, n, StandardCharsets.UTF_8)
+      pos += n
+      s
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+      pos += n
+      b
+    }
+  }
+
+  /** Varint straight off the file (cell headers live outside records). */
+  private def readVarint(f: RandomAccessFile): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) {
+      val b = f.readUnsignedByte()
+      v = (v << 7) | (b & 0x7f)
+      if ((b & 0x80) == 0) return v
+      i += 1
+    }
+    (v << 8) | (f.readUnsignedByte() & 0xff)
+  }
+
+  // ---- schema-level helpers ----
+
+  /** Scan sqlite_master (root = page 1) for `table` → (rootpage, sql). */
+  private def findTable(f: RandomAccessFile, h: Header,
+                        table: String): Option[(Int, String)] = {
+    // sqlite_master columns: type, name, tbl_name, rootpage, sql
+    leafPages(f, h, 1).iterator.flatMap(leafRows(f, h, _)).collectFirst {
+      case (_, rec) if rec.length >= 5 &&
+        "table" == rec(0) && table.equalsIgnoreCase(String.valueOf(rec(1))) =>
+        (rec(3).asInstanceOf[java.lang.Long].intValue(), String.valueOf(rec(4)))
+    }
+  }
+
+  /** Column names from CREATE TABLE sql — first identifier of each
+    * top-level comma-separated item inside the parens. */
+  private[sources] def columnsOf(createSql: String): Seq[String] = {
+    val body = createSql.substring(createSql.indexOf('(') + 1,
+      createSql.lastIndexOf(')'))
+    var depth = 0
+    val items = ArrayBuffer(new StringBuilder)
+    body.foreach {
+      case '(' => depth += 1; items.last.append('(')
+      case ')' => depth -= 1; items.last.append(')')
+      case ',' if depth == 0 => items += new StringBuilder
+      case c => items.last.append(c)
+    }
+    items.map(_.toString.trim)
+      .filterNot(s => Seq("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+        .exists(k => s.toUpperCase.startsWith(k + " ") || s.toUpperCase.startsWith(k + "(")))
+      .map(_.split("\\s+|\\(", 2)(0).stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("[").stripSuffix("]").stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)
+      .toSeq
+  }
+
+  /** The `INTEGER PRIMARY KEY` rowid-alias column, if declared. */
+  private[sources] def rowidAliasOf(createSql: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)[(,]\\s*([\\w\"\\[\\]`]+)\\s+INTEGER\\s+PRIMARY\\s+KEY")
+      .matcher(createSql)
+    if (m.find())
+      Some(m.group(1).stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("[").stripSuffix("]").stripPrefix("`").stripSuffix("`"))
+    else None
+  }
+
+  /** Dynamic-typing coercion to the requested Spark field type. */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, LongType) => l
+    case (l: java.lang.Long, IntegerType) => java.lang.Integer.valueOf(l.intValue())
+    case (l: java.lang.Long, ShortType) => java.lang.Short.valueOf(l.shortValue())
+    case (l: java.lang.Long, ByteType) => java.lang.Byte.valueOf(l.byteValue())
+    case (l: java.lang.Long, DoubleType) => java.lang.Double.valueOf(l.doubleValue())
+    case (d: java.lang.Double, DoubleType) => d
+    case (d: java.lang.Double, FloatType) => java.lang.Float.valueOf(d.floatValue())
+    case (d: java.lang.Double, LongType) => java.lang.Long.valueOf(d.longValue())
+    case (s: String, StringType) => s
+    case (b: Array[Byte], StringType) =>
+      new String(b, StandardCharsets.UTF_8) // lossy decode, like db.py:17
+    case (b: Array[Byte], BinaryType) => b
+    case (other, StringType) => String.valueOf(other)
+    case (other, t) =>
+      throw new IllegalStateException(s"cannot coerce $other (${other.getClass}) to $t")
+  }
+
+  private def splitEvenly[A](xs: Vector[A], n: Int): Seq[Vector[A]] = {
+    val per = math.ceil(xs.length.toDouble / n).toInt
+    xs.grouped(math.max(1, per)).toSeq
+  }
+}

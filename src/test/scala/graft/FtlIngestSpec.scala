@@ -60,6 +60,64 @@ class FtlIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("readParquet"))
   }
 
+  // ---- native SQLite read path (fixtures built with the reference DDL,
+  // tests/conftest.py:129-148; generator: tools/make_sqlite_fixture.py) ----
+
+  private def res(name: String): String =
+    getClass.getResource(s"/$name").getPath
+
+  test("sqlite: real .db read matches the CSV twin row-for-row (db.py:130-135)") {
+    val (from, to) = (0L, Long.MaxValue)
+    val db = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), from, to)
+      .filter(org.apache.spark.sql.functions.col("id") < 9000) // CSV twin carries the plain rows
+    val csv = FtlIngest.readCsv(spark, Seq(res("ftl_fixture.csv")), from, to)
+      .drop("_corrupt")
+    assert(db.count() == 3000)
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf(_)).mkString("|")
+    assert(db.collect().map(key).sorted.toSeq == csv.collect().map(key).sorted.toSeq)
+  }
+
+  test("sqlite: overflow payloads and lossy UTF-8 decode (db.py:17 text_factory)") {
+    val all = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), 0L, Long.MaxValue)
+    val overflow = all.filter("id = 9001").head
+    assert(overflow.getString(4) == "x" * 6000) // 6000-char domain spans overflow pages
+    val lossy = all.filter("id = 9002").head
+    // b"A\xc3\xffB" decodes with replacement, never fails the scan
+    assert(lossy.getString(4).startsWith("A") && lossy.getString(4).endsWith("B"))
+    assert(lossy.getString(4).contains('�'))
+  }
+
+  test("sqlite: INTEGER PRIMARY KEY id is the rowid alias") {
+    val pk = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_pk.db")), 0L, Long.MaxValue)
+    assert(pk.count() == 200)
+    // ids are stored as NULL in the record; values must come from rowids
+    assert(pk.selectExpr("min(id)", "max(id)").head.toSeq == Seq(1, 200))
+  }
+
+  test("sqlite: empty database reads as zero rows; multi-db unions with duplicates kept") {
+    val empty = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_empty.db")), 0L, Long.MaxValue)
+    assert(empty.count() == 0)
+    val dup = FtlIngest.readSqlite(
+      spark, Seq(res("ftl_fixture_pk.db"), res("ftl_fixture_pk.db")), 0L, Long.MaxValue)
+    assert(dup.count() == 400) // duplicates survive, like the reference (README.md:56)
+  }
+
+  test("sqlite: timestamp range filter is half-open [from, to)") {
+    val all = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_pk.db")), 0L, Long.MaxValue)
+    val ts = all.selectExpr("min(timestamp)").head.getLong(0)
+    val narrowed = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_pk.db")), ts, ts + 1)
+    assert(narrowed.count() >= 1 &&
+      narrowed.selectExpr("max(timestamp)").head.getLong(0) == ts)
+  }
+
+  test("sqlite: full pipeline — preprocess and stats over a real .db") {
+    val prep = Preprocess.preprocessFtl(
+      FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), 0L, Long.MaxValue)
+        .filter("id < 9000"))
+    val g = graft.operators.Stats.totals(prep).head
+    assert(g.getLong(0) == 3000)
+  }
+
   test("display-TZ conversion shifts wall-clock, invalid TZ is a no-op-to-UTC (process.py:52-61)") {
     import org.apache.spark.sql.functions._
     val prep = FtlFixture.prep(spark, 1, 10)

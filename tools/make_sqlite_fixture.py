@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Build the SQLite test fixtures for FtlIngestSpec (dev tooling — run
+once, outputs are committed as test resources).
+
+Creates, with the reference's DDL (reference: tests/conftest.py:129-148):
+  src/test/resources/ftl_fixture.db        3000 rows, multi-level B-tree,
+                                           NULL reply_times, one overflow
+                                           row (6000-char domain), one
+                                           invalid-UTF-8 domain (stored as
+                                           a blob in the TEXT column)
+  src/test/resources/ftl_fixture_pk.db     same first 200 rows but with
+                                           id INTEGER PRIMARY KEY (rowid
+                                           alias: id stored as NULL)
+  src/test/resources/ftl_fixture_empty.db  DDL only, zero rows
+  src/test/resources/ftl_fixture.csv       CSV twin of ftl_fixture.db for
+                                           the row-for-row cross check
+                                           (overflow/blob rows excluded —
+                                           the CSV path can't carry them)
+
+Deterministic: fixed seed, no wall clock.
+"""
+import csv
+import os
+import sqlite3
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources")
+
+DDL = """
+CREATE TABLE queries (
+    id INTEGER{pk},
+    timestamp INTEGER,
+    type INTEGER,
+    status INTEGER,
+    domain TEXT,
+    client TEXT,
+    forward TEXT,
+    additional_info TEXT,
+    reply_type INTEGER,
+    reply_time REAL,
+    dnssec INTEGER,
+    list_id TEXT,
+    ede INTEGER
+)
+"""
+
+T0 = 1704067200  # 2024-01-01 UTC
+
+
+def rows(n):
+    # simple deterministic LCG so the fixture never depends on library RNGs
+    state = 12345
+
+    def rnd(m):
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state % m
+
+    out = []
+    for i in range(1, n + 1):
+        ts = T0 + i * 97 + rnd(50)
+        typ = 1 + rnd(2)
+        status = (1, 2, 3, 9)[rnd(4)]
+        domain = f"www.domain{rnd(40)}.example"
+        client = f"192.168.1.{1 + rnd(20)}"
+        reply = None if rnd(10) == 0 else round(rnd(10000) / 10000.0, 4)
+        out.append((i, ts, typ, status, domain, client, None, None,
+                    rnd(5), reply, rnd(2), None, None))
+    return out
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    data = rows(3000)
+
+    main_db = os.path.join(OUT, "ftl_fixture.db")
+    if os.path.exists(main_db):
+        os.remove(main_db)
+    conn = sqlite3.connect(main_db)
+    conn.execute(DDL.format(pk=""))
+    conn.executemany("INSERT INTO queries VALUES (" + ",".join("?" * 13) + ")", data)
+    # overflow row: payload far beyond one 4096-byte page
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+        (9001, T0 + 999999, 1, 2, "x" * 6000, "192.168.1.99", None, None,
+         0, 0.5, 0, None, None))
+    # invalid-UTF-8 domain: a blob value in the TEXT column (SQLite keeps
+    # the blob type) — readers must decode with replacement (db.py:17)
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+        (9002, T0 + 999998, 1, 2, sqlite3.Binary(b"A\xc3\xffB"), "192.168.1.98",
+         None, None, 0, 0.25, 0, None, None))
+    conn.commit()
+    conn.close()
+
+    pk_db = os.path.join(OUT, "ftl_fixture_pk.db")
+    if os.path.exists(pk_db):
+        os.remove(pk_db)
+    conn = sqlite3.connect(pk_db)
+    conn.execute(DDL.format(pk=" PRIMARY KEY"))
+    conn.executemany("INSERT INTO queries VALUES (" + ",".join("?" * 13) + ")",
+                     data[:200])
+    conn.commit()
+    conn.close()
+
+    empty_db = os.path.join(OUT, "ftl_fixture_empty.db")
+    if os.path.exists(empty_db):
+        os.remove(empty_db)
+    conn = sqlite3.connect(empty_db)
+    conn.execute(DDL.format(pk=""))
+    conn.commit()
+    conn.close()
+
+    with open(os.path.join(OUT, "ftl_fixture.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "timestamp", "type", "status", "domain", "client",
+                    "reply_time"])
+        for r in data:
+            w.writerow([r[0], r[1], r[2], r[3], r[4], r[5],
+                        "" if r[9] is None else r[9]])
+    print(f"fixtures written to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
