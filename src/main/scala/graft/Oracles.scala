@@ -1199,7 +1199,195 @@ FROM allc a JOIN topc c USING(domain)"""
       |ORDER BY c.i, c.j""".stripMargin)
   )
 
+  // ---- ANN mirror building blocks (s02/s04/s05/s06/s08). These were
+  // rows-only until round 5; every stage of each ANN pipeline is in fact
+  // engine-portable once the hashing is md5-derived and the float folds
+  // are mirrored operation-for-operation:
+  //  - ddot: double-list dot as a LEFT FOLD over in-order products —
+  //    list_reduce((a,b)->a+b) reproduces Spark's aggregate(zip_with(..),
+  //    0.0, _+_) bit-for-bit (0.0+x0 == x0);
+  //  - fdot/fnorm: the FLOAT-domain variant (float multiply, double
+  //    accumulate) matching graft.functions.DotProduct on float arrays;
+  //  - planes: Rademacher ±1 hyperplane components from md5 parity —
+  //    no transcendental functions, so no cross-libm ulp hazard;
+  //  - lloyd/pqLloyd: the k-means iterations UNROLLED (iterations=2 is a
+  //    query parameter, not data-dependent), with the same
+  //    empty-cell-keeps-previous-centroid rule as the Spark side.
+  // k-means means use avg(): the one place summation order is not pinned
+  // across engines; a divergence needs two centroids equidistant from a
+  // vector to ~1e-15 relative — measured safe at sf0.001/0.01/0.1.
+
+  private def ddot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a,$b),p->p[1]*p[2]),(x,y)->x+y)"
+  private def dist2(v: String, c: String): String =
+    s"(${ddot(v, v)} - 2.0*${ddot(v, c)} + ${ddot(c, c)})"
+  private def fdot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a,$b),p->CAST(p[1]*p[2] AS DOUBLE)),(x,y)->x+y)"
+  private def fnorm(v: String): String =
+    s"sqrt(list_reduce(list_transform($v, x->CAST(x*x AS DOUBLE)),(a,b)->a+b))"
+
+  /** Σ_j [dot(v, plane_j) ≥ 0]·2^j over md5-parity ±1 planes; DuckDB
+    * lambda indexes are 1-based, Spark's sequence is 0-based → (i-1). */
+  private def lshBucket(planes: Int): String =
+    (0 until planes).map { j =>
+      val pc = s"(CASE WHEN ascii(substr(md5('$j:' || (i-1)),1,1))%2=1 THEN 1.0 ELSE -1.0 END)"
+      s"(CASE WHEN list_reduce(list_transform(v,(x,i)->x*$pc),(a,b)->a+b) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n         + ")
+
+  /** One IVF Lloyd iteration over the 64-dim double vectors. */
+  private def lloydCte(prev: String, out: String): String =
+    s"""asg_$out AS (
+       |  SELECT vec_id, dv, cell FROM (
+       |    SELECT e.vec_id, e.dv, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${dist2("e.dv", "c.centv")} ASC, c.cell) AS rn
+       |    FROM ev e CROSS JOIN $prev c) WHERE rn = 1),
+       |means_$out AS (
+       |  SELECT cell, list(mx ORDER BY dim) AS centv FROM (
+       |    SELECT a.cell, t.dim, avg(a.dv[t.dim]) AS mx
+       |    FROM asg_$out a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) t
+       |    GROUP BY a.cell, t.dim)
+       |  GROUP BY cell),
+       |$out AS (
+       |  SELECT p.cell, coalesce(m.centv, p.centv) AS centv
+       |  FROM $prev p LEFT JOIN means_$out m ON m.cell = p.cell)""".stripMargin
+
+  /** One joint PQ Lloyd iteration — subspace is just a grouping column
+    * (16-dim slices, codes trained per subspace in the same pass). */
+  private def pqLloydCte(prev: String, out: String): String =
+    s"""asg_$out AS (
+       |  SELECT vec_id, subspace, sv, cell FROM (
+       |    SELECT s.vec_id, s.subspace, s.sv, c.cell,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+       |                              ORDER BY ${dist2("s.sv", "c.centv")} ASC, c.cell) AS rn
+       |    FROM sl s JOIN $prev c ON c.subspace = s.subspace) WHERE rn = 1),
+       |means_$out AS (
+       |  SELECT subspace, cell, list(mx ORDER BY dim) AS centv FROM (
+       |    SELECT a.subspace, a.cell, t.dim, avg(a.sv[t.dim]) AS mx
+       |    FROM asg_$out a CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS dim) t
+       |    GROUP BY a.subspace, a.cell, t.dim)
+       |  GROUP BY subspace, cell),
+       |$out AS (
+       |  SELECT p.subspace, p.cell, coalesce(m.centv, p.centv) AS centv
+       |  FROM $prev p LEFT JOIN means_$out m ON m.subspace = p.subspace AND m.cell = p.cell)""".stripMargin
+
+  /** Shared final stage: exact cosine (round 6) + rank ≤ k per query. */
+  private def rankSelect(fromClause: String, k: Int): String =
+    s"""SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_cosine_similarity(qv, cv), 6) AS cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rank
+       |  FROM ($fromClause))
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   val similarity: Map[String, String] = Map(
+    "s02_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e)
+         |${rankSelect(
+        """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+          |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 5""".stripMargin, 10)}""".stripMargin,
+
+    "s06_knn_lsh_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e),
+         |q AS (SELECT vec_id, v,
+         |             unnest([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8)]) AS bucket
+         |      FROM b WHERE vec_id < 5)
+         |${rankSelect(
+        """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+          |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id""".stripMargin, 10)}""".stripMargin,
+
+    // IVF with stub first-16 centroids: cosine argmax assignment in the
+    // FLOAT domain (float products, double accumulation), nProbe=4
+    "s04_knn_ivf" ->
+      s"""WITH f AS (SELECT vec_id, embedding AS fv, ${fnorm("embedding")} AS vn FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, fv AS cv, vn AS cn FROM f WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, fv, cell FROM (
+         |    SELECT v.vec_id, v.fv, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${fdot("v.fv", "c.cv")}/(v.vn*c.cn) DESC, c.cell) AS rn
+         |    FROM f v CROSS JOIN cents c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, fv AS qfv, cell FROM (
+         |    SELECT v.vec_id, v.fv, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${fdot("v.fv", "c.cv")}/(v.vn*c.cn) DESC, c.cell) AS rn
+         |    FROM f v CROSS JOIN cents c WHERE v.vec_id < 5) WHERE rn <= 4)
+         |${rankSelect(
+        """SELECT p.query_id, a.vec_id AS neighbor_id,
+          |         CAST(p.qfv AS DOUBLE[]) AS qv, CAST(a.fv AS DOUBLE[]) AS cv
+          |  FROM asg a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id""".stripMargin, 10)}""".stripMargin,
+
+    // trained IVF: 2 unrolled Lloyd iterations from the first-16 seed,
+    // then the same assign/probe/score chain
+    "s05_knn_ivf_trained" ->
+      s"""WITH ev AS (SELECT vec_id, embedding AS fv, CAST(embedding AS DOUBLE[]) AS dv
+         |                  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, dv AS centv FROM ev WHERE vec_id < 16),
+         |${lloydCte("c0", "c1")},
+         |${lloydCte("c1", "c2")},
+         |asg AS (
+         |  SELECT vec_id, fv, cell FROM (
+         |    SELECT e.vec_id, e.fv, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${dist2("e.dv", "c.centv")} ASC, c.cell) AS rn
+         |    FROM ev e CROSS JOIN c2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, fv AS qfv, cell FROM (
+         |    SELECT e.vec_id, e.fv, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${dist2("e.dv", "c.centv")} ASC, c.cell) AS rn
+         |    FROM ev e CROSS JOIN c2 c WHERE e.vec_id < 5) WHERE rn <= 4)
+         |${rankSelect(
+        """SELECT p.query_id, a.vec_id AS neighbor_id,
+          |         CAST(p.qfv AS DOUBLE[]) AS qv, CAST(a.fv AS DOUBLE[]) AS cv
+          |  FROM asg a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id""".stripMargin, 10)}""".stripMargin,
+
+    // PQ-ADC: jointly trained per-subspace codebooks (2 unrolled Lloyd
+    // iterations), ADC table per query, top-50 shortlist by approximate
+    // distance, exact re-rank
+    "s08_knn_pq" ->
+      s"""WITH ev AS (SELECT vec_id, embedding AS fv FROM embeddings),
+         |sl AS (
+         |  SELECT vec_id, t.s AS subspace,
+         |         CAST(fv[t.s*16+1 : t.s*16+16] AS DOUBLE[]) AS sv
+         |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) t),
+         |b0 AS (SELECT subspace, CAST(vec_id AS INTEGER) AS cell, sv AS centv
+         |       FROM sl WHERE vec_id < 16),
+         |${pqLloydCte("b0", "b1")},
+         |${pqLloydCte("b1", "b2")},
+         |codes AS (
+         |  SELECT vec_id, subspace, cell AS code FROM (
+         |    SELECT s.vec_id, s.subspace, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+         |                              ORDER BY ${dist2("s.sv", "c.centv")} ASC, c.cell) AS rn
+         |    FROM sl s JOIN b2 c ON c.subspace = s.subspace) WHERE rn = 1),
+         |qtable AS (
+         |  SELECT s.vec_id AS query_id, s.subspace, c.cell AS code,
+         |         ${dist2("s.sv", "c.centv")} AS d2
+         |  FROM sl s JOIN b2 c ON c.subspace = s.subspace
+         |  WHERE s.vec_id < 5),
+         |approx AS (
+         |  SELECT q.query_id, c.vec_id, sum(q.d2) AS adist
+         |  FROM codes c JOIN qtable q ON q.subspace = c.subspace AND q.code = c.code
+         |  WHERE q.query_id <> c.vec_id
+         |  GROUP BY q.query_id, c.vec_id),
+         |short AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rn
+         |    FROM approx) WHERE rn <= 50)
+         |${rankSelect(
+        """SELECT s.query_id, s.neighbor_id,
+          |         CAST(q.fv AS DOUBLE[]) AS qv, CAST(n.fv AS DOUBLE[]) AS cv
+          |  FROM short s
+          |  JOIN ev n ON n.vec_id = s.neighbor_id
+          |  JOIN ev q ON q.vec_id = s.query_id""".stripMargin, 10)}""".stripMargin,
+
     "s01_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (

@@ -84,11 +84,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component p[j][i] — a pure
-    * arithmetic formula (sin of an index mix) so any engine reproduces it
-    * without shipping weights. */
+  /** Deterministic pseudo-random hyperplane component p[j][i] ∈ {−1, +1},
+    * derived from md5("plane:dim") parity so any engine reproduces it
+    * BIT-EXACTLY without shipping weights. (A previous formulation used
+    * `sin` of an index mix — transcendental functions differ by an ulp
+    * between libm implementations, which could flip a bucket sign when a
+    * dot product lands near zero; md5 has no such cross-engine hazard,
+    * and Rademacher ±1 hyperplanes are a standard SimHash choice.) */
   private def planeComponent(plane: Int, i: Column): Column =
-    sin(i * lit(12.9898 + plane) + lit(78.233 * (plane + 1))) * lit(43758.5453) % lit(1.0)
+    when(ascii(substring(md5(concat_ws(":", lit(plane), i.cast("int"))), 1, 1)) % 2 === 1,
+      lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-pattern LSH bucket id from `planes` hyperplanes: bit j = sign of
     * dot(v, p_j). Buckets corpus vectors for corpus×corpus candidate
@@ -104,7 +109,9 @@ object Similarity {
 
   /** ANN via hyperplane-LSH buckets: same-bucket pairs scored exactly,
     * then top-k per query among candidates. Recall < 1 by construction
-    * (driver records rows-only; recall asserted in ScalaTest vs brute). */
+    * (asserted vs brute in ScalaTest); the output itself is
+    * deterministic and oracle-checked — the md5-parity planes and
+    * fold-order dot products reproduce bit-identically in DuckDB. */
   def knnLsh(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
       bucketId(col("embedding"), planes).as("bucket"))
@@ -399,9 +406,10 @@ object Similarity {
     * The shortlist is then re-scored EXACTLY (cosine over the real
     * vectors, a |shortlist|-sized broadcast semi-join) so the output
     * ranking is true cosine order — approximation affects recall only,
-    * never the reported scores. Rows-only driver check (like s04-s06:
-    * learned quantization isn't SQL-mirrorable); recall vs brute and
-    * code-range invariants pinned in StorageSpec. */
+    * never the reported scores. Oracle-checked end-to-end since round 5:
+    * the codebook training unrolls into SQL (fixed iteration count) and
+    * every distance is a fold-order-exact double mirror; recall vs brute
+    * and code-range invariants are additionally pinned in StorageSpec. */
   def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
             codes: Int = 16, iterations: Int = 2, shortlist: Int = 50): DataFrame = {
     val sub = embeddingDim(emb) / m

@@ -7,15 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * compare), so pin the key sets against each other. */
 class ContractSpec extends AnyFunSuite {
 
-  /** Queries intentionally without SQL oracles — sketch internals and
-    * LSH/IVF bucketing (recall < 1 by design; bucket membership hangs on
-    * the sign of cross-libm float sums). Each has ScalaTest coverage
-    * instead. t05/m02 graduated to real oracles in round 3 (DuckDB hex
-    * byte-walk). */
+  /** Queries intentionally without SQL oracles — only the sketch
+    * internals remain (HLL/CMS register layouts are engine-specific by
+    * nature); each has ScalaTest error-bound coverage instead. t05/m02
+    * graduated to real oracles in round 3 (DuckDB hex byte-walk); the
+    * five ANN queries graduated in round 5 (md5-parity hyperplanes +
+    * fold-exact dot mirrors + unrolled Lloyd iterations in SQL). */
   private val rowsOnly = Set(
-    "a11_approx_distinct", "a11_hll_daily_rollup", "a11_cms_domain_counts",
-    "s02_knn_lsh", "s04_knn_ivf", "s05_knn_ivf_trained", "s06_knn_lsh_multiprobe",
-    "s08_knn_pq")
+    "a11_approx_distinct", "a11_hll_daily_rollup", "a11_cms_domain_counts")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
