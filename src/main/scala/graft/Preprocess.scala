@@ -121,15 +121,6 @@ object Preprocess {
       .orderBy("k_decade")
   }
 
-  /** P8's typed sibling: SCHEMA-projected JSON parse via `from_json`
-    * into a struct, instead of per-path string extraction. One parse
-    * materializes every needed field (get_json_object re-parses the
-    * document per path — fine for one field, wasteful for many), the
-    * struct fields are real typed columns from there on, and `mode
-    * PERMISSIVE` maps malformed documents to a NULL struct rather than
-    * failing — the schema-on-read contract for a 100 TB semi-structured
-    * column. Rollup: per event_type, the typed k field's spread plus a
-    * parse-health count. */
   /** NOT IN's three-valued-logic corner, exercised deliberately: against
     * an EMPTY subquery every row passes; against a set CONTAINING NULL
     * no row ever passes (x NOT IN (..., NULL) is never true). Spark
@@ -152,6 +143,23 @@ object Preprocess {
          |    AS cnt_vs_null_set""".stripMargin)
   }
 
+  /** P8's typed sibling: SCHEMA-projected JSON parse via `from_json`
+    * into a struct, instead of per-path string extraction. One parse
+    * materializes every needed field (get_json_object re-parses the
+    * document per path — fine for one field, wasteful for many), the
+    * struct fields are real typed columns from there on, and `mode
+    * PERMISSIVE` maps malformed documents to a NULL struct rather than
+    * failing — the schema-on-read contract for a 100 TB semi-structured
+    * column. Rollup: per event_type, the typed k field's spread plus a
+    * parse-health count.
+    *
+    * Engine-equivalence caveat (pinned in PreprocessSpec): `from_json`
+    * with `struct<k:int>` nulls the WHOLE struct for a quoted number
+    * (`{"k":"5"}`), while the DuckDB oracle's
+    * TRY_CAST(json_extract_string(..)) parses it to 5. The generated
+    * `props` data is all clean integer JSON, so the oracle comparison
+    * holds; on dirty data the two would intentionally diverge — the
+    * strict struct-level parse IS the documented Spark semantics. */
   def jsonPropsTyped(rawEvents: DataFrame): DataFrame =
     rawEvents
       .select(col("event_type"),

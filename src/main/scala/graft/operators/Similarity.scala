@@ -363,12 +363,6 @@ object Similarity {
     toLocal(centRows)
   }
 
-  /** PQ encoding: each vector becomes `m` small integers — the id of its
-    * nearest codebook entry per subspace. 64 float dims compress to m
-    * bytes (64× here), which is what lets a 100 TB corpus' index live in
-    * executor memory. One dimension-sliced explode (no shuffle), a
-    * broadcast of the m·codes codebook, and an argmin window partitioned
-    * by (vec_id, subspace). */
   /** Embedding width probed from one row — a limit-1 action (the array
     * type doesn't carry its length in the schema). Empty corpus → a
     * placeholder width so downstream plans still build and return empty
@@ -377,6 +371,12 @@ object Similarity {
     emb.select(size(col("embedding"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(64)
 
+  /** PQ encoding: each vector becomes `m` small integers — the id of its
+    * nearest codebook entry per subspace. 64 float dims compress to m
+    * bytes (64× here), which is what lets a 100 TB corpus' index live in
+    * executor memory. One dimension-sliced explode (no shuffle), a
+    * broadcast of the m·codes codebook, and an argmin window partitioned
+    * by (vec_id, subspace). */
   def pqEncode(emb: DataFrame, books: DataFrame, m: Int): DataFrame = {
     val sub = embeddingDim(emb) / m
     val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
@@ -413,7 +413,7 @@ object Similarity {
   def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 4,
             codes: Int = 16, iterations: Int = 2, shortlist: Int = 50): DataFrame = {
     val sub = embeddingDim(emb) / m
-    // no persist needed: kmeansCentroids returns a driver-local relation
+    // no persist needed: pqCodebooks returns a driver-local relation
     // (m·codes rows), so both consumers below read a LocalRelation
     val books = pqCodebooks(emb, m, codes, iterations)
     val codesDf = pqEncode(emb, books, m)

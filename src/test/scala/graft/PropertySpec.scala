@@ -129,6 +129,20 @@ class PropertySpec extends SparkSpec {
     assert(out == Map(Some(10) -> 2L, None -> 3L), out.toString)
   }
 
+  test("p10 typed JSON parse: a quoted number nulls the struct (strict from_json, pinned)") {
+    // the DuckDB oracle's TRY_CAST(json_extract_string(..)) would parse
+    // '"5"' to 5 — the engines intentionally diverge on dirty data, and
+    // the generated props are all clean integer JSON; this pins OUR
+    // intended semantics so the divergence stays a documented choice
+    val raw = df("event_type STRING, props STRING, value DOUBLE", Seq(
+      Row("A", """{"k": 5}""", 1.0),
+      Row("A", """{"k": "5"}""", 1.0), // quoted number: whole struct nulls
+      Row("A", """not json""", 1.0)))
+    val r = Preprocess.jsonPropsTyped(raw).head
+    assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("n_parsed") == 1)
+    assert(r.getAs[Int]("min_k") == 5 && r.getAs[Int]("max_k") == 5)
+  }
+
   test("sessionization partitions each client's events; inter-session gaps exceed the threshold") {
     for (seed <- Seq(3, 17)) {
       val prep = FtlFixture.prep(spark, seed, 800)
