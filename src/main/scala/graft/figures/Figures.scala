@@ -1,0 +1,235 @@
+package graft.figures
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.PlotData
+
+/** The presentation layer — the one visible capability of the reference
+  * this engine did not cover until round 5: `app.py:208-981` +
+  * `plot.py:231-364` render the chart tables as a Dash dashboard. This
+  * is a STATIC renderer over the same tables ([[Engine.plotData]] plus
+  * the hourly status view): self-contained HTML with inline SVG, no
+  * external libraries, no network. Presentation only — every number on
+  * the page comes from the oracle-checked plot-data operators, so there
+  * is nothing here for DuckDB to compare (the driver contract covers the
+  * tables; FiguresSpec smoke-tests the rendering).
+  *
+  * Scale note: each chart consumes a plot-data AGGREGATE (top-k rows,
+  * one row per hour/date/weekday) — the collects here are bounded by
+  * chart size, never by fact-table size, exactly like the reference's
+  * plotting layer.
+  */
+object Figures {
+
+  private val Palette = Seq(
+    "#4C78A8", "#F58518", "#54A24B", "#E45756", "#72B7B2",
+    "#EECA3B", "#B279A2", "#FF9DA6", "#9D755D", "#BAB0AC")
+
+  private def color(i: Int): String = Palette(i % Palette.size)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def fmtNum(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else f"$v%.3f"
+
+  // ---- chart primitives (pure string builders, unit-testable) ----
+
+  /** Multi-series line chart; x is epoch millis, labeled as dates. */
+  def lineChart(title: String, series: Seq[(String, Seq[(Long, Double)])],
+                w: Int = 880, h: Int = 300): String = {
+    val pad = 48
+    val pts = series.flatMap(_._2)
+    if (pts.isEmpty) return emptyChart(title, w, h)
+    val (x0, x1) = (pts.map(_._1).min, math.max(pts.map(_._1).max, pts.map(_._1).min + 1))
+    val y1 = math.max(pts.map(_._2).max, 1e-9)
+    def sx(x: Long): Double = pad + (x - x0).toDouble / (x1 - x0) * (w - 2 * pad)
+    def sy(y: Double): Double = h - pad - y / y1 * (h - 2 * pad)
+    val lines = series.zipWithIndex.map { case ((name, ps), i) =>
+      val d = ps.sortBy(_._1).map { case (x, y) => f"${sx(x)}%.1f,${sy(y)}%.1f" }.mkString(" ")
+      s"""<polyline fill="none" stroke="${color(i)}" stroke-width="1.5" points="$d"><title>${esc(name)}</title></polyline>"""
+    }
+    val yTicks = (0 to 4).map { i =>
+      val v = y1 * i / 4
+      val y = sy(v)
+      s"""<line x1="$pad" y1="$y" x2="${w - pad}" y2="$y" stroke="#eee"/>""" +
+        s"""<text x="${pad - 6}" y="${y + 4}" text-anchor="end" class="tick">${fmtNum(v)}</text>"""
+    }
+    val xTicks = (0 to 4).map { i =>
+      val x = x0 + (x1 - x0) * i / 4
+      val d = java.time.Instant.ofEpochMilli(x).atZone(java.time.ZoneId.of("UTC")).toLocalDate
+      s"""<text x="${sx(x)}" y="${h - pad + 16}" text-anchor="middle" class="tick">$d</text>"""
+    }
+    val legend = series.zipWithIndex.map { case ((name, _), i) =>
+      s"""<rect x="${pad + i * 140}" y="8" width="10" height="10" fill="${color(i)}"/>""" +
+        s"""<text x="${pad + i * 140 + 14}" y="17" class="tick">${esc(name)}</text>"""
+    }
+    svg(title, w, h, yTicks ++ xTicks ++ lines ++ legend)
+  }
+
+  /** Horizontal bars, one per labeled item (top-k domain charts). */
+  def hbarChart(title: String, items: Seq[(String, Double)], w: Int = 880): String = {
+    if (items.isEmpty) return emptyChart(title, w, 120)
+    val rowH = 22
+    val pad = 48
+    val labelW = 220
+    val h = items.size * rowH + 2 * pad
+    val vMax = math.max(items.map(_._2).max, 1e-9)
+    val bars = items.zipWithIndex.flatMap { case ((label, v), i) =>
+      val y = pad + i * rowH
+      val bw = v / vMax * (w - labelW - 2 * pad)
+      Seq(
+        s"""<text x="${labelW - 8}" y="${y + 14}" text-anchor="end" class="tick">${esc(label)}</text>""",
+        s"""<rect x="$labelW" y="$y" width="${math.max(bw, 1.0)}" height="${rowH - 6}" fill="${color(0)}"><title>${esc(label)}: ${fmtNum(v)}</title></rect>""",
+        s"""<text x="${labelW + bw + 6}" y="${y + 14}" class="tick">${fmtNum(v)}</text>""")
+    }
+    svg(title, w, h, bars)
+  }
+
+  /** Vertically stacked bars: one bar per category, stacked by series. */
+  def stackedBars(title: String, categories: Seq[String],
+                  series: Seq[(String, Seq[Double])], w: Int = 880, h: Int = 320): String = {
+    if (categories.isEmpty) return emptyChart(title, w, h)
+    val pad = 48
+    val barW = math.min(56.0, (w - 2.0 * pad) / categories.size * 0.7)
+    val step = (w - 2.0 * pad) / categories.size
+    val totals = categories.indices.map(i => series.map(_._2(i)).sum)
+    val vMax = math.max(totals.max, 1e-9)
+    val bars = categories.indices.flatMap { ci =>
+      var yTop = h - pad.toDouble
+      series.zipWithIndex.map { case ((name, vals), si) =>
+        val bh = vals(ci) / vMax * (h - 2 * pad)
+        yTop -= bh
+        s"""<rect x="${pad + ci * step + (step - barW) / 2}" y="$yTop" width="$barW" height="$bh" fill="${color(si)}"><title>${esc(categories(ci))} ${esc(name)}: ${fmtNum(vals(ci))}</title></rect>"""
+      }
+    }
+    val labels = categories.zipWithIndex.map { case (c, ci) =>
+      val x = pad + ci * step + step / 2
+      s"""<text x="$x" y="${h - pad + 16}" text-anchor="middle" class="tick" transform="rotate(30 $x ${h - pad + 16})">${esc(c.take(18))}</text>"""
+    }
+    val legend = series.zipWithIndex.map { case ((name, _), i) =>
+      s"""<rect x="${pad + i * 140}" y="8" width="10" height="10" fill="${color(i)}"/>""" +
+        s"""<text x="${pad + i * 140 + 14}" y="17" class="tick">${esc(name)}</text>"""
+    }
+    svg(title, w, h + 24, bars ++ labels ++ legend)
+  }
+
+  /** Day × hour heatmap; `cells(r)(c)` may be NaN for absent weekdays
+    * (the reference's reindex semantics — rendered as blank). */
+  def heatmap(title: String, rowLabels: Seq[String], colLabels: Seq[String],
+              cells: Seq[Seq[Double]], w: Int = 880): String = {
+    val pad = 48
+    val labelW = 100
+    val cw = (w - labelW - pad).toDouble / math.max(colLabels.size, 1)
+    val ch = 24
+    val h = rowLabels.size * ch + 2 * pad
+    val flat = cells.flatten.filterNot(_.isNaN)
+    val vMax = math.max(if (flat.isEmpty) 0.0 else flat.max, 1e-9)
+    val boxes = rowLabels.indices.flatMap { r =>
+      colLabels.indices.map { c =>
+        val v = cells(r)(c)
+        if (v.isNaN)
+          s"""<rect x="${labelW + c * cw}" y="${pad + r * ch}" width="$cw" height="$ch" fill="#f6f6f6"/>"""
+        else {
+          val t = v / vMax
+          // white → brand blue ramp
+          val rr = (255 - t * (255 - 76)).toInt
+          val gg = (255 - t * (255 - 120)).toInt
+          val bb = (255 - t * (255 - 168)).toInt
+          s"""<rect x="${labelW + c * cw}" y="${pad + r * ch}" width="$cw" height="$ch" fill="rgb($rr,$gg,$bb)"><title>${esc(rowLabels(r))} ${esc(colLabels(c))}: ${fmtNum(v)}</title></rect>"""
+        }
+      }
+    }
+    val rlab = rowLabels.zipWithIndex.map { case (l, r) =>
+      s"""<text x="${labelW - 8}" y="${pad + r * ch + 16}" text-anchor="end" class="tick">${esc(l)}</text>"""
+    }
+    val clab = colLabels.zipWithIndex.collect { case (l, c) if c % 2 == 0 =>
+      s"""<text x="${labelW + c * cw + cw / 2}" y="${pad - 8}" text-anchor="middle" class="tick">${esc(l)}</text>"""
+    }
+    svg(title, w, h, boxes ++ rlab ++ clab)
+  }
+
+  private def svg(title: String, w: Int, h: Int, body: Seq[String]): String =
+    s"""<figure><figcaption>${esc(title)}</figcaption>
+       |<svg viewBox="0 0 $w $h" width="$w" height="$h" xmlns="http://www.w3.org/2000/svg">
+       |${body.mkString("\n")}
+       |</svg></figure>""".stripMargin
+
+  private def emptyChart(title: String, w: Int, h: Int): String =
+    svg(title, w, h, Seq(s"""<text x="${w / 2}" y="${h / 2}" text-anchor="middle" class="tick">no data</text>"""))
+
+  def page(title: String, charts: Seq[String]): String =
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
+       |<style>
+       |body { font-family: system-ui, sans-serif; margin: 24px; color: #222; }
+       |figure { margin: 0 0 32px 0; }
+       |figcaption { font-weight: 600; margin-bottom: 6px; }
+       |.tick { font-size: 11px; fill: #555; }
+       |</style></head><body>
+       |<h1>${esc(title)}</h1>
+       |${charts.mkString("\n")}
+       |</body></html>""".stripMargin
+
+  // ---- the dashboard over the oracle-checked plot tables ----
+
+  /** Render the reference dashboard's chart set from a preprocessed
+    * relation. Every collect is a bounded plot aggregate. */
+  def dashboard(prep: DataFrame): String = {
+    val charts = Vector.newBuilder[String]
+
+    // queries over time per status class (plot.py:182-187) — the
+    // reference's headline chart and the smoke-test subject
+    val overTime = PlotData.viewByStatus(prep).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2).toDouble))
+    charts += lineChart("Queries over time (hourly, by status)",
+      overTime.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (st, rows) => st -> rows.map(r => (r._2, r._3)).toSeq })
+
+    // top clients stacked by status (plot.py:140-160)
+    val stacked = PlotData.stackedClientBar(prep, 10).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3).toDouble))
+    val clients = stacked.map(_._1).distinct.toSeq
+    val statuses = stacked.map(_._2).distinct.sorted.toSeq
+    charts += stackedBars("Top clients (stacked by status)", clients,
+      statuses.map { st =>
+        st -> clients.map(c => stacked.collectFirst {
+          case (`c`, `st`, v) => v
+        }.getOrElse(0.0))
+      })
+
+    // top domains per class (plot.py:52-89)
+    for ((st, titleSt) <- Seq("Allowed" -> "allowed", "Blocked" -> "blocked")) {
+      val items = PlotData.topDomainsOfClass(prep, st, 10).collect()
+        .map(r => (r.getString(0), r.getLong(1).toDouble)).toSeq
+      charts += hbarChart(s"Top $titleSt domains", items)
+    }
+
+    // mean reply time by date (plot.py:162-180)
+    val reply = graft.operators.Stats.replyByDate(prep).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getDate(0).getTime, r.getDouble(1))).toSeq
+    charts += lineChart("Mean reply time by date (ms)", Seq("avg_reply_ms" -> reply))
+
+    // day × hour heatmaps (plot.py:104-139): all + per class
+    for ((st, name) <- Seq(None -> "all queries",
+      Some("Blocked") -> "blocked", Some("Allowed") -> "allowed")) {
+      val rows = PlotData.dayHourHeatmapWeekdays(prep, st).collect()
+      val cells = rows.map(r => (1 to 24).map(i =>
+        if (r.isNullAt(i)) Double.NaN else r.getLong(i).toDouble).toSeq).toSeq
+      charts += heatmap(s"Activity heatmap — $name",
+        rows.map(_.getString(0)).toSeq, (0 to 23).map(h => s"$h:00"), cells)
+    }
+
+    page("Pi-hole long-term stats", charts.result())
+  }
+
+  /** Render and write; returns the path for convenience. */
+  def writeDashboard(prep: DataFrame, path: String): String = {
+    Files.write(Paths.get(path), dashboard(prep).getBytes(StandardCharsets.UTF_8))
+    path
+  }
+}

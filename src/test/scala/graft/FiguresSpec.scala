@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.figures.Figures
+
+/** Smoke tests for the static figure layer — presentation only (the
+  * numbers come from the oracle-checked plot-data operators), so the
+  * assertions are structural: the charts exist, carry the right series,
+  * and the file is a self-contained HTML document. */
+class FiguresSpec extends SparkSpec {
+
+  test("dashboard renders the queries-over-time chart from sf0.001") {
+    val prep = Preprocess.preprocessEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val html = Figures.dashboard(prep)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("Queries over time (hourly, by status)"))
+    // one polyline per status class present in the data
+    val statuses = prep.select("status_type").distinct().count()
+    val overTime = html.substring(0, html.indexOf("Top clients"))
+    assert(overTime.sliding("polyline".length).count(_ == "polyline") / 2 == statuses,
+      s"expected $statuses series")
+    // every reference chart family is on the page
+    Seq("Top clients (stacked by status)", "Top allowed domains",
+      "Top blocked domains", "Mean reply time by date (ms)",
+      "Activity heatmap — all queries", "Activity heatmap — blocked",
+      "Activity heatmap — allowed").foreach(t => assert(html.contains(t), t))
+    // self-contained: no external scripts/styles/images (the only URL
+    // on the page is the SVG xmlns identifier)
+    assert(!html.contains("<script") && !html.contains("<link") &&
+      !html.contains("src=\"http"))
+    assert(html.replace("\"http://www.w3.org/2000/svg\"", "").contains("https://") == false &&
+      !html.replace("\"http://www.w3.org/2000/svg\"", "").contains("http://"))
+    val out = Files.createTempDirectory("graft_fig").resolve("dash.html")
+    Figures.writeDashboard(prep, out.toString)
+    assert(Files.size(Paths.get(out.toString)) > 10000)
+  }
+
+  test("chart primitives cope with empty inputs") {
+    assert(Figures.lineChart("t", Seq.empty).contains("no data"))
+    assert(Figures.hbarChart("t", Seq.empty).contains("no data"))
+    assert(Figures.stackedBars("t", Seq.empty, Seq.empty).contains("no data"))
+    val hm = Figures.heatmap("t", Seq("Monday"), Seq("0:00"), Seq(Seq(Double.NaN)))
+    assert(hm.contains("#f6f6f6")) // NaN cell renders blank, not zero
+  }
+
+  test("labels are XML-escaped") {
+    val html = Figures.hbarChart("t", Seq("""a<b>&"c""" -> 1.0))
+    assert(html.contains("a&lt;b&gt;&amp;&quot;c"))
+  }
+}
