@@ -73,6 +73,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "w03 must not contain any Window operator")
   }
 
+  test("d10 hints exactly one broadcast (candidates side only)") {
+    // the round-4 shape double-broadcast the joined candidates×signature
+    // relation — a driver OOM at scale; the second join's strategy is
+    // left to AQE. Pinned on the ANALYZED plan (hint count is a property
+    // of the code, where physical broadcast counts at sf0.001 are a
+    // property of tiny statistics).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = SparkEntry.queries("d10_simhash_verified")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected 1 broadcast hint, got ${hints.size}")
+  }
+
   test("t06 tfidf tokenizes the corpus exactly once (no diamond re-explode)") {
     val plan = executed(SparkEntry.queries("t06_tfidf_top_terms")(spark, dir))
     val generates = collect(plan) {

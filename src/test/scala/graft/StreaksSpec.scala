@@ -69,6 +69,33 @@ class StreaksSpec extends SparkSpec {
     }
   }
 
+  test("parallel runs: one run spanning EVERY partition merges to a single group") {
+    // all rows the same class — the hardest chain case: each partition
+    // emits one fragment and every fragment must share one grp
+    val rows = (0 until 200).map(i => Row(i + 1, 1704067200L + i * 10L, 1, 1, "d", "c", 1.0))
+    val all = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL, rows))
+    for (parts <- Seq(1, 7, 32)) {
+      val runs = Streaks.parallelRuns(all, "Blocked", parts).collect()
+      assert(runs.length == 1, s"parts=$parts: ${runs.length} runs")
+      assert(runs.head.getLong(0) == 1L && runs.head.getLong(2) == 200L)
+    }
+  }
+
+  test("parallel runs: alternating flags (runs == rows) stay correct") {
+    val rows = (0 until 100).map(i =>
+      Row(i + 1, 1704067200L + i * 10L, 1, if (i % 2 == 0) 1 else 2, "d", "c", 1.0))
+    val alt = Preprocess.preprocessFtl(df(FtlFixture.Schema.toDDL, rows))
+    for (parts <- Seq(1, 9)) {
+      val runs = Streaks.parallelRuns(alt, "Blocked", parts)
+        .orderBy("grp").collect()
+      assert(runs.length == 100)
+      assert(runs.forall(_.getLong(2) == 1L))
+      // grp ids sequential 1..100, flags alternating starting true (status 1 = Blocked)
+      assert(runs.map(_.getLong(0)).toSeq == (1L to 100L))
+      assert(runs.zipWithIndex.forall { case (r, i) => r.getBoolean(1) == (i % 2 == 0) })
+    }
+  }
+
   test("parallel longest-idle equals the window form at any partition count") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
