@@ -77,6 +77,24 @@ object ConnectedComponents {
     labels
   }
 
+  /** [[minLabel]] restricted to nodes that appear in at least one pair —
+    * the right entry for duplicate CLUSTERING, where every non-endpoint
+    * node is a singleton that the caller's `n_docs > 1` filter would
+    * drop anyway. Labels for endpoint nodes are identical to the full
+    * run (propagation only flows along edges; isolated nodes never
+    * change anyone's label), but the iteration relation shrinks from
+    * |corpus| to |dup-pair endpoints| — at 100 TB that is the
+    * difference between joining the whole corpus per round and joining
+    * the duplicate sliver. The pairs are localCheckpoint'ed so the
+    * (possibly expensive) verification plan above them runs once, not
+    * once for nodes plus once for edges. */
+  def minLabelOverEndpoints(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col("i").as("node"))
+      .unionByName(p.select(col("j").as("node"))).distinct()
+    minLabel(nodes, p, maxIter)
+  }
+
   /** The O(log n)-round accelerant: alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond").
     * Each round rewrites the edge list so every node moves toward its

@@ -279,8 +279,10 @@ object Dedup {
                   maxIter: Int = 20): DataFrame = {
     freshPipeline()
     val pairs = candidatesFrom(wordShingles(docs), k, bands)
-    val nodes = docs.select(col("doc_id").as("node"))
-    val labels = shared(ConnectedComponents.minLabel(nodes, pairs, maxIter))
+    // endpoint-only CC: non-candidate docs are singletons by
+    // construction and the n_docs > 1 filter below drops them anyway —
+    // the label iteration runs over the dup sliver, never the corpus
+    val labels = shared(ConnectedComponents.minLabelOverEndpoints(pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
@@ -317,8 +319,10 @@ object Dedup {
                        k: Int = 16, bands: Int = 4,
                        maxIter: Int = 20): DataFrame = {
     val pairs = jaccardVerified(docs, threshold, k, bands).select("i", "j")
-    val nodes = docs.select(col("doc_id").as("node"))
-    val labels = shared(ConnectedComponents.minLabel(nodes, pairs, maxIter))
+    // endpoint-only CC (see dupClusters) — additionally checkpoints the
+    // verified pairs, so the whole Jaccard verification chain above runs
+    // exactly once rather than once per CC consumer
+    val labels = shared(ConnectedComponents.minLabelOverEndpoints(pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
