@@ -33,6 +33,16 @@ object Engine {
     Preprocess.regexAntiFilter(Preprocess.preprocessFtl(raw), "domain", ignoreDomains)
   }
 
+  /** [[load]] straight from FTL SQLite `.db` files — the reference's
+    * actual invocation shape (its CLI points at pihole-FTL.db,
+    * db.py:16-30): native page-parallel read, then the same
+    * preprocess + ignore-list pipeline. */
+  def loadSqlite(spark: SparkSession, dbPaths: Seq[String], fromEpoch: Long, toEpoch: Long,
+                 ignoreDomains: Seq[String] = Nil): DataFrame = {
+    val raw = sources.FtlIngest.readSqlite(spark, dbPaths, fromEpoch, toEpoch)
+    Preprocess.regexAntiFilter(Preprocess.preprocessFtl(raw), "domain", ignoreDomains)
+  }
+
   /** The training-data side of the user-facing API: curate a document
     * corpus (exact dedup → verified near-dup clusters → quality floor →
     * deterministic sample) — see [[operators.Pipeline.curate]] for the

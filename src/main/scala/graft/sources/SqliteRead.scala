@@ -47,6 +47,17 @@ object SqliteRead {
     * field type). `numPartitions` splits the leaf-page list. */
   def readTable(spark: SparkSession, dbPath: String, table: String,
                 schema: StructType, numPartitions: Int = 8): DataFrame = {
+    // a non-empty WAL sidecar means committed rows live in unreplayed
+    // WAL frames this reader cannot see — failing loudly beats silently
+    // returning a stale prefix of the table (Pi-hole's FTL runs its DB
+    // in WAL mode while live; read a checkpointed copy or stop FTL)
+    val wal = new java.io.File(dbPath + "-wal")
+    if (wal.exists() && wal.length() > 0)
+      throw new IllegalStateException(
+        s"$dbPath has a non-empty WAL sidecar (${wal.length()} bytes): " +
+          "recent transactions are not in the main file. Checkpoint the " +
+          "database (PRAGMA wal_checkpoint(TRUNCATE)) or copy it with the " +
+          "sqlite3 .backup command, then re-read.")
     val (rootPage, createSql) = withFile(dbPath) { f =>
       val h = header(f)
       findTable(f, h, table)

@@ -110,6 +110,22 @@ class FtlIngestSpec extends SparkSpec {
       narrowed.selectExpr("max(timestamp)").head.getLong(0) == ts)
   }
 
+  test("sqlite: a non-empty WAL sidecar fails loudly, never a stale read") {
+    val dir = Files.createTempDirectory("graft_wal")
+    val db = dir.resolve("live.db")
+    Files.copy(java.nio.file.Paths.get(res("ftl_fixture_pk.db")), db)
+    Files.write(dir.resolve("live.db-wal"), Array[Byte](1, 2, 3))
+    val e = intercept[IllegalStateException] {
+      FtlIngest.readSqlite(spark, Seq(db.toString), 0L, Long.MaxValue).count()
+    }
+    assert(e.getMessage.contains("wal_checkpoint"))
+  }
+
+  test("sqlite: Engine.loadSqlite runs the reference startup pipeline on a .db") {
+    val prep = Engine.loadSqlite(spark, Seq(res("ftl_fixture_pk.db")), 0L, Long.MaxValue)
+    assert(prep.count() == 200 && prep.columns.contains("status_type"))
+  }
+
   test("sqlite: full pipeline — preprocess and stats over a real .db") {
     val prep = Preprocess.preprocessFtl(
       FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), 0L, Long.MaxValue)
