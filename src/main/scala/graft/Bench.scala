@@ -1,13 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  // Headline subset, not all 73 queries: the driver captures only the
-  // last ~2000 chars of stdout, and a per-query map over the full
-  // inventory overflows that window (round 1's JSON line was ~2.7 KB and
-  // parsed as null). 28 queries cover every operator family — scans/aggs
-  // (a*), join shapes (h*/j*), windows (w*), dedup (d*), similarity (s*),
+  // Headline subset: the driver captures only the last ~2000 chars of
+  // stdout, and a per-query map over the full inventory overflows that
+  // window (round 1's JSON line was ~2.7 KB and parsed as null). The 36
+  // headline queries cover every operator family — scans/aggs (a*),
+  // join shapes (h*/j*), windows (w*), dedup (d*), similarity (s*),
   // text (t*), multimodal (m*), regex (p*) — including the slowest
-  // members of each. Correctness of the full inventory is Verify's job.
+  // members of each, and stay stable round-over-round for comparability.
+  // The FULL inventory is additionally timed below (BENCH_FULL.json);
+  // correctness of the full inventory is Verify's job.
   val headline: Seq[String] = Seq(
     "a01_totals", "a05_top_domain_blocked", "a08_hourly_counts",
     "a10_day_night_top_domain", "a11_hll_daily_rollup",

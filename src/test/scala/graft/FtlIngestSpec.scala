@@ -87,6 +87,16 @@ class FtlIngestSpec extends SparkSpec {
     assert(lossy.getString(4).contains('�'))
   }
 
+  test("sqlite: wide-integer serial types and negative values decode exactly") {
+    val all = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), Long.MinValue, Long.MaxValue)
+    val wide48 = all.filter("id = 9003").head
+    assert(wide48.getLong(1) == (1L << 45) && wide48.getDouble(6) == -0.5)
+    val wide64 = all.filter("id = 9004").head
+    assert(wide64.getLong(1) == (1L << 61) && wide64.isNullAt(6))
+    val neg = all.filter("id = 9005").head
+    assert(neg.getLong(1) == -12345L) // negative int: sign extension path
+  }
+
   test("sqlite: INTEGER PRIMARY KEY id is the rowid alias") {
     val pk = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_pk.db")), 0L, Long.MaxValue)
     assert(pk.count() == 200)

@@ -89,6 +89,20 @@ def main():
         "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
         (9002, T0 + 999998, 1, 2, sqlite3.Binary(b"A\xc3\xffB"), "192.168.1.98",
          None, None, 0, 0.25, 0, None, None))
+    # wide-integer serial types (int48/int64) and a negative REAL — the
+    # sign-extension / 6- and 8-byte decode paths
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+        (9003, 2 ** 45, 1, 2, "wide48.example", "192.168.1.97", None, None,
+         0, -0.5, 0, None, None))
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+        (9004, 2 ** 61, 1, 2, "wide64.example", "192.168.1.96", None, None,
+         0, None, 0, None, None))
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+        (9005, -12345, 1, 2, "negative-ts.example", "192.168.1.95", None, None,
+         0, 1.25, 0, None, None))
     conn.commit()
     conn.close()
 
