@@ -27,7 +27,10 @@ object Bench {
     // round-4 flagships: completed TPC-H shapes, PQ-ANN, SimHash verify,
     // repetition rules, the EWMA fold
     "h02_min_cost_supplier", "s08_knn_pq", "d10_simhash_verified",
-    "t08_repetition_rules", "j10_ewma_daily")
+    "t08_repetition_rules", "j10_ewma_daily",
+    // round-5 flagships: the Window-free longest-idle, the endpoint-only
+    // verified-cluster pipeline, and the composed curation pipeline
+    "w03_longest_idle", "d07_verified_clusters", "p09_curated_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
