@@ -208,6 +208,20 @@ object Figures {
       charts += hbarChart(s"Top $titleSt domains", items)
     }
 
+    // client activity over time — the dashboard's interactive client
+    // view (app.py:1107-1136), rendered for the top-10 clients from the
+    // same hourly rollup the reference caches
+    val (view, topC) = graft.Engine.hourlyAggregatedData(prep, 10)
+    val tops = topC.collect().map(_.getString(0)).toSet
+    val activity = view.collect()
+      .filter(r => tops.contains(r.getString(2)))
+      .groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      .map { case (client, rows) =>
+        client -> rows.groupBy(_.getTimestamp(0).getTime).toSeq
+          .map { case (t, rs) => (t, rs.map(_.getLong(3)).sum.toDouble) }.toSeq
+      }
+    charts += lineChart("Client activity over time (top 10 clients, hourly)", activity)
+
     // mean reply time by date (plot.py:162-180)
     val reply = graft.operators.Stats.replyByDate(prep).collect()
       .filter(!_.isNullAt(1))

@@ -23,6 +23,7 @@ class FiguresSpec extends SparkSpec {
     // every reference chart family is on the page
     Seq("Top clients (stacked by status)", "Top allowed domains",
       "Top blocked domains", "Mean reply time by date (ms)",
+      "Client activity over time (top 10 clients, hourly)",
       "Activity heatmap — all queries", "Activity heatmap — blocked",
       "Activity heatmap — allowed").foreach(t => assert(html.contains(t), t))
     // self-contained: no external scripts/styles/images (the only URL
