@@ -1564,7 +1564,30 @@ FROM allc a JOIN topc c USING(domain)"""
         |   AND coalesce(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 0.0) <= 0.2)
         |    AS keep
         |FROM ws LEFT JOIN bg ON ws.doc_id = bg.doc_id
-        |ORDER BY ws.doc_id""".stripMargin
+        |ORDER BY ws.doc_id""".stripMargin,
+
+    // patterns interpolated from TextAnalysis so the two sides can never
+    // drift; RE2 (DuckDB) and Java agree on these conservative classes.
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
+    // matches by default); counts are measured per stage like the engine
+    "t09_pii_scrub" -> {
+      val (em, ip, ph) = (graft.operators.TextAnalysis.EmailRe,
+        graft.operators.TextAnalysis.Ipv4Re, graft.operators.TextAnalysis.PhoneRe)
+      s"""WITH s1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_emails,
+         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS t1
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '$ip')) AS INTEGER) AS n_ips,
+         |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+         |  FROM s1)
+         |SELECT doc_id, n_emails, n_ips,
+         |  CAST(len(regexp_extract_all(t2, '$ph')) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) AS scrub_hash
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure

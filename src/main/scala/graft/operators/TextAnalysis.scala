@@ -219,4 +219,37 @@ object TextAnalysis {
           coalesce(dupBgFrac, lit(0.0)) <= 0.2).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** PII patterns for [[piiScrub]] — deliberately conservative and
+    * RE2-compatible (`\b`, `\d`, bounded classes only) so the DuckDB
+    * oracle executes the SAME regexes: a false positive in either
+    * engine flips the scrubbed hash. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}[- .]\d{3}[- .]\d{4}\b"""
+
+  /** T9: PII scrubbing — the redaction pass a training-data pipeline
+    * runs before a corpus ships: emails → `<EMAIL>`, IPv4 → `<IP>`,
+    * phone-shaped digit groups → `<PHONE>`. Scrub order is fixed
+    * (emails first, so an address's host part is never half-eaten by
+    * the IP rule; phones last); each stage's count is measured on the
+    * text the stage actually sees, i.e. the number of replacements it
+    * makes. Pure map-side column expressions — the scrub rides the
+    * scan, no shuffle; output carries the redaction counts plus the
+    * md5 of the scrubbed text (the publishable-corpus content hash,
+    * and a cross-engine no-false-positives assertion on clean text). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(col("_t1"), Ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(col("_t2"), PhoneRe, "<PHONE>")
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("_t1", afterEmail)
+      .withColumn("n_ips", size(regexp_extract_all(col("_t1"), lit(Ipv4Re), lit(0))))
+      .withColumn("_t2", afterIp)
+      .withColumn("n_phones", size(regexp_extract_all(col("_t2"), lit(PhoneRe), lit(0))))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(afterPhone).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
 }

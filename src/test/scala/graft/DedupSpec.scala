@@ -139,4 +139,30 @@ class DedupSpec extends SparkSpec {
     assert(out("g1") == Seq((0.99, 9L), (0.9, 3L), (0.9, 7L)))
     assert(out("g2") == Seq((0.1, 4L)))
   }
+
+  test("t09 PII scrub: staged redaction with exact per-stage counts") {
+    import org.apache.spark.sql.functions._
+    val d = docs(
+      1L -> "mail me at jane.doe+x@example.org or visit 10.0.0.1 now",
+      2L -> "call 555-867-5309 or 555 123 4567 today",
+      3L -> "totally clean prose with no identifiers at all",
+      // a numeric-host address is NOT an email under the conservative
+      // pattern (alphabetic TLD required); the IP stage redacts both
+      // addresses instead — bob@<IP> is the correct output
+      4L -> "bob@192.168.1.1 pinged 8.8.8.8")
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 0)
+    assert(out(2L) == ((0, 0, 2, out(2L)._4)))
+    // clean text: zero counts and the hash is the ORIGINAL text's md5
+    val cleanMd5 = d.filter(col("doc_id") === 3L)
+      .select(md5(col("text"))).head.getString(0)
+    assert(out(3L) == ((0, 0, 0, cleanMd5)))
+    assert(out(4L)._1 == 0 && out(4L)._2 == 2)
+    val scrubbed2 = TextAnalysis.piiScrub(d).filter(col("doc_id") === 2L)
+      .select(col("scrub_hash")).head.getString(0)
+    val expected2 = d.sparkSession.sql(
+      "SELECT md5('call <PHONE> or <PHONE> today')").head.getString(0)
+    assert(scrubbed2 == expected2)
+  }
 }
