@@ -1418,7 +1418,18 @@ FROM allc a JOIN topc c USING(domain)"""
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
-        |ORDER BY a.label, i, j""".stripMargin
+        |ORDER BY a.label, i, j""".stripMargin,
+
+    // the LSH-blocked near-dup twin: same md5-parity bucket expression
+    // as s02/s06, bucket as the blocking key instead of the label
+    "s09_near_dups_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e)
+         |SELECT a.bucket, a.vec_id AS i, c.vec_id AS j,
+         |       round(list_cosine_similarity(a.v, c.v), 6) AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE round(list_cosine_similarity(a.v, c.v), 6) > 0.4
+         |ORDER BY a.bucket, i, j""".stripMargin
   )
 
   // ---- text-analysis oracles (documents table) ----

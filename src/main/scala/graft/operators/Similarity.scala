@@ -465,4 +465,26 @@ object Similarity {
       .filter(col("cos") > threshold)
       .orderBy("label", "i", "j")
   }
+
+  /** [[nearDupPairs]]' corpus-scale twin — the 100 TB path its doc
+    * promises: when no curated label exists, the blocking key is a
+    * hyperplane-LSH bucket (md5-parity planes, so the whole pipeline
+    * stays oracle-checkable). Identical join shape — a self-join
+    * shuffled on the block key — with 2^planes buckets bounding skew;
+    * near-identical vectors agree on every plane's sign with high
+    * probability, and EXACT duplicates agree always (recall 1 on them,
+    * pinned in DedupSpec). */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 4): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("n"), bucketId(col("embedding"), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("i"),
+      col("embedding").as("va"), col("n").as("na"))
+    val r = b.select(col("bucket"), col("vec_id").as("j"),
+      col("embedding").as("vb"), col("n").as("nb"))
+    l.join(r, Seq("bucket")).filter(col("i") < col("j"))
+      .select(col("bucket"), col("i"), col("j"),
+        round(pairCos(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") > threshold)
+      .orderBy("bucket", "i", "j")
+  }
 }

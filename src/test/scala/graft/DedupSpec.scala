@@ -140,6 +140,28 @@ class DedupSpec extends SparkSpec {
     assert(out("g2") == Seq((0.1, 4L)))
   }
 
+  test("s09 LSH-blocked near-dups: exact duplicates always pair; pairs are a subset of brute") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // exact duplicates share every plane sign → recall 1 on them
+    val dup = emb.limit(1).select(lit(90001L).as("vec_id"),
+      col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    val pairs = Similarity.nearDupPairsLsh(withDup, 0.4)
+      .select("i", "j", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val origId = emb.limit(1).select("vec_id").head.getLong(0)
+    assert(pairs.get((origId, 90001L)).contains(1.0))
+    // blocking only ever DROPS pairs relative to the all-pairs form
+    val brute = withDup.alias("a").join(withDup.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") > 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.keySet.subsetOf(brute))
+  }
+
   test("t09 PII scrub: staged redaction with exact per-stage counts") {
     import org.apache.spark.sql.functions._
     val d = docs(
