@@ -65,14 +65,26 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    def measure(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
+    // Min-of-N reps per query (Profile-style): a single-sample gate metric
+    // is hostage to one noisy scheduler window — round 5's official record
+    // overstated some queries by up to 11x purely from host contention.
+    // min() is the right estimator for "what the engine costs" because
+    // external noise only ever ADDS time; the (max-min)/min spread is
+    // reported so a contaminated run is self-evident in the record.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // (name, minSec, relSpread) — relSpread = (max-min)/min across reps
+    def measure(names: Seq[String]): Seq[(String, Double, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      // a failed query must not masquerade as a fast one: report -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        // a failed query must not masquerade as a fast one: report -1
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (times.exists(_ < 0)) (name, -1.0, 0.0)
+      else (name, times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0)
     }
     val results = measure(headline)
     val total = results.map(_._2).sum
@@ -93,14 +105,24 @@ object Bench {
       }
     val all = results ++ rest
     val totalAll = all.map(_._2).sum
-    def jmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def jmap(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
+    // Aggregate spread summary keeps the stdout line compact: worst and
+    // median relative spread across headline reps. A healthy warm run sits
+    // well under 0.5; a contention-poisoned one shows multiples.
+    val spreads = results.map(_._3).sorted
+    val spreadMax = if (spreads.isEmpty) 0.0 else spreads.last
+    val spreadMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    // per-query spread map goes to the full-file record only
+    def jspread(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, _, s) => s"\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
     // stdout line stays compact (driver captures only the stdout tail):
     // headline per-query map + both totals; the full per-query map goes
     // to BENCH_FULL.json alongside BENCH_LINE.json.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_all":$totalAll,"n_all":${all.size},"sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total_all","value":$totalAll,"unit":"sec","n":${all.size},"headline_total":$total,"queries":${jmap(all.sortBy(_._1))},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_all":$totalAll,"n_all":${all.size},"reps":$reps,"spread_max":${fmt(spreadMax)},"spread_med":${fmt(spreadMed)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total_all","value":$totalAll,"unit":"sec","n":${all.size},"headline_total":$total,"reps":$reps,"queries":${jmap(all.sortBy(_._1))},"spreads":${jspread(all.sortBy(_._1))},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")),
