@@ -84,27 +84,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component p[j][i] ∈ {−1, +1},
-    * derived from md5("plane:dim") parity so any engine reproduces it
+  /** Deterministic pseudo-random hyperplane p[j] ∈ {−1, +1}^dim, component
+    * i derived from md5("plane:i") parity so any engine reproduces it
     * BIT-EXACTLY without shipping weights. (A previous formulation used
     * `sin` of an index mix — transcendental functions differ by an ulp
     * between libm implementations, which could flip a bucket sign when a
     * dot product lands near zero; md5 has no such cross-engine hazard,
-    * and Rademacher ±1 hyperplanes are a standard SimHash choice.) */
-  private def planeComponent(plane: Int, i: Column): Column =
-    when(ascii(substring(md5(concat_ws(":", lit(plane), i.cast("int"))), 1, 1)) % 2 === 1,
-      lit(1.0)).otherwise(lit(-1.0))
+    * and Rademacher ±1 hyperplanes are a standard SimHash choice.)
+    *
+    * The component is DATA-INDEPENDENT — a constant per (plane, i) — so it
+    * is computed ONCE here on the driver (same md5, via MessageDigest) and
+    * shipped to executors as an array literal. Round 5 evaluated the md5
+    * inside the per-row bucket lambda: 512 interpreted md5 calls per row
+    * for values that never change. The oracle SQL keeps its inline
+    * `ascii(substr(md5(plane||':'||i),1,1))%2` form — values are identical
+    * by construction, so the hashes still match. */
+  private[operators] def planeVector(plane: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      // first hex char of the digest == high nibble of byte 0
+      val hexChar = "0123456789abcdef".charAt((md.digest(s"$plane:$i".getBytes("UTF-8"))(0) >> 4) & 0xf)
+      if (hexChar.toInt % 2 == 1) 1.0 else -1.0
+    }
+  }
 
   /** Sign-pattern LSH bucket id from `planes` hyperplanes: bit j = sign of
     * dot(v, p_j). Buckets corpus vectors for corpus×corpus candidate
-    * generation without the O(n²) join. */
-  def bucketId(v: Column, planes: Int): Column =
+    * generation without the O(n²) join. `dv` must already be
+    * array<double> (callers alias the cast once in an inner projection so
+    * the codegen dot products share it — CollapseProject keeps a
+    * non-cheap aliased expression single-evaluated). */
+  def bucketId(dv: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeComponent(j, i.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(dv, lit(planeVector(j, dim))) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN via hyperplane-LSH buckets: same-bucket pairs scored exactly,
@@ -114,7 +126,9 @@ object Similarity {
     * fold-order dot products reproduce bit-identically in DuckDB. */
   def knnLsh(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
-      bucketId(col("embedding"), planes).as("bucket"))
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .select(col("vec_id"), col("embedding"),
+        bucketId(col("dv"), planes, embeddingDim(emb)).as("bucket"))
     val q = withB.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("bucket"))
@@ -139,7 +153,9 @@ object Similarity {
   def knnLshMultiprobe(emb: DataFrame, nQueries: Int, k: Int,
                        planes: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
-      bucketId(col("embedding"), planes).as("bucket"))
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .select(col("vec_id"), col("embedding"),
+        bucketId(col("dv"), planes, embeddingDim(emb)).as("bucket"))
     val probes = array(col("bucket") +:
       (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
     val q = withB.filter(col("vec_id") < nQueries)
@@ -475,8 +491,10 @@ object Similarity {
     * probability, and EXACT duplicates agree always (recall 1 on them,
     * pinned in DedupSpec). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 4): DataFrame = {
-    val b = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("n"), bucketId(col("embedding"), planes).as("bucket"))
+    val b = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"),
+      transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .select(col("vec_id"), col("embedding"), col("n"),
+        bucketId(col("dv"), planes, embeddingDim(emb)).as("bucket"))
     val l = b.select(col("bucket"), col("vec_id").as("i"),
       col("embedding").as("va"), col("n").as("na"))
     val r = b.select(col("bucket"), col("vec_id").as("j"),
