@@ -43,18 +43,32 @@ object Dedup {
     p
   }
 
-  /** Evict the PREVIOUS pipeline's persisted relations. Called at the
-    * start of each top-level pipeline builder (clear-then-build), never
-    * from inside `shared`, so a pipeline can never evict its own
+  /** Evict the PREVIOUS pipeline's persisted TRANSIENT relations. Called
+    * at the start of each top-level pipeline builder (clear-then-build),
+    * never from inside `shared`, so a pipeline can never evict its own
     * relations mid-construction; at most one pipeline's ~3 small
     * relations stay live in a long-running session. (Unpersisting a
-    * frame a caller still holds is safe — it just recomputes.) */
-  private def freshPipeline(): Unit = releaseCaches()
-
-  /** Release all persisted dedup intermediates (optional explicit hook). */
-  def releaseCaches(): Unit = liveCaches.synchronized {
+    * frame a caller still holds is safe — it just recomputes.)
+    *
+    * Deliberately does NOT touch [[pairsMemo]]: the memoized verified
+    * pairs are the cross-query shared sliver (d07's clustering and p09's
+    * curation both read it, with arbitrary other dedup queries running in
+    * between), so only the explicit [[releaseCaches]] hook evicts it. */
+  private def freshPipeline(): Unit = liveCaches.synchronized {
     liveCaches.foreach(_.unpersist(blocking = false))
     liveCaches.clear()
+  }
+
+  /** Release ALL persisted dedup state: the transient pipeline
+    * intermediates and the memoized verified-pairs relations. */
+  def releaseCaches(): Unit = {
+    freshPipeline()
+    // separate sync block: never hold both locks at once (verifiedPairs
+    // takes pairsMemo → liveCaches; the reverse order here would deadlock)
+    pairsMemo.synchronized {
+      pairsMemo.valuesIterator.foreach(_.unpersist(blocking = false))
+      pairsMemo.clear()
+    }
   }
 
   /** Distinct character n-gram shingles per doc — (doc_id, s). Docs
@@ -239,6 +253,13 @@ object Dedup {
     * branches. */
   def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
+    jaccardCore(docs, threshold, k, bands).orderBy("i", "j")
+  }
+
+  /** The unordered verify chain — consumers that JOIN the result
+    * ([[verifiedPairs]]) skip the public surface's global sort. Callers
+    * handle cache lifecycle ([[freshPipeline]]) themselves. */
+  private def jaccardCore(docs: DataFrame, threshold: Double, k: Int, bands: Int): DataFrame = {
     // wordShingles is per-doc DISTINCT with no shuffle (array_distinct
     // inside the projection), so the relation is directly usable both as
     // signature input and as the Jaccard set — no distinct anywhere in
@@ -266,7 +287,74 @@ object Dedup {
       .select(col("i"), col("j"), col("common"),
         round(col("common").cast("double") / (col("ni") + col("nj") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("i", "j")
+  }
+
+  /** Verified near-dup pairs (i, j) at `threshold` — THE shared relation
+    * both downstream consumers read: cluster resolution
+    * ([[verifiedClusters]], d07) and corpus curation
+    * ([[graft.operators.Pipeline.curate]], p09). Memoized per (source
+    * files, plan shape, threshold, k, bands), persisted on first use: in
+    * one session the LSH → Jaccard-verify chain runs ONCE and every
+    * consumer reads the materialized result. This is the in-process analog
+    * of the production shape at 100 TB — compute verified pairs in one
+    * batch job, WRITE them to storage, and have every downstream job
+    * (clustering, curation, audits) read that table instead of re-running
+    * the candidate+verify chain (SCALE.md "materialize the expensive
+    * sliver" pattern).
+    *
+    * Safety: the memo key binds the exact source file paths AND the
+    * canonicalized plan structure, so different corpora or different
+    * upstream transforms can never alias; non-file-backed sources
+    * (in-memory frames, views over sockets) skip memoization entirely and
+    * rebuild — reuse is an optimization, never a semantics change. An
+    * entry whose persisted relation was evicted ([[releaseCaches]])
+    * degrades to a clean rebuild. */
+  def verifiedPairs(docs: DataFrame, threshold: Double,
+                    k: Int = 16, bands: Int = 4): DataFrame = pairsMemo.synchronized {
+    fileBackedKey(docs) match {
+      case None =>
+        freshPipeline()
+        shared(jaccardCore(docs, threshold, k, bands).select("i", "j"))
+      case Some(srcKey) =>
+        val key = (srcKey, threshold, k, bands)
+        pairsMemo.get(key) match {
+          case Some(p) if p.storageLevel != org.apache.spark.storage.StorageLevel.NONE => p
+          case _ =>
+            freshPipeline()
+            // persisted OUTSIDE liveCaches: other dedup queries' clear-
+            // then-build must not evict the cross-query pairs relation
+            // (only the explicit releaseCaches hook does)
+            val p = jaccardCore(docs, threshold, k, bands).select("i", "j")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pairsMemo(key) = p
+            p
+        }
+    }
+  }
+
+  private val pairsMemo =
+    new scala.collection.mutable.HashMap[(String, Double, Int, Int), DataFrame]
+
+  /** Memo key for a file-backed frame: every leaf's parquet/csv root paths
+    * plus the canonicalized plan tree (exprIds normalized, so two
+    * independent reads of the same path produce the SAME key, while any
+    * differing filter/projection above the scan produces a different
+    * one). None if any leaf is not a file relation — those frames carry
+    * no stable identity, so they are never memoized. */
+  private def fileBackedKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    val leaves = plan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => Some(h.location.rootPaths.mkString(","))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (leaves.nonEmpty && leaves.forall(_.isDefined))
+      // HadoopFsRelation.toString omits paths, hence the explicit leaf list
+      Some(leaves.flatten.mkString(";") + "|" + plan.canonicalized.toString)
+    else None
   }
 
   /** Duplicate CLUSTERS from the LSH candidate pairs: connected
@@ -318,10 +406,12 @@ object Dedup {
   def verifiedClusters(docs: DataFrame, threshold: Double,
                        k: Int = 16, bands: Int = 4,
                        maxIter: Int = 20): DataFrame = {
-    val pairs = jaccardVerified(docs, threshold, k, bands).select("i", "j")
-    // endpoint-only CC (see dupClusters) — additionally checkpoints the
-    // verified pairs, so the whole Jaccard verification chain above runs
-    // exactly once rather than once per CC consumer
+    // the pairs relation is the memoized/persisted shared sliver — within
+    // one session d07's clustering and p09's curation both read the same
+    // materialization instead of re-running the LSH+verify chain
+    val pairs = verifiedPairs(docs, threshold, k, bands)
+    // endpoint-only CC (see dupClusters) — the label iteration reads the
+    // persisted pairs, so no CC consumer re-executes the verify chain
     val labels = shared(ConnectedComponents.minLabelOverEndpoints(pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
