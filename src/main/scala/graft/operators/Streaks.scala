@@ -37,6 +37,22 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Streaks {
 
+  /** Range-shuffle width for the parallel streak passes. `requested > 0`
+    * is honored verbatim (tests pin partition-count invariance by passing
+    * explicit values); the 0 default tracks the INPUT's partition count so
+    * a 100 TB scan keeps its parallelism through the streak passes instead
+    * of collapsing to a fixed 32 — floored at 32 so tiny local inputs
+    * still exercise the multi-partition merge paths.
+    *
+    * Reads the physical partition count via `queryExecution.toRdd` —
+    * `Dataset.rdd` would wrap the conversion in a new SQL execution
+    * (an extra tracked driver action per streak call; the computeStats
+    * job budget in EngineSpec pins this), while the raw physical RDD is
+    * just plan inspection: no job, no execution event. */
+  private def autoPartitions(prep: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(32, prep.queryExecution.toRdd.getNumPartitions)
+
   /** W1+A21: per-run relation for one class flag. Group id = running count
     * of flag flips over the time order (pandas: cumsum of
     * `flag != flag.shift()`, stats.py:507-514); keep only the runs where
@@ -85,7 +101,7 @@ object Streaks {
   /** Flag-run form: `grp` ids identical to [[streakRuns]]' window cumsum
     * (first run = 1, sequential over BOTH flag values). */
   private[graft] def parallelRuns(prep: DataFrame, statusType: String,
-                                  numPartitions: Int = 32): DataFrame =
+                                  numPartitions: Int = 0): DataFrame =
     parallelRunsBy(prep, col("status_type") === statusType, BooleanType, numPartitions)
       .withColumnRenamed("key", "flag")
 
@@ -105,8 +121,9 @@ object Streaks {
     * which is still a parallel aggregation, not a single-task window. */
   private[graft] def parallelRunsBy(prep: DataFrame, key: Column,
                                     keyType: DataType,
-                                    numPartitions: Int = 32): DataFrame = {
+                                    numPartitions: Int = 0): DataFrame = {
     val spark = prep.sparkSession
+    val nParts = autoPartitions(prep, numPartitions)
     val runSchema = StructType(Seq(
       StructField("grp", LongType, nullable = false),
       StructField("key", keyType, nullable = true),
@@ -114,7 +131,7 @@ object Streaks {
       StructField("start_ts", TimestampType, nullable = false)))
     val rdd = prep
       .select(col("ts"), col("id"), key.as("key"))
-      .repartitionByRange(numPartitions, col("ts"), col("id"))
+      .repartitionByRange(nParts, col("ts"), col("id"))
       .sortWithinPartitions("ts", "id")
       .rdd
     // pass 1: (pid, firstKey, lastKey, internal changes) per non-empty
@@ -180,7 +197,7 @@ object Streaks {
     * `row_number` renumber over the RUN relation (runs ≪ rows for DNS
     * logs — and the renumber is presentation, not computation). */
   def streakRunsScalable(prep: DataFrame, statusType: String,
-                         numPartitions: Int = 32): DataFrame =
+                         numPartitions: Int = 0): DataFrame =
     parallelRuns(prep, statusType, numPartitions).filter(col("flag"))
       .select(
         row_number().over(Window.orderBy("start_ts")).as("run_no"),
@@ -263,8 +280,9 @@ object Streaks {
       .orderBy("client")
   }
 
-  def longestIdle(prep: DataFrame, numPartitions: Int = 32): DataFrame = {
+  def longestIdle(prep: DataFrame, numPartitions: Int = 0): DataFrame = {
     val spark = prep.sparkSession
+    val nParts = autoPartitions(prep, numPartitions)
     def micros(t: java.sql.Timestamp): Long = {
       val i = t.toInstant
       i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -274,7 +292,7 @@ object Streaks {
     // form's `ORDER BY gap DESC, ts`) plus its first/last timestamps for
     // the O(partitions) boundary gaps
     val parts = prep.select(col("ts"), col("id"))
-      .repartitionByRange(numPartitions, col("ts"), col("id"))
+      .repartitionByRange(nParts, col("ts"), col("id"))
       .sortWithinPartitions("ts", "id")
       .rdd.mapPartitionsWithIndex { (pid, rows) =>
         var first: java.sql.Timestamp = null
