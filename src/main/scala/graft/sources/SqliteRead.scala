@@ -35,10 +35,18 @@ import org.apache.spark.sql.types._
   *     requested Spark type (an INTEGER-stored 0 in a REAL column reads
   *     as 0.0).
   *
+  * WAL-mode databases are handled by REPLAYING the sidecar: a non-empty
+  * `<db>-wal` (a live Pi-hole's normal state) is parsed by [[SqliteWal]]
+  * into a committed page→frame overlay, and every page read checks the
+  * overlay before the main file — the same recovery rule SQLite itself
+  * applies on open, so the scan sees exactly the committed state.
+  *
   * Limits (documented, not silent): UTF-8 databases only (encodings 2/3
-  * are UTF-16 — rejected), no WAL-journal replay (read a checkpointed
-  * file), table B-trees only (`WITHOUT ROWID` tables are index B-trees —
-  * rejected by page type).
+  * are UTF-16 — rejected), table B-trees only (`WITHOUT ROWID` tables are
+  * index B-trees — rejected by page type), and a HOT ROLLBACK JOURNAL
+  * (`<db>-journal`, crash-mid-transaction in the default journal mode) is
+  * rejected loudly — the main file may then contain torn uncommitted
+  * pages that only a journal rollback can undo.
   */
 object SqliteRead {
 
@@ -47,18 +55,22 @@ object SqliteRead {
     * field type). `numPartitions` splits the leaf-page list. */
   def readTable(spark: SparkSession, dbPath: String, table: String,
                 schema: StructType, numPartitions: Int = 8): DataFrame = {
-    // a non-empty WAL sidecar means committed rows live in unreplayed
-    // WAL frames this reader cannot see — failing loudly beats silently
-    // returning a stale prefix of the table (Pi-hole's FTL runs its DB
-    // in WAL mode while live; read a checkpointed copy or stop FTL)
-    val wal = new java.io.File(dbPath + "-wal")
-    if (wal.exists() && wal.length() > 0)
+    // a non-empty rollback journal means a writer crashed mid-transaction:
+    // the MAIN file can hold torn/uncommitted pages that SQLite would roll
+    // back on open — we don't implement rollback, so fail loudly rather
+    // than scan phantom rows
+    val journal = new java.io.File(dbPath + "-journal")
+    if (journal.exists() && journal.length() > 0)
       throw new IllegalStateException(
-        s"$dbPath has a non-empty WAL sidecar (${wal.length()} bytes): " +
-          "recent transactions are not in the main file. Checkpoint the " +
-          "database (PRAGMA wal_checkpoint(TRUNCATE)) or copy it with the " +
-          "sqlite3 .backup command, then re-read.")
-    val (rootPage, createSql) = withFile(dbPath) { f =>
+        s"$dbPath has a non-empty rollback journal (${journal.length()} " +
+          "bytes): the main file may contain uncommitted pages. Open the " +
+          "database once with sqlite3 (which rolls the journal back) or " +
+          "copy it with the .backup command, then re-read.")
+    // WAL sidecar → committed-page overlay, parsed ONCE on the driver and
+    // shipped to executors in the task closure (the map is |frames|-sized,
+    // bounded by the checkpoint interval — ~1000 pages by default)
+    val wal = walSpecOf(dbPath)
+    val (rootPage, createSql) = withFile(dbPath, wal) { f =>
       val h = header(f)
       findTable(f, h, table)
         .getOrElse(throw new IllegalArgumentException(
@@ -72,12 +84,12 @@ object SqliteRead {
       idx
     }
     val aliasIdx = rowidAlias.map(a => cols.indexWhere(_.equalsIgnoreCase(a))).getOrElse(-1)
-    val leaves = withFile(dbPath)(f => leafPages(f, header(f), rootPage))
+    val leaves = withFile(dbPath, wal)(f => leafPages(f, header(f), rootPage))
     val parts = math.max(1, math.min(numPartitions, leaves.length))
     val rdd = spark.sparkContext
       .parallelize(splitEvenly(leaves, parts), parts)
       .flatMap { pages =>
-        withFile(dbPath) { f =>
+        withFile(dbPath, wal) { f =>
           val h = header(f)
           pages.iterator.flatMap(p => leafRows(f, h, p)).map { case (rowid, rec) =>
             Row.fromSeq(fieldSrc.zip(schema.fields).map { case (src, fld) =>
@@ -95,15 +107,71 @@ object SqliteRead {
 
   // ---- file-level helpers ----
 
-  private def withFile[A](path: String)(body: RandomAccessFile => A): A = {
-    val f = new RandomAccessFile(path, "r")
-    try body(f) finally f.close()
+  /** Serializable WAL overlay: page size + committed page→image offsets
+    * (ships to executors inside the scan closure). */
+  private[sources] case class WalSpec(pageSize: Int, pages: Map[Int, Long])
+
+  private def walSpecOf(dbPath: String): Option[WalSpec] = {
+    val wal = new java.io.File(dbPath + "-wal")
+    if (wal.exists() && wal.length() >= 32) {
+      val (ps, map) = SqliteWal.pageMap(dbPath + "-wal")
+      if (map.nonEmpty) Some(WalSpec(ps, map)) else None
+    } else None
+  }
+
+  /** Positioned reader over main-file + WAL overlay: every read resolves
+    * its page against the WAL's committed frames first, falling back to
+    * the main file — pages appended since the last checkpoint exist ONLY
+    * in the WAL, so the fallback order is load-bearing, not an
+    * optimization. With no overlay, reads pass straight through. */
+  private[sources] final class DbFile(main: RandomAccessFile,
+                                      walRaf: Option[RandomAccessFile],
+                                      wal: Option[WalSpec]) {
+    private var pos = 0L
+    private val one = new Array[Byte](1)
+    private val two = new Array[Byte](2)
+    private val four = new Array[Byte](4)
+    def seek(p: Long): Unit = pos = p
+    def skipBytes(n: Int): Unit = pos += n
+    def readFully(b: Array[Byte]): Unit = readFully(b, 0, b.length)
+    def readFully(b: Array[Byte], off: Int, len: Int): Unit = (walRaf, wal) match {
+      case (Some(w), Some(spec)) =>
+        var o = off; var rem = len
+        while (rem > 0) {
+          val page = (pos / spec.pageSize).toInt + 1
+          val inPage = (pos % spec.pageSize).toInt
+          val take = math.min(rem, spec.pageSize - inPage)
+          spec.pages.get(page) match {
+            case Some(wOff) => w.seek(wOff + inPage); w.readFully(b, o, take)
+            case None       => main.seek(pos); main.readFully(b, o, take)
+          }
+          pos += take; o += take; rem -= take
+        }
+      case _ =>
+        main.seek(pos); main.readFully(b, off, len); pos += len
+    }
+    def readUnsignedByte(): Int = { readFully(one); one(0) & 0xff }
+    def readUnsignedShort(): Int = {
+      readFully(two); ((two(0) & 0xff) << 8) | (two(1) & 0xff)
+    }
+    def readInt(): Int = {
+      readFully(four)
+      ((four(0) & 0xff) << 24) | ((four(1) & 0xff) << 16) |
+        ((four(2) & 0xff) << 8) | (four(3) & 0xff)
+    }
+  }
+
+  private def withFile[A](path: String, wal: Option[WalSpec])(body: DbFile => A): A = {
+    val main = new RandomAccessFile(path, "r")
+    val walRaf = wal.map(_ => new RandomAccessFile(path + "-wal", "r"))
+    try body(new DbFile(main, walRaf, wal))
+    finally { main.close(); walRaf.foreach(_.close()) }
   }
 
   /** (pageSize, usableSize) from the 100-byte header; asserts UTF-8. */
   private case class Header(pageSize: Int, usable: Int)
 
-  private def header(f: RandomAccessFile): Header = {
+  private def header(f: DbFile): Header = {
     val magic = new Array[Byte](16)
     f.seek(0); f.readFully(magic)
     require(new String(magic, StandardCharsets.US_ASCII).startsWith("SQLite format 3"),
@@ -123,7 +191,7 @@ object SqliteRead {
 
   /** B-tree page header fields at `page` (page 1 skips the 100-byte file
     * header). Returns (type, nCells, cellPtrArrayOffset, rightChild). */
-  private def btHeader(f: RandomAccessFile, h: Header, page: Int): (Int, Int, Long, Int) = {
+  private def btHeader(f: DbFile, h: Header, page: Int): (Int, Int, Long, Int) = {
     val base = pageOffset(h, page) + (if (page == 1) 100 else 0)
     f.seek(base)
     val typ = f.readUnsignedByte()
@@ -135,7 +203,7 @@ object SqliteRead {
     (typ, nCells, base + headerLen, right)
   }
 
-  private def cellOffsets(f: RandomAccessFile, h: Header, page: Int,
+  private def cellOffsets(f: DbFile, h: Header, page: Int,
                           ptrArray: Long, nCells: Int): Seq[Long] = {
     f.seek(ptrArray)
     val buf = new Array[Byte](nCells * 2)
@@ -148,7 +216,7 @@ object SqliteRead {
 
   /** All leaf page numbers under `root`, in key order — reads ONLY
     * interior pages (the driver-side part of the scan). */
-  private def leafPages(f: RandomAccessFile, h: Header, root: Int): Vector[Int] = {
+  private def leafPages(f: DbFile, h: Header, root: Int): Vector[Int] = {
     val out = Vector.newBuilder[Int]
     def walk(page: Int): Unit = {
       val (typ, nCells, ptrs, right) = btHeader(f, h, page)
@@ -171,7 +239,7 @@ object SqliteRead {
 
   /** Parse every (rowid, record values) on one table leaf page,
     * following overflow chains where the payload spills. */
-  private def leafRows(f: RandomAccessFile, h: Header, page: Int): Seq[(Long, Array[Any])] = {
+  private def leafRows(f: DbFile, h: Header, page: Int): Seq[(Long, Array[Any])] = {
     val (typ, nCells, ptrs, _) = btHeader(f, h, page)
     require(typ == 13, s"page $page is not a table leaf (type $typ)")
     cellOffsets(f, h, page, ptrs, nCells).map { off =>
@@ -184,7 +252,7 @@ object SqliteRead {
 
   /** Local/overflow split per the format spec: X = U-35 all-local
     * threshold, M the minimum local share, K the modular balance point. */
-  private def readPayload(f: RandomAccessFile, h: Header, len: Long): Array[Byte] = {
+  private def readPayload(f: DbFile, h: Header, len: Long): Array[Byte] = {
     val u = h.usable
     val x = u - 35
     val out = new Array[Byte](len.toInt)
@@ -271,7 +339,7 @@ object SqliteRead {
   }
 
   /** Varint straight off the file (cell headers live outside records). */
-  private def readVarint(f: RandomAccessFile): Long = {
+  private def readVarint(f: DbFile): Long = {
     var v = 0L; var i = 0
     while (i < 8) {
       val b = f.readUnsignedByte()
@@ -285,7 +353,7 @@ object SqliteRead {
   // ---- schema-level helpers ----
 
   /** Scan sqlite_master (root = page 1) for `table` → (rootpage, sql). */
-  private def findTable(f: RandomAccessFile, h: Header,
+  private def findTable(f: DbFile, h: Header,
                         table: String): Option[(Int, String)] = {
     // sqlite_master columns: type, name, tbl_name, rootpage, sql
     leafPages(f, h, 1).iterator.flatMap(leafRows(f, h, _)).collectFirst {
@@ -295,37 +363,119 @@ object SqliteRead {
     }
   }
 
-  /** Column names from CREATE TABLE sql — first identifier of each
-    * top-level comma-separated item inside the parens. */
-  private[sources] def columnsOf(createSql: String): Seq[String] = {
-    val body = createSql.substring(createSql.indexOf('(') + 1,
-      createSql.lastIndexOf(')'))
-    var depth = 0
+  /** Split the CREATE TABLE paren body on TOP-LEVEL commas, tracking
+    * paren depth AND quote state ('…' string literals with '' escapes;
+    * "…", […], `…` identifiers) — a CHECK/DEFAULT literal containing a
+    * comma or parenthesis must not shift the column list. */
+  private[sources] def splitTopLevel(body: String): Seq[String] = {
     val items = ArrayBuffer(new StringBuilder)
-    body.foreach {
-      case '(' => depth += 1; items.last.append('(')
-      case ')' => depth -= 1; items.last.append(')')
-      case ',' if depth == 0 => items += new StringBuilder
-      case c => items.last.append(c)
+    var depth = 0
+    var quote: Char = 0 // 0 = outside quotes, else the expected closer
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quote != 0) {
+        items.last.append(c)
+        if (c == quote) {
+          // doubled closer = escape ('' "" ``); […] has no escape form
+          if (quote != ']' && i + 1 < body.length && body.charAt(i + 1) == quote) {
+            items.last.append(quote); i += 1
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`'  => quote = c; items.last.append(c)
+        case '['               => quote = ']'; items.last.append(c)
+        case '('               => depth += 1; items.last.append(c)
+        case ')'               => depth -= 1; items.last.append(c)
+        case ',' if depth == 0 => items += new StringBuilder
+        case _                 => items.last.append(c)
+      }
+      i += 1
     }
-    items.map(_.toString.trim)
-      .filterNot(s => Seq("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
-        .exists(k => s.toUpperCase.startsWith(k + " ") || s.toUpperCase.startsWith(k + "(")))
-      .map(_.split("\\s+|\\(", 2)(0).stripPrefix("\"").stripSuffix("\"")
-        .stripPrefix("[").stripSuffix("]").stripPrefix("`").stripSuffix("`"))
-      .filter(_.nonEmpty)
-      .toSeq
+    items.map(_.toString.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** The `INTEGER PRIMARY KEY` rowid-alias column, if declared. */
+  /** (leading identifier, rest-of-item) — unquotes "…", […], `…`; quoted
+    * names may contain spaces, commas, even parens. */
+  private def splitIdent(item: String): (String, String) = {
+    val s = item.trim
+    if (s.isEmpty) return ("", "")
+    val closer = s.charAt(0) match {
+      case '"' => '"'
+      case '`' => '`'
+      case '[' => ']'
+      case _   => 0.toChar
+    }
+    if (closer != 0.toChar) {
+      val sb = new StringBuilder
+      var i = 1
+      var end = -1
+      while (i < s.length && end < 0) {
+        val c = s.charAt(i)
+        if (c == closer) {
+          if (closer != ']' && i + 1 < s.length && s.charAt(i + 1) == closer) {
+            sb.append(c); i += 2
+          } else { end = i + 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      (sb.toString, if (end < 0) "" else s.substring(end).trim)
+    } else {
+      val parts = s.split("\\s+|(?=\\()", 2)
+      (parts(0), if (parts.length > 1) parts(1).trim else "")
+    }
+  }
+
+  private def isTableConstraint(item: String): Boolean =
+    Seq("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+      .exists(k => item.toUpperCase.startsWith(k + " ") ||
+        item.toUpperCase.startsWith(k + "("))
+
+  private def parenBody(createSql: String): String =
+    createSql.substring(createSql.indexOf('(') + 1, createSql.lastIndexOf(')'))
+
+  /** Column names from CREATE TABLE sql — leading identifier of each
+    * top-level item that is not a table-level constraint. */
+  private[sources] def columnsOf(createSql: String): Seq[String] =
+    splitTopLevel(parenBody(createSql))
+      .filterNot(isTableConstraint)
+      .map(it => splitIdent(it)._1)
+      .filter(_.nonEmpty)
+
+  /** The rowid-alias column, if declared (SQLite: an INTEGER column that
+    * is the table's PRIMARY KEY becomes an alias for the rowid, and its
+    * record field stores NULL — the reader must substitute the rowid).
+    * Handles the legal spellings the old three-adjacent-tokens regex
+    * missed: intervening column constraints (`id INTEGER NOT NULL
+    * PRIMARY KEY`) and a table-level `PRIMARY KEY(id)` naming a single
+    * INTEGER column. Column-level `PRIMARY KEY DESC` is NOT an alias
+    * (per the spec's rowid-tables quirk list); the type must be exactly
+    * INTEGER (`INT`/`BIGINT` columns do not alias). */
   private[sources] def rowidAliasOf(createSql: String): Option[String] = {
-    val m = java.util.regex.Pattern
-      .compile("(?i)[(,]\\s*([\\w\"\\[\\]`]+)\\s+INTEGER\\s+PRIMARY\\s+KEY")
-      .matcher(createSql)
-    if (m.find())
-      Some(m.group(1).stripPrefix("\"").stripSuffix("\"")
-        .stripPrefix("[").stripSuffix("]").stripPrefix("`").stripSuffix("`"))
-    else None
+    val items = splitTopLevel(parenBody(createSql))
+    val (constraints, colItems) = items.partition(isTableConstraint)
+    val cols = colItems.map(splitIdent) // (name, type-and-constraints)
+    def typeIsInteger(rest: String): Boolean =
+      rest.split("\\s+|\\(", 2)(0).equalsIgnoreCase("INTEGER")
+    // quoted literals removed before keyword search: a CHECK/DEFAULT
+    // string containing the words "PRIMARY KEY" is data, not DDL
+    def stripQuoted(s: String): String =
+      s.replaceAll("'(?:[^']|'')*'", " ").replaceAll("\"(?:[^\"]|\"\")*\"", " ")
+    val columnLevel = cols.collectFirst {
+      case (name, rest)
+        if typeIsInteger(rest) &&
+          "(?i)\\bPRIMARY\\s+KEY\\b(?!\\s+DESC)".r.findFirstIn(stripQuoted(rest)).isDefined =>
+        name
+    }
+    lazy val tableLevel = constraints.iterator.flatMap { c =>
+      "(?is)^PRIMARY\\s+KEY\\s*\\((.*)\\)".r.findFirstMatchIn(c.trim)
+        .map(_.group(1)) // single column only: a composite PK never aliases
+        .filter(inner => splitTopLevel(inner).size == 1)
+        .map(inner => splitIdent(inner.trim)._1)
+        .flatMap(pk => cols.collectFirst {
+          case (name, rest) if name.equalsIgnoreCase(pk) && typeIsInteger(rest) => name
+        })
+    }.nextOption()
+    columnLevel.orElse(tableLevel)
   }
 
   /** Dynamic-typing coercion to the requested Spark field type. */

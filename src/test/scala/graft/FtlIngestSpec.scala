@@ -120,15 +120,34 @@ class FtlIngestSpec extends SparkSpec {
       narrowed.selectExpr("max(timestamp)").head.getLong(0) == ts)
   }
 
-  test("sqlite: a non-empty WAL sidecar fails loudly, never a stale read") {
+  test("sqlite: WAL sidecar replays — live db matches its checkpointed twin") {
+    // main file holds 500 checkpointed rows; 300 more live ONLY in -wal
+    // frames (fixture copied out mid-session, before auto-checkpoint)
+    val live = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_wal.db")), 0L, Long.MaxValue)
+    val ckpt = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_wal_ckpt.db")), 0L, Long.MaxValue)
+    assert(live.count() == 800) // > the 500 in the main file: WAL rows visible
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf(_)).mkString("|")
+    assert(live.collect().map(key).sorted.toSeq == ckpt.collect().map(key).sorted.toSeq)
+  }
+
+  test("sqlite: a truncated/garbage WAL sidecar replays nothing (SQLite recovery rule)") {
     val dir = Files.createTempDirectory("graft_wal")
     val db = dir.resolve("live.db")
     Files.copy(java.nio.file.Paths.get(res("ftl_fixture_pk.db")), db)
+    // < 32 bytes: no WAL header can exist — same as an empty sidecar
     Files.write(dir.resolve("live.db-wal"), Array[Byte](1, 2, 3))
+    assert(FtlIngest.readSqlite(spark, Seq(db.toString), 0L, Long.MaxValue).count() == 200)
+  }
+
+  test("sqlite: a hot rollback journal fails loudly, never a torn read") {
+    val dir = Files.createTempDirectory("graft_journal")
+    val db = dir.resolve("crashed.db")
+    Files.copy(java.nio.file.Paths.get(res("ftl_fixture_pk.db")), db)
+    Files.write(dir.resolve("crashed.db-journal"), Array[Byte](1, 2, 3))
     val e = intercept[IllegalStateException] {
       FtlIngest.readSqlite(spark, Seq(db.toString), 0L, Long.MaxValue).count()
     }
-    assert(e.getMessage.contains("wal_checkpoint"))
+    assert(e.getMessage.contains("rollback journal"))
   }
 
   test("sqlite: Engine.loadSqlite runs the reference startup pipeline on a .db") {

@@ -124,6 +124,37 @@ def main():
     conn.commit()
     conn.close()
 
+    # WAL fixture: a database frozen mid-WAL — first 500 rows checkpointed
+    # into the main file, the next 300 committed ONLY into the -wal
+    # sidecar (copied out while the connection is still open, before the
+    # close-time auto-checkpoint). ftl_fixture_wal_ckpt.db is the
+    # checkpointed twin: same logical content, WAL folded in — the reader
+    # must produce identical rows from both.
+    import shutil
+    work = os.path.join(OUT, "_wal_work.db")
+    for p in (work, work + "-wal", work + "-shm"):
+        if os.path.exists(p):
+            os.remove(p)
+    conn = sqlite3.connect(work)
+    conn.execute("PRAGMA journal_mode=WAL")
+    conn.execute("PRAGMA wal_autocheckpoint=0")
+    conn.execute(DDL.format(pk=""))
+    conn.executemany("INSERT INTO queries VALUES (" + ",".join("?" * 13) + ")",
+                     data[:500])
+    conn.commit()
+    conn.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    conn.executemany("INSERT INTO queries VALUES (" + ",".join("?" * 13) + ")",
+                     data[500:800])
+    conn.commit()
+    wal_db = os.path.join(OUT, "ftl_fixture_wal.db")
+    shutil.copy(work, wal_db)
+    shutil.copy(work + "-wal", wal_db + "-wal")
+    conn.close()  # auto-checkpoints the work copy → the folded-in twin
+    shutil.copy(work, os.path.join(OUT, "ftl_fixture_wal_ckpt.db"))
+    for p in (work, work + "-wal", work + "-shm"):
+        if os.path.exists(p):
+            os.remove(p)
+
     with open(os.path.join(OUT, "ftl_fixture.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["id", "timestamp", "type", "status", "domain", "client",
