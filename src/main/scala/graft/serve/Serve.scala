@@ -1,0 +1,157 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.figures.Figures
+
+/** The reference's interactive serving loop, Spark-side: the hourly
+  * rollup + top-client list are computed ONCE per load and cached; every
+  * client-filter interaction re-slices the CACHED relation — the source
+  * files are never touched again (reference: `PHLTS_CALLBACK_DATA` built
+  * once in process.py:86-113, re-sliced per callback in app.py:1107-1136
+  * and plot.py:175-187, 282-294).
+  *
+  * At 100 TB the same split holds: the expensive part (scan + hourly
+  * groupBy) is one batch job whose OUTPUT is small — |hours| × |status|
+  * × |clients| rows — so the interactive tier caches that rollup (here:
+  * Spark `persist`; in production: write it to a serving store) and
+  * every dashboard interaction costs milliseconds over the rollup, not a
+  * rescan of the corpus.
+  */
+final class ServingCache(prep: DataFrame, nClients: Int = 10) extends AutoCloseable {
+
+  /** The cached hourly rollup (ts_hour, status_type, client, cnt) —
+    * materialized eagerly so the first interaction doesn't pay the scan. */
+  val hourly: DataFrame = {
+    val h = graft.operators.PlotData.hourlyView(prep)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    h.count() // materialize NOW: after this, the source is never re-read
+    h
+  }
+
+  /** Top clients by total queries (process.py:107-108) — collected once;
+    * |nClients| strings of driver data. */
+  val topClients: Seq[String] =
+    graft.operators.PlotData.topClients(prep, nClients)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Queries-over-time slice (plot.py:175-187): per-client when a filter
+    * is set, summed over all clients otherwise. Both branches read ONLY
+    * [[hourly]] (pinned in ServeSpec: the plan scans the in-memory
+    * relation, no file source). */
+  def queriesOverTime(client: Option[String]): DataFrame = {
+    val base = client.fold(hourly)(c => hourly.filter(col("client") === c))
+    base.groupBy("ts_hour", "status_type").agg(sum("cnt").as("cnt"))
+      .orderBy("ts_hour", "status_type")
+  }
+
+  /** Client-activity slice (plot.py:282-294): the filtered client, or the
+    * cached top-`nClients` list when no filter is set. */
+  def clientActivity(client: Option[String]): DataFrame = {
+    val base = client.fold(hourly.filter(col("client").isin(topClients: _*)))(
+      c => hourly.filter(col("client") === c))
+    base.groupBy("ts_hour", "client").agg(sum("cnt").as("cnt"))
+      .orderBy("ts_hour", "client")
+  }
+
+  /** SVG figure for the queries-over-time callback (app.py:1107-1117). */
+  def queriesFigure(client: Option[String]): String = {
+    val rows = queriesOverTime(client).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2).toDouble))
+    val title = client.fold("DNS Queries Over Time for All Clients")(c =>
+      s"DNS Queries Over Time for $c")
+    Figures.lineChart(title, rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (st, rs) => st -> rs.map(r => (r._2, r._3)).toSeq })
+  }
+
+  /** SVG figure for the client-activity callback (app.py:1120-1136). */
+  def activityFigure(client: Option[String]): String = {
+    val rows = clientActivity(client).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2).toDouble))
+    val title = client.fold(s"Activity for top ${topClients.size} clients")(c =>
+      s"Activity for $c")
+    Figures.lineChart(title, rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cl, rs) => cl -> rs.map(r => (r._2, r._3)).toSeq })
+  }
+
+  override def close(): Unit = hourly.unpersist(blocking = false)
+}
+
+/** Minimal HTTP server over a [[ServingCache]] — the Dash app's callback
+  * loop without the Dash dependency (JDK built-in `com.sun.net.httpserver`;
+  * zero added libraries). Endpoints:
+  *
+  *   - `GET /`                      the interactive page: client dropdown
+  *                                  + both figures (inline SVG)
+  *   - `GET /queries?client=<c>`    queries-over-time figure (SVG)
+  *   - `GET /activity?client=<c>`   client-activity figure (SVG)
+  *   - `GET /clients`               the cached top-client list (JSON)
+  *
+  * Omitting `client` = the all-clients / top-N view, exactly the
+  * reference's `client=None` branch. Each request re-slices the cache;
+  * none re-reads the source.
+  */
+final class StatsServer(cache: ServingCache, port: Int = 0) extends AutoCloseable {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** The port actually bound (pass 0 to pick an ephemeral one). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def clientOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split('&').collectFirst {
+      case kv if kv.startsWith("client=") =>
+        java.net.URLDecoder.decode(kv.drop("client=".length), "UTF-8")
+    }).filter(_.nonEmpty)
+
+  private def respond(ex: HttpExchange, contentType: String, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType + "; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  server.createContext("/queries", (ex: HttpExchange) =>
+    respond(ex, "image/svg+xml", cache.queriesFigure(clientOf(ex))))
+  server.createContext("/activity", (ex: HttpExchange) =>
+    respond(ex, "image/svg+xml", cache.activityFigure(clientOf(ex))))
+  server.createContext("/clients", (ex: HttpExchange) =>
+    respond(ex, "application/json",
+      cache.topClients.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")))
+  server.createContext("/", (ex: HttpExchange) => {
+    val client = clientOf(ex)
+    val options = ("" +: cache.topClients).map { c =>
+      val sel = if (client.contains(c) || (c.isEmpty && client.isEmpty)) " selected" else ""
+      val label = if (c.isEmpty) "All clients" else c
+      s"""<option value="${esc(c)}"$sel>${esc(label)}</option>"""
+    }.mkString
+    val page =
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+         |<title>Pi-hole long-term stats</title></head><body>
+         |<h1>Pi-hole long-term stats</h1>
+         |<form method="get" action="/">
+         |  <label>Client filter: <select name="client" onchange="this.form.submit()">
+         |  $options</select></label>
+         |</form>
+         |${cache.queriesFigure(client)}
+         |${cache.activityFigure(client)}
+         |</body></html>""".stripMargin
+    respond(ex, "text/html", page)
+  })
+
+  server.setExecutor(null) // serve on the caller's accept thread pool
+  server.start()
+
+  override def close(): Unit = server.stop(0)
+}
