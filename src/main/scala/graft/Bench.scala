@@ -73,9 +73,9 @@ object Bench {
     // reported so a contaminated run is self-evident in the record.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // (name, minSec, relSpread) — relSpread = (max-min)/min across reps
-    def measure(names: Seq[String]): Seq[(String, Double, Double)] = names.map { name =>
+    def measure(names: Seq[String], nReps: Int): Seq[(String, Double, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val times = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -86,13 +86,18 @@ object Bench {
       if (times.exists(_ < 0)) (name, -1.0, 0.0)
       else (name, times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0)
     }
-    val results = measure(headline)
+    val results = measure(headline, reps)
     val total = results.map(_._2).sum
     // FULL-BREADTH pass: every registered query, so a regression in the
     // non-headline 70% cannot hide between rounds. Headline numbers stay
     // the comparison surface (measured first, warmed, stable order); the
     // full pass reuses the already-warm JVM and warms each remaining
     // plan at the tiny SF before timing. Disable with SPARK_GRAFT_FULL=0.
+    // the gate metric gets the reps; the informational full sweep runs
+    // once by default (90 extra queries × reps would triple the round's
+    // bench wall-clock for numbers nothing gates on) — raise
+    // SPARK_GRAFT_REPS_FULL to spread-check the full inventory too
+    val repsFull = sys.env.getOrElse("SPARK_GRAFT_REPS_FULL", "1").toInt.max(1)
     val rest =
       if (sys.env.getOrElse("SPARK_GRAFT_FULL", "1") == "0") Seq.empty
       else {
@@ -101,7 +106,7 @@ object Bench {
           try SparkEntry.queries(name)(spark, warmDir).count()
           catch { case _: Throwable => () }
         }
-        measure(names)
+        measure(names, repsFull)
       }
     val all = results ++ rest
     val totalAll = all.map(_._2).sum

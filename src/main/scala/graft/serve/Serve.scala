@@ -93,12 +93,20 @@ final class ServingCache(prep: DataFrame, nClients: Int = 10) extends AutoClosea
   *   - `GET /queries?client=<c>`    queries-over-time figure (SVG)
   *   - `GET /activity?client=<c>`   client-activity figure (SVG)
   *   - `GET /clients`               the cached top-client list (JSON)
+  *   - `POST /reload`               rebuild the cache from source (the
+  *                                  reference's reload button — the one
+  *                                  interaction that IS a full re-read,
+  *                                  app.py:1056-1104); requires a
+  *                                  `rebuild` factory, else 409
   *
   * Omitting `client` = the all-clients / top-N view, exactly the
   * reference's `client=None` branch. Each request re-slices the cache;
-  * none re-reads the source.
+  * only an explicit reload re-reads the source.
   */
-final class StatsServer(cache: ServingCache, port: Int = 0) extends AutoCloseable {
+final class StatsServer(initial: ServingCache, port: Int = 0,
+                        rebuild: () => ServingCache = null) extends AutoCloseable {
+
+  @volatile private var cache: ServingCache = initial
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -122,6 +130,22 @@ final class StatsServer(cache: ServingCache, port: Int = 0) extends AutoCloseabl
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  server.createContext("/reload", (ex: HttpExchange) => {
+    if (rebuild == null) {
+      val msg = "no rebuild factory configured".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(409, msg.length)
+      try ex.getResponseBody.write(msg) finally ex.close()
+    } else {
+      // build the fresh cache BEFORE swapping: in-flight requests keep
+      // reading the old one, and a failed rebuild leaves it serving
+      val fresh = rebuild()
+      val old = cache
+      cache = fresh
+      old.close()
+      respond(ex, "application/json",
+        s"""{"reloaded":true,"top_clients":${fresh.topClients.size}}""")
+    }
+  })
   server.createContext("/queries", (ex: HttpExchange) =>
     respond(ex, "image/svg+xml", cache.queriesFigure(clientOf(ex))))
   server.createContext("/activity", (ex: HttpExchange) =>

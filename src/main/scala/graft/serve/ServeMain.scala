@@ -24,13 +24,15 @@ object ServeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val prep =
+    // rebuilt per reload: a fresh read re-lists the source files, so the
+    // reload button picks up rows written since the last build
+    def mkPrep() =
       if (args(0).endsWith(".db"))
         graft.Engine.loadSqlite(spark, Seq(args(0)), 0L, Long.MaxValue)
       else
         graft.Preprocess.preprocessEvents(graft.Tables.events(spark, args(0)))
-    val cache = new ServingCache(prep)
-    val server = new StatsServer(cache, port)
+    val cache = new ServingCache(mkPrep())
+    val server = new StatsServer(cache, port, rebuild = () => new ServingCache(mkPrep()))
     println(s"serving on http://127.0.0.1:${server.boundPort}/ " +
       s"(${cache.topClients.size} top clients cached; Ctrl-C to stop)")
     Thread.currentThread().join() // serve until killed

@@ -41,9 +41,12 @@ import org.apache.spark.sql.types._
   * overlay before the main file — the same recovery rule SQLite itself
   * applies on open, so the scan sees exactly the committed state.
   *
-  * Limits (documented, not silent): UTF-8 databases only (encodings 2/3
-  * are UTF-16 — rejected), table B-trees only (`WITHOUT ROWID` tables are
-  * index B-trees — rejected by page type), and a HOT ROLLBACK JOURNAL
+  * Text decodes in the header-declared encoding (UTF-8 / UTF-16le /
+  * UTF-16be), lossily (U+FFFD on malformed input, like the reference's
+  * text_factory).
+  *
+  * Limits (documented, not silent): table B-trees only (`WITHOUT ROWID`
+  * tables are index B-trees — rejected by page type), and a HOT ROLLBACK JOURNAL
   * (`<db>-journal`, crash-mid-transaction in the default journal mode) is
   * rejected loudly — the main file may then contain torn uncommitted
   * pages that only a journal rollback can undo.
@@ -168,8 +171,13 @@ object SqliteRead {
     finally { main.close(); walRaf.foreach(_.close()) }
   }
 
-  /** (pageSize, usableSize) from the 100-byte header; asserts UTF-8. */
-  private case class Header(pageSize: Int, usable: Int)
+  /** (pageSize, usableSize, text charset) from the 100-byte header. The
+    * declared encoding (offset 56: 1=UTF-8, 2=UTF-16le, 3=UTF-16be)
+    * applies to every TEXT serial value in every record — including
+    * sqlite_master's sql column, so DDL parsing works unchanged after
+    * decode. BLOB values are raw bytes regardless of encoding. */
+  private case class Header(pageSize: Int, usable: Int,
+                            charset: java.nio.charset.Charset)
 
   private def header(f: DbFile): Header = {
     val magic = new Array[Byte](16)
@@ -182,9 +190,14 @@ object SqliteRead {
     f.seek(20)
     val reserved = f.readUnsignedByte()
     f.seek(56)
-    val enc = f.readInt()
-    require(enc == 1, s"only UTF-8 SQLite databases supported (encoding=$enc)")
-    Header(pageSize, pageSize - reserved)
+    val charset = f.readInt() match {
+      case 1 => StandardCharsets.UTF_8
+      case 2 => StandardCharsets.UTF_16LE
+      case 3 => StandardCharsets.UTF_16BE
+      case e => throw new IllegalArgumentException(
+        s"invalid SQLite text encoding $e (file corrupt?)")
+    }
+    Header(pageSize, pageSize - reserved, charset)
   }
 
   private def pageOffset(h: Header, page: Int): Long = (page - 1).toLong * h.pageSize
@@ -246,7 +259,7 @@ object SqliteRead {
       f.seek(off)
       val payloadLen = readVarint(f)
       val rowid = readVarint(f)
-      (rowid, parseRecord(readPayload(f, h, payloadLen)))
+      (rowid, parseRecord(readPayload(f, h, payloadLen), h.charset))
     }
   }
 
@@ -278,8 +291,9 @@ object SqliteRead {
   }
 
   /** SQLite record → column values (serial types per the format spec). */
-  private def parseRecord(payload: Array[Byte]): Array[Any] = {
-    val p = new Parser(payload)
+  private def parseRecord(payload: Array[Byte],
+                          charset: java.nio.charset.Charset): Array[Any] = {
+    val p = new Parser(payload, charset)
     val headerLen = p.varint()
     val types = ArrayBuffer.empty[Long]
     while (p.pos < headerLen) types += p.varint()
@@ -302,7 +316,8 @@ object SqliteRead {
     }.toArray[Any]
   }
 
-  private final class Parser(buf: Array[Byte]) {
+  private final class Parser(buf: Array[Byte],
+                             charset: java.nio.charset.Charset) {
     var pos: Int = 0
     def varint(): Long = {
       var v = 0L; var i = 0
@@ -325,9 +340,10 @@ object SqliteRead {
       java.lang.Long.valueOf((v << shift) >> shift)
     }
     def text(n: Int): String = {
-      // UTF-8 with replacement — java.lang.String's default for malformed
-      // input, matching the reference's lossy text_factory (db.py:17)
-      val s = new String(buf, pos, n, StandardCharsets.UTF_8)
+      // db-declared charset, with replacement — java.lang.String's
+      // default for malformed input, matching the reference's lossy
+      // text_factory (db.py:17)
+      val s = new String(buf, pos, n, charset)
       pos += n
       s
     }

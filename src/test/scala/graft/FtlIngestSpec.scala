@@ -120,6 +120,21 @@ class FtlIngestSpec extends SparkSpec {
       narrowed.selectExpr("max(timestamp)").head.getLong(0) == ts)
   }
 
+  test("sqlite: UTF-16le database decodes via the header-declared encoding") {
+    // same first-200 rows as the UTF-8 fixture, stored UTF-16le
+    // (sqlite_master's schema sql is UTF-16 too — DDL parsing must also
+    // go through the decode), plus one non-ASCII row incl. a non-BMP char
+    val u16 = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_utf16.db")), 0L, Long.MaxValue)
+    assert(u16.count() == 201)
+    assert(u16.filter("id = 9010").select("domain").head.getString(0) ==
+      "www.bücher-中文-🐉.example")
+    val utf8 = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), 0L, Long.MaxValue)
+      .filter("id <= 200")
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf(_)).mkString("|")
+    assert(u16.filter("id <= 200").collect().map(key).sorted.toSeq ==
+      utf8.collect().map(key).sorted.toSeq)
+  }
+
   test("sqlite: WAL sidecar replays — live db matches its checkpointed twin") {
     // main file holds 500 checkpointed rows; 300 more live ONLY in -wal
     // frames (fixture copied out mid-session, before auto-checkpoint)

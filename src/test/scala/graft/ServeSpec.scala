@@ -94,4 +94,44 @@ class ServeSpec extends SparkSpec {
       assert(page.contains("<select") && page.contains("<svg"))
     } finally { server.close(); cache.close() }
   }
+
+  test("reload rebuilds the cache through the factory (reference reload button)") {
+    // the rebuild factory narrows the relation, so a successful reload is
+    // observable: the top-client list shrinks to the filtered population
+    val first = new ServingCache(prep)
+    val dropped = first.topClients.head
+    var fresh: ServingCache = null
+    val server = new StatsServer(first, port = 0,
+      rebuild = () => {
+        fresh = new ServingCache(prep.filter(col("client") =!= dropped)); fresh
+      })
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val before = fetch(s"$base/clients")._2
+
+      val conn = URI.create(s"$base/reload").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+
+      val after = fetch(s"$base/clients")._2
+      assert(before.contains("\"" + dropped + "\""))
+      assert(!after.contains("\"" + dropped + "\""), "reload must swap the cache")
+    } finally { server.close(); if (fresh != null) fresh.close() }
+  }
+
+  test("reload without a factory is refused, cache keeps serving") {
+    val cache = new ServingCache(prep)
+    val server = new StatsServer(cache, port = 0)
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val conn = URI.create(s"$base/reload").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      assert(conn.getResponseCode == 409)
+      conn.disconnect()
+      assert(fetch(s"$base/clients")._1 == 200)
+    } finally { server.close(); cache.close() }
+  }
 }

@@ -124,6 +124,24 @@ def main():
     conn.commit()
     conn.close()
 
+    # UTF-16le twin of the pk fixture's rows (+ one non-ASCII domain):
+    # every TEXT value -- including sqlite_master's schema sql -- is
+    # stored UTF-16; readers must decode via the header-declared encoding
+    utf16_db = os.path.join(OUT, "ftl_fixture_utf16.db")
+    if os.path.exists(utf16_db):
+        os.remove(utf16_db)
+    conn = sqlite3.connect(utf16_db)
+    conn.execute("PRAGMA encoding = 'UTF-16le'")
+    conn.execute(DDL.format(pk=""))
+    conn.executemany("INSERT INTO queries VALUES (" + ",".join("?" * 13) + ")",
+                     data[:200])
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+        (9010, T0 + 500000, 1, 2, "www.bücher-中文-\U0001f409.example",
+         "192.168.1.94", None, None, 0, 0.75, 0, None, None))
+    conn.commit()
+    conn.close()
+
     # WAL fixture: a database frozen mid-WAL — first 500 rows checkpointed
     # into the main file, the next 300 committed ONLY into the -wal
     # sidecar (copied out while the connection is still open, before the
