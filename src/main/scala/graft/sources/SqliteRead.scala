@@ -45,8 +45,11 @@ import org.apache.spark.sql.types._
   * UTF-16be), lossily (U+FFFD on malformed input, like the reference's
   * text_factory).
   *
-  * Limits (documented, not silent): table B-trees only (`WITHOUT ROWID`
-  * tables are index B-trees — rejected by page type), and a HOT ROLLBACK JOURNAL
+  * `WITHOUT ROWID` tables read too: their index-b-tree records (PK
+  * columns first, then the rest; interior pages carry rows — a true
+  * B-tree) are permuted back to declared column order.
+  *
+  * Limit (documented, not silent): a HOT ROLLBACK JOURNAL
   * (`<db>-journal`, crash-mid-transaction in the default journal mode) is
   * rejected loudly — the main file may then contain torn uncommitted
   * pages that only a journal rollback can undo.
@@ -80,21 +83,34 @@ object SqliteRead {
           s"table '$table' not found in $dbPath"))
     }
     val cols = columnsOf(createSql)
-    val rowidAlias = rowidAliasOf(createSql)
+    val noRowid = isWithoutRowid(createSql)
+    // WITHOUT ROWID tables store rows as index-b-tree records with the
+    // PRIMARY KEY columns FIRST (in PK order), then the remaining columns
+    // in declared order — map requested fields through that permutation.
+    // Rowid tables use declared order directly, with the INTEGER PRIMARY
+    // KEY alias (stored NULL) substituted from the cell's rowid.
+    val storageOrder =
+      if (!noRowid) cols
+      else {
+        val pk = pkColumnsOf(createSql)
+        require(pk.nonEmpty, s"WITHOUT ROWID table '$table' lacks a parsed PRIMARY KEY")
+        pk ++ cols.filterNot(c => pk.exists(_.equalsIgnoreCase(c)))
+      }
+    val rowidAlias = if (noRowid) None else rowidAliasOf(createSql)
     val fieldSrc = schema.fields.map { fld =>
-      val idx = cols.indexWhere(_.equalsIgnoreCase(fld.name))
+      val idx = storageOrder.indexWhere(_.equalsIgnoreCase(fld.name))
       require(idx >= 0, s"column '${fld.name}' not in table '$table' ($cols)")
       idx
     }
-    val aliasIdx = rowidAlias.map(a => cols.indexWhere(_.equalsIgnoreCase(a))).getOrElse(-1)
-    val leaves = withFile(dbPath, wal)(f => leafPages(f, header(f), rootPage))
+    val aliasIdx = rowidAlias.map(a => storageOrder.indexWhere(_.equalsIgnoreCase(a))).getOrElse(-1)
+    val leaves = withFile(dbPath, wal)(f => dataPages(f, header(f), rootPage, noRowid))
     val parts = math.max(1, math.min(numPartitions, leaves.length))
     val rdd = spark.sparkContext
       .parallelize(splitEvenly(leaves, parts), parts)
       .flatMap { pages =>
         withFile(dbPath, wal) { f =>
           val h = header(f)
-          pages.iterator.flatMap(p => leafRows(f, h, p)).map { case (rowid, rec) =>
+          pages.iterator.flatMap(p => pageRows(f, h, p, noRowid)).map { case (rowid, rec) =>
             Row.fromSeq(fieldSrc.zip(schema.fields).map { case (src, fld) =>
               val v = if (src == aliasIdx && (src >= rec.length || rec(src) == null))
                 java.lang.Long.valueOf(rowid) // INTEGER PRIMARY KEY = rowid alias
@@ -227,47 +243,67 @@ object SqliteRead {
     }
   }
 
-  /** All leaf page numbers under `root`, in key order — reads ONLY
-    * interior pages (the driver-side part of the scan). */
-  private def leafPages(f: DbFile, h: Header, root: Int): Vector[Int] = {
+  /** All ROW-CARRYING page numbers under `root`, in key order — reads
+    * only interior pages on this driver-side pass. For a rowid table
+    * (page types 5/13) rows live exclusively in the leaves; for a
+    * WITHOUT ROWID table the tree is an index b-tree (types 2/10) — a
+    * TRUE B-tree, so interior pages carry one full record per cell and
+    * must be scanned too (each key lives on exactly one page). */
+  private def dataPages(f: DbFile, h: Header, root: Int,
+                        index: Boolean): Vector[Int] = {
     val out = Vector.newBuilder[Int]
     def walk(page: Int): Unit = {
       val (typ, nCells, ptrs, right) = btHeader(f, h, page)
       typ match {
-        case 13 => out += page
-        case 5 =>
+        case 13 if !index => out += page
+        case 10 if index  => out += page
+        case 5 if !index =>
+          val children = cellOffsets(f, h, page, ptrs, nCells).map { off =>
+            f.seek(off); f.readInt()
+          }
+          (children :+ right).foreach(walk)
+        case 2 if index =>
+          out += page // interior index cells carry records
           val children = cellOffsets(f, h, page, ptrs, nCells).map { off =>
             f.seek(off); f.readInt()
           }
           (children :+ right).foreach(walk)
         case other =>
           throw new IllegalStateException(
-            s"page $page: expected table b-tree (5/13), got type $other " +
-              "(WITHOUT ROWID / index pages are not table data)")
+            s"page $page: expected ${if (index) "index" else "table"} b-tree " +
+              s"page, got type $other")
       }
     }
     walk(root)
     out.result()
   }
 
-  /** Parse every (rowid, record values) on one table leaf page,
-    * following overflow chains where the payload spills. */
-  private def leafRows(f: DbFile, h: Header, page: Int): Seq[(Long, Array[Any])] = {
+  /** Parse every (rowid, record values) on one row-carrying page,
+    * following overflow chains where the payload spills. Table leaves
+    * (13) prefix each cell with payload-length + rowid varints; index
+    * cells (10 leaf / 2 interior) have no rowid — interior cells
+    * additionally carry a 4-byte left-child pointer first. */
+  private def pageRows(f: DbFile, h: Header, page: Int,
+                       index: Boolean): Seq[(Long, Array[Any])] = {
     val (typ, nCells, ptrs, _) = btHeader(f, h, page)
-    require(typ == 13, s"page $page is not a table leaf (type $typ)")
+    val expected = if (index) Set(2, 10) else Set(13)
+    require(expected(typ), s"page $page: unexpected b-tree page type $typ")
     cellOffsets(f, h, page, ptrs, nCells).map { off =>
       f.seek(off)
+      if (typ == 2) f.skipBytes(4) // interior index cell: left child first
       val payloadLen = readVarint(f)
-      val rowid = readVarint(f)
-      (rowid, parseRecord(readPayload(f, h, payloadLen), h.charset))
+      val rowid = if (typ == 13) readVarint(f) else -1L
+      (rowid, parseRecord(readPayload(f, h, payloadLen, index), h.charset))
     }
   }
 
   /** Local/overflow split per the format spec: X = U-35 all-local
-    * threshold, M the minimum local share, K the modular balance point. */
-  private def readPayload(f: DbFile, h: Header, len: Long): Array[Byte] = {
+    * threshold for table leaves, ((U-12)*64/255)-23 for index pages;
+    * M the minimum local share, K the modular balance point. */
+  private def readPayload(f: DbFile, h: Header, len: Long,
+                          index: Boolean = false): Array[Byte] = {
     val u = h.usable
-    val x = u - 35
+    val x = if (index) (u - 12) * 64 / 255 - 23 else u - 35
     val out = new Array[Byte](len.toInt)
     if (len <= x) {
       f.readFully(out)
@@ -372,7 +408,8 @@ object SqliteRead {
   private def findTable(f: DbFile, h: Header,
                         table: String): Option[(Int, String)] = {
     // sqlite_master columns: type, name, tbl_name, rootpage, sql
-    leafPages(f, h, 1).iterator.flatMap(leafRows(f, h, _)).collectFirst {
+    dataPages(f, h, 1, index = false).iterator
+      .flatMap(pageRows(f, h, _, index = false)).collectFirst {
       case (_, rec) if rec.length >= 5 &&
         "table" == rec(0) && table.equalsIgnoreCase(String.valueOf(rec(1))) =>
         (rec(3).asInstanceOf[java.lang.Long].intValue(), String.valueOf(rec(4)))
@@ -439,6 +476,31 @@ object SqliteRead {
       val parts = s.split("\\s+|(?=\\()", 2)
       (parts(0), if (parts.length > 1) parts(1).trim else "")
     }
+  }
+
+  /** True iff the DDL declares a WITHOUT ROWID table (clause after the
+    * closing paren of the column list). */
+  private[sources] def isWithoutRowid(createSql: String): Boolean =
+    createSql.substring(createSql.lastIndexOf(')') + 1)
+      .toUpperCase.replaceAll("\\s+", " ").contains("WITHOUT ROWID")
+
+  /** The PRIMARY KEY column list, in PK-declaration order: a column-level
+    * `PRIMARY KEY` yields that single column; a table-level
+    * `PRIMARY KEY(a, b)` yields the listed columns with per-column
+    * ASC/DESC/COLLATE decorations stripped. (This is the INDEX KEY order
+    * that WITHOUT ROWID records lead with.) */
+  private[sources] def pkColumnsOf(createSql: String): Seq[String] = {
+    val items = splitTopLevel(parenBody(createSql))
+    val (constraints, colItems) = items.partition(isTableConstraint)
+    val colLevel = colItems.map(splitIdent).collect {
+      case (name, rest)
+        if "(?i)\\bPRIMARY\\s+KEY\\b".r.findFirstIn(
+          rest.replaceAll("'(?:[^']|'')*'", " ")).isDefined => name
+    }
+    if (colLevel.nonEmpty) colLevel.take(1)
+    else constraints.iterator.flatMap { c =>
+      "(?is)^PRIMARY\\s+KEY\\s*\\((.*)\\)".r.findFirstMatchIn(c.trim).map(_.group(1))
+    }.take(1).flatMap(inner => splitTopLevel(inner).map(it => splitIdent(it)._1)).toSeq
   }
 
   private def isTableConstraint(item: String): Boolean =

@@ -120,6 +120,21 @@ class FtlIngestSpec extends SparkSpec {
       narrowed.selectExpr("max(timestamp)").head.getLong(0) == ts)
   }
 
+  test("sqlite: WITHOUT ROWID table — index b-tree, permuted PK-first records") {
+    // composite PK (domain, id) stores TEXT first (index key order); the
+    // fixture's 3000 rows span 51 leaf + 1 interior page, and the
+    // interior page carries ~50 full records (true B-tree) — equality
+    // with the rowid twin proves both the permutation and that interior
+    // records are not dropped
+    val wr = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture_wr.db")), 0L, Long.MaxValue)
+    assert(wr.count() == 3000)
+    val rowidTwin = FtlIngest.readSqlite(spark, Seq(res("ftl_fixture.db")), 0L, Long.MaxValue)
+      .filter("id <= 3000")
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf(_)).mkString("|")
+    assert(wr.collect().map(key).sorted.toSeq ==
+      rowidTwin.collect().map(key).sorted.toSeq)
+  }
+
   test("sqlite: UTF-16le database decodes via the header-declared encoding") {
     // same first-200 rows as the UTF-8 fixture, stored UTF-16le
     // (sqlite_master's schema sql is UTF-16 too — DDL parsing must also

@@ -124,6 +124,22 @@ def main():
     conn.commit()
     conn.close()
 
+    # WITHOUT ROWID twin of the main fixture's first 3000 rows: composite
+    # table-level PK (domain, id) puts a TEXT column FIRST in the stored
+    # record (index key order), so readers must permute storage order back
+    # to declared order; 3000 rows force a multi-level index b-tree whose
+    # INTERIOR pages carry full records (true B-tree) -- a reader that
+    # only scans leaves silently drops those rows
+    wr_db = os.path.join(OUT, "ftl_fixture_wr.db")
+    if os.path.exists(wr_db):
+        os.remove(wr_db)
+    conn = sqlite3.connect(wr_db)
+    conn.execute(DDL.format(pk="").rstrip().rstrip(")")
+                 + ", PRIMARY KEY (domain, id)\n) WITHOUT ROWID")
+    conn.executemany("INSERT INTO queries VALUES (" + ",".join("?" * 13) + ")", data)
+    conn.commit()
+    conn.close()
+
     # UTF-16le twin of the pk fixture's rows (+ one non-ASCII domain):
     # every TEXT value -- including sqlite_master's schema sql -- is
     # stored UTF-16; readers must decode via the header-declared encoding
