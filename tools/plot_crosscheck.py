@@ -100,12 +100,16 @@ def main(d):
                       ("allowed_day_hour_heatmap", "allowed_day_hour_heatmap")):
         r = ref[key]  # pivot: index day_name, columns hours
         o = ours(mine)
-        rcells = {(day, int(h)): int(r.loc[day, h])
-                  for day in r.index for h in r.columns if int(r.loc[day, h]) != 0}
+        # sparse fixtures leave NaN holes in both pivots (day-hour combos
+        # with no traffic) — an absent cell and a zero cell are the same
+        def cell(v):
+            return 0 if pd.isna(v) else int(v)
+        rcells = {(day, int(h)): cell(r.loc[day, h])
+                  for day in r.index for h in r.columns if cell(r.loc[day, h]) != 0}
         ocells = {}
         for _, row in o.iterrows():
             for h in range(24):
-                v = int(row[f"h{h}"])
+                v = cell(row[f"h{h}"])
                 if v:
                     ocells[(row["day_name"], h)] = v
         check(key, rcells == ocells,
