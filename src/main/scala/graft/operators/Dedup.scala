@@ -405,19 +405,43 @@ object Dedup {
     * clustering only verified pairs cannot. */
   def verifiedClusters(docs: DataFrame, threshold: Double,
                        k: Int = 16, bands: Int = 4,
-                       maxIter: Int = 20): DataFrame = {
+                       maxIter: Int = 20): DataFrame =
     // the pairs relation is the memoized/persisted shared sliver — within
     // one session d07's clustering and p09's curation both read the same
     // materialization instead of re-running the LSH+verify chain
-    val pairs = verifiedPairs(docs, threshold, k, bands)
-    // endpoint-only CC (see dupClusters) — the label iteration reads the
-    // persisted pairs, so no CC consumer re-executes the verify chain
+    clustersOfPairs(verifiedPairs(docs, threshold, k, bands), maxIter)
+
+  /** Cluster resolution over an ALREADY-COMPUTED pairs relation —
+    * composes with [[verifiedPairs]] in-process or with
+    * [[readVerifiedPairs]] when the pairs were produced by an earlier
+    * batch job. Endpoint-only CC (see [[dupClusters]]); the label
+    * iteration reads the given relation as-is, so no consumer
+    * re-executes the verify chain. */
+  def clustersOfPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val labels = shared(ConnectedComponents.minLabelOverEndpoints(pairs, maxIter))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
     labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** The PRODUCTION shape of [[verifiedPairs]] at 100 TB: run the
+    * candidate+verify chain once as a batch job and WRITE the verified
+    * pairs to storage, so every downstream job — clustering, curation,
+    * audits, incremental re-dedup — reads a table instead of re-running
+    * the chain (SCALE.md "materialize the expensive sliver"). The output
+    * is ~|near-dup pairs| rows: microscopic next to the corpus. */
+  def writeVerifiedPairs(docs: DataFrame, path: String, threshold: Double,
+                         k: Int = 16, bands: Int = 4): Unit = {
+    freshPipeline()
+    jaccardCore(docs, threshold, k, bands).select("i", "j")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read back a [[writeVerifiedPairs]] table. */
+  def readVerifiedPairs(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
     * emitted as 16 hex chars. Near-identical docs differ in few bits. */

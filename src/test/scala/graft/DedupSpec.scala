@@ -48,6 +48,18 @@ class DedupSpec extends SparkSpec {
     v.get((0L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("verified pairs round-trip storage: written table drives identical clusters") {
+    // the production shape: pairs computed once by a batch job, written,
+    // and cluster resolution reads the TABLE — results must be identical
+    // to the in-process chain
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairs").resolve("pairs")
+    Dedup.writeVerifiedPairs(corpus, dir.toString, 0.5)
+    val fromStorage = Dedup.clustersOfPairs(Dedup.readVerifiedPairs(spark, dir.toString))
+    assert(rowsOf(fromStorage) == rowsOf(Dedup.verifiedClusters(corpus, 0.5)))
+    // and the table really is the sliver: only the verified pairs
+    assert(Dedup.readVerifiedPairs(spark, dir.toString).columns.toSeq == Seq("i", "j"))
+  }
+
   test("simhash: identical docs share fingerprints; format is 16 hex chars") {
     val fp = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(0L) == fp(1L))
