@@ -251,10 +251,8 @@ object Dedup {
     * across engines, no float rounding concerns. The shingle relation is
     * computed ONCE and shared by the signature, size, and intersection
     * branches. */
-  def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    freshPipeline()
-    jaccardCore(docs, threshold, k, bands).orderBy("i", "j")
-  }
+  def jaccardVerified(docs: DataFrame, threshold: Double, k: Int = 16, bands: Int = 4): DataFrame =
+    verifiedRelation(docs, threshold, k, bands).orderBy("i", "j")
 
   /** The unordered verify chain — consumers that JOIN the result
     * ([[verifiedPairs]]) skip the public surface's global sort. Callers
@@ -310,11 +308,19 @@ object Dedup {
     * entry whose persisted relation was evicted ([[releaseCaches]])
     * degrades to a clean rebuild. */
   def verifiedPairs(docs: DataFrame, threshold: Double,
-                    k: Int = 16, bands: Int = 4): DataFrame = pairsMemo.synchronized {
+                    k: Int = 16, bands: Int = 4): DataFrame =
+    verifiedRelation(docs, threshold, k, bands).select("i", "j")
+
+  /** The memoized FULL verified relation (i, j, common, jaccard) — the
+    * one materialization behind all three public consumers
+    * ([[jaccardVerified]] = sorted view, [[verifiedPairs]] = (i, j)
+    * projection for clustering/curation). */
+  private def verifiedRelation(docs: DataFrame, threshold: Double,
+                               k: Int, bands: Int): DataFrame = pairsMemo.synchronized {
     fileBackedKey(docs) match {
       case None =>
         freshPipeline()
-        shared(jaccardCore(docs, threshold, k, bands).select("i", "j"))
+        shared(jaccardCore(docs, threshold, k, bands))
       case Some(srcKey) =>
         val key = (srcKey, threshold, k, bands)
         pairsMemo.get(key) match {
@@ -322,9 +328,9 @@ object Dedup {
           case _ =>
             freshPipeline()
             // persisted OUTSIDE liveCaches: other dedup queries' clear-
-            // then-build must not evict the cross-query pairs relation
+            // then-build must not evict the cross-query verified relation
             // (only the explicit releaseCaches hook does)
-            val p = jaccardCore(docs, threshold, k, bands).select("i", "j")
+            val p = jaccardCore(docs, threshold, k, bands)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             pairsMemo(key) = p
             p
