@@ -178,7 +178,7 @@ object Figures {
 
   /** Render the reference dashboard's chart set from a preprocessed
     * relation. Every collect is a bounded plot aggregate. */
-  def dashboard(prep: DataFrame): String = {
+  def dashboard(prep: DataFrame, nClients: Int = 10, nDomains: Int = 10): String = {
     val charts = Vector.newBuilder[String]
 
     // queries over time per status class (plot.py:182-187) — the
@@ -190,7 +190,7 @@ object Figures {
         .map { case (st, rows) => st -> rows.map(r => (r._2, r._3)).toSeq })
 
     // top clients stacked by status (plot.py:140-160)
-    val stacked = PlotData.stackedClientBar(prep, 10).collect()
+    val stacked = PlotData.stackedClientBar(prep, nClients).collect()
       .map(r => (r.getString(0), r.getString(2), r.getLong(3).toDouble))
     val clients = stacked.map(_._1).distinct.toSeq
     val statuses = stacked.map(_._2).distinct.sorted.toSeq
@@ -203,7 +203,7 @@ object Figures {
 
     // top domains per class (plot.py:52-89)
     for ((st, titleSt) <- Seq("Allowed" -> "allowed", "Blocked" -> "blocked")) {
-      val items = PlotData.topDomainsOfClass(prep, st, 10).collect()
+      val items = PlotData.topDomainsOfClass(prep, st, nDomains).collect()
         .map(r => (r.getString(0), r.getLong(1).toDouble)).toSeq
       charts += hbarChart(s"Top $titleSt domains", items)
     }
@@ -211,7 +211,7 @@ object Figures {
     // client activity over time — the dashboard's interactive client
     // view (app.py:1107-1136), rendered for the top-10 clients from the
     // same hourly rollup the reference caches
-    val (view, topC) = graft.Engine.hourlyAggregatedData(prep, 10)
+    val (view, topC) = graft.Engine.hourlyAggregatedData(prep, nClients)
     val tops = topC.collect().map(_.getString(0)).toSet
     val activity = view.collect()
       .filter(r => tops.contains(r.getString(2)))
@@ -220,7 +220,7 @@ object Figures {
         client -> rows.groupBy(_.getTimestamp(0).getTime).toSeq
           .map { case (t, rs) => (t, rs.map(_.getLong(3)).sum.toDouble) }.toSeq
       }
-    charts += lineChart("Client activity over time (top 10 clients, hourly)", activity)
+    charts += lineChart(s"Client activity over time (top $nClients clients, hourly)", activity)
 
     // mean reply time by date (plot.py:162-180)
     val reply = graft.operators.Stats.replyByDate(prep).collect()

@@ -104,7 +104,8 @@ final class ServingCache(prep: DataFrame, nClients: Int = 10) extends AutoClosea
   * only an explicit reload re-reads the source.
   */
 final class StatsServer(initial: ServingCache, port: Int = 0,
-                        rebuild: () => ServingCache = null) extends AutoCloseable {
+                        rebuild: () => ServingCache = null,
+                        dashboardHtml: () => String = null) extends AutoCloseable {
 
   @volatile private var cache: ServingCache = initial
 
@@ -146,6 +147,11 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
         s"""{"reloaded":true,"top_clients":${fresh.topClients.size}}""")
     }
   })
+  if (dashboardHtml != null)
+    server.createContext("/dashboard", (ex: HttpExchange) =>
+      // the full static chart set (page-load path — recomputed from
+      // source like the reference's layout build, not from the cache)
+      respond(ex, "text/html", dashboardHtml()))
   server.createContext("/queries", (ex: HttpExchange) =>
     respond(ex, "image/svg+xml", cache.queriesFigure(clientOf(ex))))
   server.createContext("/activity", (ex: HttpExchange) =>

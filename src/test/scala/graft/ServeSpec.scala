@@ -95,6 +95,18 @@ class ServeSpec extends SparkSpec {
     } finally { server.close(); cache.close() }
   }
 
+  test("/dashboard serves the full static chart page when a renderer is wired") {
+    val cache = new ServingCache(prep)
+    val server = new StatsServer(cache, port = 0,
+      dashboardHtml = () => figures.Figures.dashboard(prep, 5, 5))
+    try {
+      val (code, html) = fetch(s"http://127.0.0.1:${server.boundPort}/dashboard")
+      assert(code == 200 && html.startsWith("<!DOCTYPE html>"))
+      assert(html.contains("Client activity over time (top 5 clients, hourly)"))
+      assert(html.contains("Activity heatmap — all queries"))
+    } finally { server.close(); cache.close() }
+  }
+
   test("reload rebuilds the cache through the factory (reference reload button)") {
     // the rebuild factory narrows the relation, so a successful reload is
     // observable: the top-client list shrinks to the filtered population
