@@ -223,15 +223,20 @@ object Dedup {
     * ([[jaccardVerified]], [[dupClusters]], [[editVerified]]): a global
     * sort before a hash join is a wasted range shuffle, so the ordering
     * lives only on the public query surface ([[lshCandidates]]). */
-  private def candidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (doc_id, band_idx, band_key) — one row per (doc, band). */
+  private def bandedOf(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val sig = shared(signaturesFrom(sh, k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+  }
+
+  private def candidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val banded = bandedOf(sh, k, bands)
     val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
     val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
@@ -264,6 +269,14 @@ object Dedup {
     // this pipeline.
     val shAll = shared(wordShingles(docs))
     val cands = shared(candidatesFrom(shAll, k, bands))
+    verifyCandidates(shAll, cands, threshold)
+  }
+
+  /** The Jaccard VERIFY stage over an arbitrary candidate relation —
+    * shared by the full chain ([[jaccardCore]]) and the incremental one
+    * ([[incrementalVerifiedPairs]]). */
+  private def verifyCandidates(shAll: DataFrame, cands: DataFrame,
+                               threshold: Double): DataFrame = {
     // Verification only ever reads CANDIDATE docs' shingles, but Catalyst
     // cannot infer that: without this broadcast semi-filter the (j, s)
     // intersection join below shuffles the WHOLE shingle relation on a
@@ -285,6 +298,36 @@ object Dedup {
       .select(col("i"), col("j"), col("common"),
         round(col("common").cast("double") / (col("ni") + col("nj") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL near-dup verification for a growing corpus: candidate
+    * pairs that TOUCH at least one doc in `newDocIds` (band join of the
+    * new docs' signatures against the full banded relation), Jaccard-
+    * verified. The invariant that makes it safe (pinned in DedupSpec):
+    * band keys are per-doc, so old×old candidates are untouched by new
+    * arrivals — `pairs(old ∪ new) = pairs(old) ∪ incremental(new)`,
+    * exactly.
+    *
+    * This is the batch-append production shape at 100 TB: yesterday's
+    * verified pairs live in storage ([[writeVerifiedPairs]]); today's
+    * ingest runs THIS — cost ~|new docs| × bands band-join probes plus a
+    * candidates-only verify — and appends, instead of re-verifying the
+    * corpus square. The new-ids side is a sliver, so it broadcasts. */
+  def incrementalVerifiedPairs(allDocs: DataFrame, newDocIds: DataFrame,
+                               threshold: Double, k: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    freshPipeline()
+    val shAll = shared(wordShingles(allDocs))
+    val banded = bandedOf(shAll, k, bands)
+    val ids = newDocIds.select(col(newDocIds.columns.head).as("doc_id"))
+    val newBanded = banded.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val a = newBanded.select(col("band_idx"), col("band_key"), col("doc_id").as("n"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("m"))
+    val cands = shared(a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("n") =!= col("m"))
+      .select(least(col("n"), col("m")).as("i"), greatest(col("n"), col("m")).as("j"))
+      .distinct())
+    verifyCandidates(shAll, cands, threshold).orderBy("i", "j")
   }
 
   /** Verified near-dup pairs (i, j) at `threshold` — THE shared relation

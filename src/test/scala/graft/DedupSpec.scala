@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
     v.get((0L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("incremental verify: pairs(old ∪ new) == pairs(old) ∪ incremental(new)") {
+    // grow the corpus: doc 5 near-dups doc 2, doc 6 exact-dups doc 3 —
+    // incremental must find exactly the pairs touching {5, 6}, and the
+    // full recompute must equal old-pairs ∪ incremental (band keys are
+    // per-doc, so old×old candidates cannot change when docs arrive)
+    val grown = corpus.unionByName(docs(
+      5L -> "the quick brown fox jumps over the lazy dog near the river bend again",
+      6L -> "completely different content about spark query engines and big data systems"))
+    val newIds = df("doc_id BIGINT", Seq(Row(5L), Row(6L)))
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.jaccardVerified(grown, 0.5))
+    val old = pairSet(Dedup.jaccardVerified(corpus, 0.5))
+    val incr = pairSet(Dedup.incrementalVerifiedPairs(grown, newIds, 0.5))
+    assert(incr.nonEmpty && incr.forall { case (i, j) => i >= 5L || j >= 5L })
+    assert(full == old ++ incr, s"full=$full old=$old incr=$incr")
+    assert(incr.contains((3L, 6L))) // the exact dup always pairs
+  }
+
   test("verified pairs round-trip storage: written table drives identical clusters") {
     // the production shape: pairs computed once by a batch job, written,
     // and cluster resolution reads the TABLE — results must be identical
