@@ -1144,6 +1144,25 @@ FROM allc a JOIN topc c USING(domain)"""
       |WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8
       |ORDER BY m.i, m.j""".stripMargin),
 
+    // the incremental chain's SEMANTIC spec: the full verify chain
+    // filtered to pairs touching the "new" bucket — by the per-doc band
+    // invariant these are identical (the engine computes only the new
+    // docs' band probes; the oracle recomputes everything and filters)
+    "d11_incremental_pairs" -> (minhashCtes + """,
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.i, c.j, count(*) AS common
+      |  FROM cands c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+      |  GROUP BY c.i, c.j)
+      |SELECT m.i, m.j, m.common,
+      |       round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) AS jaccard
+      |FROM common m
+      |JOIN sizes si ON si.doc_id = m.i
+      |JOIN sizes sj ON sj.doc_id = m.j
+      |WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8
+      |  AND (m.i % 10 = 7 OR m.j % 10 = 7)
+      |ORDER BY m.i, m.j""".stripMargin),
+
     // d03's verification chain + the d06 recursive-components tail, but
     // over the VERIFIED pairs — the full dedup pipeline as one statement.
     "d07_verified_clusters" -> (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """,

@@ -139,6 +139,16 @@ object SparkEntry {
     "d09_minhash_cands_fast"  -> ((s, d) => Dedup.lshCandidatesFast(Tables.documents(s, d))),
     "d10_simhash_verified"    -> ((s, d) => Dedup.simhashVerified(Tables.documents(s, d))),
     "d07_verified_clusters"   -> ((s, d) => Dedup.verifiedClusters(Tables.documents(s, d), 0.8)),
+    // incremental ingest shape: docs in bucket doc_id%10==7 play "today's
+    // arrivals"; the result must equal the full chain filtered to pairs
+    // touching them (the oracle IS that filtered full chain)
+    "d11_incremental_pairs"   -> ((s, d) => {
+      val docsDf = Tables.documents(s, d)
+      Dedup.incrementalVerifiedPairs(docsDf,
+        docsDf.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(10)) === 7).select("doc_id"), 0.8)
+    }),
     // training-data pipeline: similarity search over embeddings
     "s01_knn_brute"           -> ((s, d) => Similarity.knnBrute(Tables.embeddings(s, d), 5, 10)),
     "s02_knn_lsh"             -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d), 5, 10, planes = 4)),
