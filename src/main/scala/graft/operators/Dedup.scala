@@ -492,6 +492,16 @@ object Dedup {
                         path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Daily-ingest append: verify ONLY the pairs touching `newDocIds`
+    * ([[incrementalVerifiedPairs]]) and append them to the pairs table.
+    * After the append the table equals `writeVerifiedPairs(allDocs)`
+    * run from scratch — the invariant DedupSpec pins. */
+  def appendVerifiedPairs(allDocs: DataFrame, newDocIds: DataFrame,
+                          path: String, threshold: Double,
+                          k: Int = 16, bands: Int = 4): Unit =
+    incrementalVerifiedPairs(allDocs, newDocIds, threshold, k, bands)
+      .select("i", "j").write.mode("append").parquet(path)
+
   /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
     * emitted as 16 hex chars. Near-identical docs differ in few bits. */
   def simhash(docs: DataFrame): DataFrame =

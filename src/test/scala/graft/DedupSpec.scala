@@ -65,6 +65,12 @@ class DedupSpec extends SparkSpec {
     assert(incr.nonEmpty && incr.forall { case (i, j) => i >= 5L || j >= 5L })
     assert(full == old ++ incr, s"full=$full old=$old incr=$incr")
     assert(incr.contains((3L, 6L))) // the exact dup always pairs
+
+    // the storage shape end-to-end: write(old) + append(new) == write(full)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").resolve("pairs")
+    Dedup.writeVerifiedPairs(corpus, dir.toString, 0.5)
+    Dedup.appendVerifiedPairs(grown, newIds, dir.toString, 0.5)
+    assert(pairSet(Dedup.readVerifiedPairs(spark, dir.toString)) == full)
   }
 
   test("verified pairs round-trip storage: written table drives identical clusters") {
