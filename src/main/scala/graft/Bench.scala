@@ -71,11 +71,20 @@ object Bench {
     // min() is the right estimator for "what the engine costs" because
     // external noise only ever ADDS time; the (max-min)/min spread is
     // reported so a contaminated run is self-evident in the record.
+    //
+    // Reps are INTERLEAVED round-robin (rep 1 of every query, then rep 2,
+    // then rep 3) rather than back-to-back per query: a host contention
+    // burst lasting seconds-to-a-minute used to cover all 3 consecutive
+    // reps of the queries running inside it, so min-of-3 passed the
+    // inflation straight through (round 6's official record was ~27% over
+    // four consecutive clean runs). Sweep-major order spaces each query's
+    // reps a full sweep apart (~20 s at sf0.1), so a burst can poison at
+    // most one rep of any query and the min filters it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // (name, minSec, relSpread) — relSpread = (max-min)/min across reps
-    def measure(names: Seq[String], nReps: Int): Seq[(String, Double, Double)] = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to nReps).map { _ =>
+    def measure(names: Seq[String], nReps: Int): Seq[(String, Double, Double)] = {
+      def timeOne(name: String): Double = {
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
@@ -83,8 +92,13 @@ object Bench {
         // a failed query must not masquerade as a fast one: report -1
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      if (times.exists(_ < 0)) (name, -1.0, 0.0)
-      else (name, times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0)
+      // sweep-major: rep r of every query before rep r+1 of any
+      val sweeps: Seq[Seq[Double]] = (1 to nReps).map(_ => names.map(timeOne))
+      names.zipWithIndex.map { case (name, i) =>
+        val times = sweeps.map(_(i))
+        if (times.exists(_ < 0)) (name, -1.0, 0.0)
+        else (name, times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0)
+      }
     }
     val results = measure(headline, reps)
     val total = results.map(_._2).sum
@@ -120,6 +134,13 @@ object Bench {
     val spreads = results.map(_._3).sorted
     val spreadMax = if (spreads.isEmpty) 0.0 else spreads.last
     val spreadMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    // Loud per-query contention flag (stderr — the stdout tail must stay
+    // the JSON line): >50% spread across interleaved reps means even the
+    // sweep spacing didn't isolate a clean sample for that query; treat
+    // its min as an upper bound, not the engine's cost.
+    results.filter(_._3 > 0.5).foreach { case (k, v, s) =>
+      System.err.println(f"[bench] WARNING: $k spread ${s}%.2f exceeds 0.5 (min ${v}%.3f s) — host contention suspected; min is an upper bound")
+    }
     // per-query spread map goes to the full-file record only
     def jspread(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (k, _, s) => s"\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")

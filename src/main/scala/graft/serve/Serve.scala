@@ -25,7 +25,7 @@ import graft.figures.Figures
   * every dashboard interaction costs milliseconds over the rollup, not a
   * rescan of the corpus.
   */
-final class ServingCache(prep: DataFrame, nClients: Int = 10) extends AutoCloseable {
+final class ServingCache(val prep: DataFrame, nClients: Int = 10) extends AutoCloseable {
 
   /** The cached hourly rollup (ts_hour, status_type, client, cnt) —
     * materialized eagerly so the first interaction doesn't pay the scan. */
@@ -93,19 +93,29 @@ final class ServingCache(prep: DataFrame, nClients: Int = 10) extends AutoClosea
   *   - `GET /queries?client=<c>`    queries-over-time figure (SVG)
   *   - `GET /activity?client=<c>`   client-activity figure (SVG)
   *   - `GET /clients`               the cached top-client list (JSON)
-  *   - `POST /reload`               rebuild the cache from source (the
+  *   - `POST /reload[?start=YYYY-MM-DD&end=YYYY-MM-DD]`
+  *                                  rebuild the cache from source (the
   *                                  reference's reload button — the one
   *                                  interaction that IS a full re-read,
-  *                                  app.py:1056-1104); requires a
-  *                                  `rebuild` factory, else 409
+  *                                  app.py:1056-1104); with `start`/`end`
+  *                                  it is the date-picker reload
+  *                                  (app.py:1091-1102 → db.py:84-102):
+  *                                  both dates are display-TZ midnights,
+  *                                  end-EXCLUSIVE +1 day — the factory
+  *                                  receives the parsed LocalDates and
+  *                                  re-scans that window. Requires a
+  *                                  `rebuild` factory, else 409; a
+  *                                  malformed or half-open range is 400.
   *
   * Omitting `client` = the all-clients / top-N view, exactly the
   * reference's `client=None` branch. Each request re-slices the cache;
-  * only an explicit reload re-reads the source.
+  * only an explicit reload re-reads the source. `/dashboard` renders
+  * from the CURRENT cache's relation, so a reload updates the static
+  * page and the interactive figures consistently.
   */
 final class StatsServer(initial: ServingCache, port: Int = 0,
-                        rebuild: () => ServingCache = null,
-                        dashboardHtml: () => String = null) extends AutoCloseable {
+                        rebuild: (Option[java.time.LocalDate], Option[java.time.LocalDate]) => ServingCache = null,
+                        dashboardHtml: ServingCache => String = null) extends AutoCloseable {
 
   @volatile private var cache: ServingCache = initial
 
@@ -114,11 +124,13 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
   /** The port actually bound (pass 0 to pick an ephemeral one). */
   def boundPort: Int = server.getAddress.getPort
 
-  private def clientOf(ex: HttpExchange): Option[String] =
+  private def param(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getRawQuery).flatMap(_.split('&').collectFirst {
-      case kv if kv.startsWith("client=") =>
-        java.net.URLDecoder.decode(kv.drop("client=".length), "UTF-8")
+      case kv if kv.startsWith(name + "=") =>
+        java.net.URLDecoder.decode(kv.drop(name.length + 1), "UTF-8")
     }).filter(_.nonEmpty)
+
+  private def clientOf(ex: HttpExchange): Option[String] = param(ex, "client")
 
   private def respond(ex: HttpExchange, contentType: String, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -132,26 +144,46 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
       .replace("\"", "&quot;")
 
   server.createContext("/reload", (ex: HttpExchange) => {
-    if (rebuild == null) {
-      val msg = "no rebuild factory configured".getBytes(StandardCharsets.UTF_8)
-      ex.sendResponseHeaders(409, msg.length)
-      try ex.getResponseBody.write(msg) finally ex.close()
-    } else {
-      // build the fresh cache BEFORE swapping: in-flight requests keep
-      // reading the old one, and a failed rebuild leaves it serving
-      val fresh = rebuild()
-      val old = cache
-      cache = fresh
-      old.close()
-      respond(ex, "application/json",
-        s"""{"reloaded":true,"top_clients":${fresh.topClients.size}}""")
+    def fail(code: Int, msg: String): Unit = {
+      val bytes = msg.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    }
+    if (rebuild == null) fail(409, "no rebuild factory configured")
+    else {
+      // the date-picker range (app.py:1091-1102): both-or-neither, each a
+      // display-TZ calendar date; the factory owns the end-exclusive +1 day
+      // (FtlIngest.timeRangeEpochs, mirroring db.py:84-102)
+      val parsed = try {
+        val s = param(ex, "start").map(java.time.LocalDate.parse)
+        val e = param(ex, "end").map(java.time.LocalDate.parse)
+        if (s.isDefined != e.isDefined)
+          Left("start and end must be given together")
+        else Right((s, e))
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          Left("dates must be YYYY-MM-DD")
+      }
+      parsed match {
+        case Left(err) => fail(400, err)
+        case Right((start, end)) =>
+          // build the fresh cache BEFORE swapping: in-flight requests keep
+          // reading the old one, and a failed rebuild leaves it serving
+          val fresh = rebuild(start, end)
+          val old = cache
+          cache = fresh
+          old.close()
+          respond(ex, "application/json",
+            s"""{"reloaded":true,"top_clients":${fresh.topClients.size}}""")
+      }
     }
   })
   if (dashboardHtml != null)
     server.createContext("/dashboard", (ex: HttpExchange) =>
-      // the full static chart set (page-load path — recomputed from
-      // source like the reference's layout build, not from the cache)
-      respond(ex, "text/html", dashboardHtml()))
+      // the full static chart set, rendered from the CURRENT cache's
+      // relation — a reload (incl. a date-range reload) changes this page
+      // and the interactive figures together
+      respond(ex, "text/html", dashboardHtml(cache)))
   server.createContext("/queries", (ex: HttpExchange) =>
     respond(ex, "image/svg+xml", cache.queriesFigure(clientOf(ex))))
   server.createContext("/activity", (ex: HttpExchange) =>

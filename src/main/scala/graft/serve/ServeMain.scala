@@ -1,6 +1,9 @@
 package graft.serve
 
-import org.apache.spark.sql.SparkSession
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** CLI entry for the serving loop — flag-for-flag the reference's
   * entrypoint (app.py:40-91: `--days --db_path --port --n_clients
@@ -52,6 +55,69 @@ object ServeMain {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
+  /** True iff `path` is a hive date-partitioned directory (the layout
+    * [[graft.sources.Sinks.writeDatePartitioned]] writes). Local listing
+    * is fine for the CLI; a cluster deployment would point at the same
+    * layout through its catalog. */
+  private[serve] def isDatePartitioned(path: String): Boolean = {
+    val d = new java.io.File(path)
+    val kids = if (d.isDirectory) d.listFiles() else null
+    kids != null && kids.exists(f => f.isDirectory && f.getName.startsWith("date="))
+  }
+
+  /** The serving load path — shared by startup and every `/reload`, so
+    * the date-picker range and the `--days` default flow through ONE
+    * window computation ([[graft.sources.FtlIngest.timeRangeEpochs]]:
+    * display-TZ midnights, end-exclusive +1 day; db.py:84-102).
+    *
+    * Three source shapes:
+    *   - FTL SQLite `.db` (comma-separated for multi-DB union): the
+    *     window reaches the page reader as an epoch range.
+    *   - date-partitioned parquet (`date=.../`, written by
+    *     `Sinks.writeDatePartitioned`): exact semantics ride the `ts`
+    *     predicate; a WIDENED `date` predicate (±1 day — covers any
+    *     display-TZ offset vs the layout's session-TZ dates) is what
+    *     prunes partition directories at PLANNING time, so a `--days`
+    *     window never lists out-of-window files. Pinned in ServeSpec.
+    *   - flat demo/testdata parquet: full range unless an explicit
+    *     start/end was given (the fixture's 2024 timestamps sit outside
+    *     any recent `--days` window).
+    *
+    * `nowUtc` is injectable so tests can pin the `--days` window onto
+    * fixture data. */
+  private[serve] def loadPrep(spark: SparkSession, o: Opts,
+                              start: Option[LocalDate], end: Option[LocalDate],
+                              nowUtc: java.time.Instant = java.time.Instant.now()): DataFrame =
+    if (o.source.endsWith(".db")) {
+      val (from, to) = graft.sources.FtlIngest.timeRangeEpochs(
+        start, end, o.days, o.timezone, nowUtc)
+      graft.Engine.loadSqlite(spark, o.source.split(",").map(_.trim).toSeq,
+        from, to, o.ignoreDomains)
+    } else if (isDatePartitioned(o.source)) {
+      val (from, to) = graft.sources.FtlIngest.timeRangeEpochs(
+        start, end, o.days, o.timezone, nowUtc)
+      val dLo = java.sql.Date.valueOf(
+        java.time.Instant.ofEpochSecond(from).atZone(java.time.ZoneOffset.UTC).toLocalDate.minusDays(1))
+      val dHi = java.sql.Date.valueOf( // `to` is exclusive → widen from its last covered second
+        java.time.Instant.ofEpochSecond(to - 1).atZone(java.time.ZoneOffset.UTC).toLocalDate.plusDays(1))
+      val windowed = spark.read.parquet(o.source)
+        .filter(col("date") >= lit(dLo) && col("date") <= lit(dHi))
+        .filter(col("ts") >= timestamp_seconds(lit(from)) &&
+                col("ts") < timestamp_seconds(lit(to)))
+      graft.Preprocess.regexAntiFilter(windowed, "domain", o.ignoreDomains)
+    } else {
+      val prep = graft.Preprocess.preprocessEvents(graft.Tables.events(spark, o.source))
+      val windowed = (start, end) match {
+        case (Some(_), Some(_)) =>
+          val (from, to) = graft.sources.FtlIngest.timeRangeEpochs(
+            start, end, o.days, o.timezone, nowUtc)
+          prep.filter(col("ts") >= timestamp_seconds(lit(from)) &&
+                      col("ts") < timestamp_seconds(lit(to)))
+        case _ => prep
+      }
+      graft.Preprocess.regexAntiFilter(windowed, "domain", o.ignoreDomains)
+    }
+
   def main(args: Array[String]): Unit = {
     val o = parseOpts(args, sys.env)
     val spark = SparkSession.builder()
@@ -63,25 +129,16 @@ object ServeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // rebuilt per reload: a fresh read re-lists the source files, so the
-    // reload button picks up rows written since the last build
-    def mkPrep() =
-      if (o.source.endsWith(".db")) {
-        // the reference's window: last `days` display-TZ midnights
-        // (db.py:84-102 via timeRangeEpochs), end-exclusive
-        val (from, to) = graft.sources.FtlIngest.timeRangeEpochs(
-          None, None, o.days, o.timezone, java.time.Instant.now())
-        graft.Engine.loadSqlite(spark, o.source.split(",").map(_.trim).toSeq,
-          from, to, o.ignoreDomains)
-      } else {
-        // demo/testdata parquet: full range unless --days was explicit
-        // (the fixture's 2024 timestamps sit outside any recent window)
-        graft.Preprocess.preprocessEvents(graft.Tables.events(spark, o.source))
-      }
-    val prep = mkPrep()
-    val cache = new ServingCache(prep, o.nClients)
+    // reload button picks up rows written since the last build; an
+    // explicit ?start=&end= re-slices to the date-picker window
+    def mkCache(s: Option[LocalDate], e: Option[LocalDate]) =
+      new ServingCache(loadPrep(spark, o, s, e), o.nClients)
+    val cache = mkCache(None, None)
     val server = new StatsServer(cache, o.port,
-      rebuild = () => new ServingCache(mkPrep(), o.nClients),
-      dashboardHtml = () => graft.figures.Figures.dashboard(prep, o.nClients, o.nDomains))
+      rebuild = (s, e) => mkCache(s, e),
+      // rendered from the CURRENT cache's relation: a reload updates the
+      // static dashboard and the interactive figures together
+      dashboardHtml = c => graft.figures.Figures.dashboard(c.prep, o.nClients, o.nDomains))
     println(s"serving on http://127.0.0.1:${server.boundPort}/ " +
       s"(${cache.topClients.size} top clients cached; Ctrl-C to stop)")
     Thread.currentThread().join() // serve until killed

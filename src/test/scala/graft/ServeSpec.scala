@@ -98,7 +98,7 @@ class ServeSpec extends SparkSpec {
   test("/dashboard serves the full static chart page when a renderer is wired") {
     val cache = new ServingCache(prep)
     val server = new StatsServer(cache, port = 0,
-      dashboardHtml = () => figures.Figures.dashboard(prep, 5, 5))
+      dashboardHtml = c => figures.Figures.dashboard(c.prep, 5, 5))
     try {
       val (code, html) = fetch(s"http://127.0.0.1:${server.boundPort}/dashboard")
       assert(code == 200 && html.startsWith("<!DOCTYPE html>"))
@@ -114,7 +114,7 @@ class ServeSpec extends SparkSpec {
     val dropped = first.topClients.head
     var fresh: ServingCache = null
     val server = new StatsServer(first, port = 0,
-      rebuild = () => {
+      rebuild = (_, _) => {
         fresh = new ServingCache(prep.filter(col("client") =!= dropped)); fresh
       })
     try {
@@ -130,6 +130,84 @@ class ServeSpec extends SparkSpec {
       val after = fetch(s"$base/clients")._2
       assert(before.contains("\"" + dropped + "\""))
       assert(!after.contains("\"" + dropped + "\""), "reload must swap the cache")
+    } finally { server.close(); if (fresh != null) fresh.close() }
+  }
+
+  test("date-range reload re-slices the cache to the picker window, end-exclusive +1 day") {
+    // the reference's date-picker reload (app.py:1091-1102 → db.py:84-102):
+    // the factory receives the parsed display-TZ dates and rebuilds the
+    // cache for [start 00:00, end+1day 00:00)
+    val first = new ServingCache(prep)
+    var fresh: ServingCache = null
+    val server = new StatsServer(first, port = 0,
+      rebuild = (s, e) => {
+        val (from, to) = sources.FtlIngest.timeRangeEpochs(
+          s, e, 31, "UTC", java.time.Instant.now())
+        fresh = new ServingCache(prep.filter(
+          col("ts") >= timestamp_seconds(lit(from)) &&
+          col("ts") < timestamp_seconds(lit(to))))
+        fresh
+      })
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val conn = URI.create(s"$base/reload?start=2024-01-10&end=2024-01-12").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      // row bounds of the new cache sit inside [Jan 10 00:00, Jan 13 00:00)
+      val b = fresh.hourly.agg(min("ts_hour"), max("ts_hour")).head
+      assert(!b.getTimestamp(0).before(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), b)
+      assert(b.getTimestamp(1).before(java.sql.Timestamp.valueOf("2024-01-13 00:00:00")), b)
+      // end date itself is INCLUDED (the +1-day end-exclusive semantics)
+      assert(fresh.hourly.filter(
+        col("ts_hour") >= lit(java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))).count() > 0)
+      // and interactions on the reloaded cache are still cache-only
+      val leaves = fresh.queriesOverTime(None).queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
+    } finally { server.close(); if (fresh != null) fresh.close() }
+  }
+
+  test("a half-open or malformed date range is refused with 400; cache keeps serving") {
+    val cache = new ServingCache(prep)
+    val server = new StatsServer(cache, port = 0, rebuild = (_, _) => fail("must not rebuild"))
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      for (q <- Seq("?start=2024-01-10", "?end=2024-01-12", "?start=bogus&end=2024-01-12")) {
+        val conn = URI.create(s"$base/reload$q").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        assert(conn.getResponseCode == 400, q)
+        conn.disconnect()
+      }
+      assert(fetch(s"$base/clients")._1 == 200)
+    } finally { server.close(); cache.close() }
+  }
+
+  test("/dashboard reflects a reload: the static page renders the CURRENT cache's relation") {
+    val first = new ServingCache(prep)
+    var fresh: ServingCache = null
+    val server = new StatsServer(first, port = 0,
+      rebuild = (s, e) => {
+        val (from, to) = sources.FtlIngest.timeRangeEpochs(
+          s, e, 31, "UTC", java.time.Instant.now())
+        fresh = new ServingCache(prep.filter(
+          col("ts") >= timestamp_seconds(lit(from)) &&
+          col("ts") < timestamp_seconds(lit(to))))
+        fresh
+      },
+      dashboardHtml = c => figures.Figures.dashboard(c.prep, 5, 5))
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val before = fetch(s"$base/dashboard")._2
+      val conn = URI.create(s"$base/reload?start=2024-01-10&end=2024-01-12").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      val after = fetch(s"$base/dashboard")._2
+      assert(before != after, "dashboard must re-render from the reloaded cache")
     } finally { server.close(); if (fresh != null) fresh.close() }
   }
 
