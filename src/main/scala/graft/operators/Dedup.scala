@@ -60,11 +60,17 @@ object Dedup {
   }
 
   /** Release ALL persisted dedup state: the transient pipeline
-    * intermediates and the memoized verified-pairs relations. */
+    * intermediates, the memoized chain relations, and the memoized
+    * verified-pairs relations. */
   def releaseCaches(): Unit = {
     freshPipeline()
-    // separate sync block: never hold both locks at once (verifiedPairs
-    // takes pairsMemo → liveCaches; the reverse order here would deadlock)
+    // separate sync blocks: never hold two locks at once (verifiedPairs
+    // takes pairsMemo → liveCaches; a combined block here would invert)
+    chainMemo.synchronized {
+      chainMemo.valuesIterator.foreach(c =>
+        Seq(c.sh, c.sig, c.cands).foreach(_.unpersist(blocking = false)))
+      chainMemo.clear()
+    }
     pairsMemo.synchronized {
       pairsMemo.valuesIterator.foreach(_.unpersist(blocking = false))
       pairsMemo.clear()
@@ -219,14 +225,12 @@ object Dedup {
       .select("i", "j").distinct().orderBy("i", "j")
   }
 
-  /** Unordered candidate pairs — the form every downstream JOIN consumes
-    * ([[jaccardVerified]], [[dupClusters]], [[editVerified]]): a global
-    * sort before a hash join is a wasted range shuffle, so the ordering
-    * lives only on the public query surface ([[lshCandidates]]). */
-  /** (doc_id, band_idx, band_key) — one row per (doc, band). */
-  private def bandedOf(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (doc_id, band_idx, band_key) from a signature relation — one row per
+    * (doc, band). A pure projection + explode over `sig` (no shuffle), so
+    * it is derived on demand rather than persisted: the signature is the
+    * expensive part and THAT is what the chain memo holds. */
+  private def bandedFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = shared(signaturesFrom(sh, k))
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
@@ -235,20 +239,77 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
   }
 
-  private def candidatesFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
-    val banded = bandedOf(sh, k, bands)
+  /** Unordered candidate pairs from a banded relation — the form every
+    * downstream JOIN consumes ([[jaccardVerified]], [[dupClusters]],
+    * [[editVerified]]): a global sort before a hash join is a wasted
+    * range shuffle, so the ordering lives only on the public query
+    * surface ([[lshCandidates]]). */
+  private def candidatesFromBanded(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("i"))
     val b = banded.select(col("band_idx"), col("band_key"), col("doc_id").as("j"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("i") < col("j"))
       .select("i", "j").distinct()
   }
 
+  /** The shared MinHash chain for one (corpus, k, bands): the shingle
+    * relation, the per-doc signature, and the LSH candidate pairs. Every
+    * md5-family consumer — d02's candidates, d03/d07/p09's verify chain,
+    * d06's clustering, d08's edit verify, d11's incremental probe — reads
+    * THESE three relations; memoizing the chain (not just the verified
+    * pairs) is what stops the sweep tail from re-hashing the corpus once
+    * per query. */
+  private final case class Chain(sh: DataFrame, sig: DataFrame, cands: DataFrame)
+
+  /** Build-or-reuse the chain. File-backed corpora memoize per
+    * (source snapshot, k, bands) with the relations persisted OUTSIDE
+    * [[liveCaches]] (a later query's clear-then-build must not evict
+    * them); non-file-backed frames build transient relations under the
+    * caller's pipeline. Callers run [[freshPipeline]] BEFORE calling this
+    * (clear-then-build), never after — in the memoized path the previous
+    * pipeline's transients are dropped while the chain survives. */
+  private def chainOf(docs: DataFrame, k: Int, bands: Int): Chain =
+    fileBackedKey(docs) match {
+      case None =>
+        val sh = shared(wordShingles(docs))
+        val sig = shared(signaturesFrom(sh, k))
+        Chain(sh, sig, shared(candidatesFromBanded(bandedFromSig(sig, k, bands))))
+      case Some(srcKey) => chainMemo.synchronized {
+        val key = (srcKey, k, bands)
+        chainMemo.get(key) match {
+          case Some(c) if c.cands.storageLevel !=
+              org.apache.spark.storage.StorageLevel.NONE =>
+            chainMemo.remove(key); chainMemo(key) = c // LRU touch
+            c
+          case _ =>
+            def p(df: DataFrame) =
+              df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val sh = p(wordShingles(docs))
+            val sig = p(signaturesFrom(sh, k))
+            val c = Chain(sh, sig, p(candidatesFromBanded(bandedFromSig(sig, k, bands))))
+            chainMemo(key) = c
+            // bounded: evict the least-recently-used chain beyond the cap
+            // (a long-running session over many corpora must not pin one
+            // persisted chain per corpus forever)
+            while (chainMemo.size > ChainMemoMax) {
+              val (_, old) = chainMemo.head
+              chainMemo.remove(chainMemo.head._1)
+              Seq(old.sh, old.sig, old.cands).foreach(_.unpersist(blocking = false))
+            }
+            c
+        }
+      }
+    }
+
+  private val ChainMemoMax = 4
+  private val chainMemo =
+    new scala.collection.mutable.LinkedHashMap[(String, Int, Int), Chain]
+
   /** LSH banding: k mins split into `bands` bands of k/bands rows; band
     * key = md5 of the concatenated band slice. Docs sharing ANY band key
     * are candidates. */
   def lshCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    candidatesFrom(wordShingles(docs), k, bands).orderBy("i", "j")
+    chainOf(docs, k, bands).cands.orderBy("i", "j")
   }
 
   /** Exact n-gram Jaccard over the LSH candidate pairs (the verify stage
@@ -261,15 +322,14 @@ object Dedup {
 
   /** The unordered verify chain — consumers that JOIN the result
     * ([[verifiedPairs]]) skip the public surface's global sort. Callers
-    * handle cache lifecycle ([[freshPipeline]]) themselves. */
+    * handle cache lifecycle ([[freshPipeline]]) themselves. The shingle
+    * and candidate relations come from the shared [[chainOf]] memo —
+    * wordShingles is per-doc DISTINCT with no shuffle (array_distinct
+    * inside the projection), so it serves both as signature input and as
+    * the Jaccard set with no distinct anywhere in this pipeline. */
   private def jaccardCore(docs: DataFrame, threshold: Double, k: Int, bands: Int): DataFrame = {
-    // wordShingles is per-doc DISTINCT with no shuffle (array_distinct
-    // inside the projection), so the relation is directly usable both as
-    // signature input and as the Jaccard set — no distinct anywhere in
-    // this pipeline.
-    val shAll = shared(wordShingles(docs))
-    val cands = shared(candidatesFrom(shAll, k, bands))
-    verifyCandidates(shAll, cands, threshold)
+    val c = chainOf(docs, k, bands)
+    verifyCandidates(c.sh, c.cands, threshold)
   }
 
   /** The Jaccard VERIFY stage over an arbitrary candidate relation —
@@ -317,8 +377,11 @@ object Dedup {
                                threshold: Double, k: Int = 16,
                                bands: Int = 4): DataFrame = {
     freshPipeline()
-    val shAll = shared(wordShingles(allDocs))
-    val banded = bandedOf(shAll, k, bands)
+    // the full corpus's shingles + signatures come from the shared chain
+    // (the same relations the batch verify built); only the new-docs band
+    // probe and its candidates-only verify are fresh work
+    val c = chainOf(allDocs, k, bands)
+    val banded = bandedFromSig(c.sig, k, bands)
     val ids = newDocIds.select(col(newDocIds.columns.head).as("doc_id"))
     val newBanded = banded.join(broadcast(ids), Seq("doc_id"), "left_semi")
     val a = newBanded.select(col("band_idx"), col("band_key"), col("doc_id").as("n"))
@@ -327,7 +390,7 @@ object Dedup {
       .filter(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("i"), greatest(col("n"), col("m")).as("j"))
       .distinct())
-    verifyCandidates(shAll, cands, threshold).orderBy("i", "j")
+    verifyCandidates(c.sh, cands, threshold).orderBy("i", "j")
   }
 
   /** Verified near-dup pairs (i, j) at `threshold` — THE shared relation
@@ -367,7 +430,9 @@ object Dedup {
       case Some(srcKey) =>
         val key = (srcKey, threshold, k, bands)
         pairsMemo.get(key) match {
-          case Some(p) if p.storageLevel != org.apache.spark.storage.StorageLevel.NONE => p
+          case Some(p) if p.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+            pairsMemo.remove(key); pairsMemo(key) = p // LRU touch
+            p
           case _ =>
             freshPipeline()
             // persisted OUTSIDE liveCaches: other dedup queries' clear-
@@ -376,26 +441,47 @@ object Dedup {
             val p = jaccardCore(docs, threshold, k, bands)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             pairsMemo(key) = p
+            // bounded, LRU: a long session over many (corpus, threshold)
+            // combinations must not pin one persisted relation each forever
+            while (pairsMemo.size > PairsMemoMax) {
+              val oldKey = pairsMemo.head._1
+              pairsMemo.remove(oldKey).foreach(_.unpersist(blocking = false))
+            }
             p
         }
     }
   }
 
+  private val PairsMemoMax = 8
   private val pairsMemo =
-    new scala.collection.mutable.HashMap[(String, Double, Int, Int), DataFrame]
+    new scala.collection.mutable.LinkedHashMap[(String, Double, Int, Int), DataFrame]
 
   /** Memo key for a file-backed frame: every leaf's parquet/csv root paths
-    * plus the canonicalized plan tree (exprIds normalized, so two
-    * independent reads of the same path produce the SAME key, while any
-    * differing filter/projection above the scan produces a different
-    * one). None if any leaf is not a file relation — those frames carry
-    * no stable identity, so they are never memoized. */
+    * AND the file-index snapshot (each file's path, length, modification
+    * time — hashed), plus the canonicalized plan tree (exprIds normalized,
+    * so two independent reads of the same path produce the SAME key, while
+    * any differing filter/projection above the scan produces a different
+    * one). The snapshot component means a corpus that GREW under the same
+    * path — the daily-append shape — keys differently, so a memoized
+    * relation can never silently serve stale data: reuse is an
+    * optimization, never a semantics change. None if any leaf is not a
+    * file relation — those frames carry no stable identity, so they are
+    * never memoized. */
   private def fileBackedKey(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val plan = df.queryExecution.analyzed
     val leaves = plan.collectLeaves().map {
       case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation => Some(h.location.rootPaths.mkString(","))
+        case h: HadoopFsRelation =>
+          // listFiles over the already-built in-memory file index — a
+          // driver-side map lookup, no filesystem round-trip per call
+          val listing = h.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+            .sorted.mkString("\n")
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          Some(h.location.rootPaths.mkString(",") + "@" + digest)
         case _ => None
       }
       case _ => None
@@ -415,7 +501,7 @@ object Dedup {
   def dupClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
                   maxIter: Int = 20): DataFrame = {
     freshPipeline()
-    val pairs = candidatesFrom(wordShingles(docs), k, bands)
+    val pairs = chainOf(docs, k, bands).cands
     // endpoint-only CC: non-candidate docs are singletons by
     // construction and the n_docs > 1 filter below drops them anyway —
     // the label iteration runs over the dup sliver, never the corpus
@@ -436,7 +522,7 @@ object Dedup {
   def editVerified(docs: DataFrame, maxDist: Int = 20,
                    k: Int = 16, bands: Int = 4): DataFrame = {
     freshPipeline()
-    val pairs = candidatesFrom(wordShingles(docs), k, bands)
+    val pairs = chainOf(docs, k, bands).cands
     val t = docs.select(col("doc_id"), col("text"))
     pairs
       .join(t.select(col("doc_id").as("i"), col("text").as("_ti")), Seq("i"))
