@@ -92,8 +92,25 @@ object Bench {
         // a failed query must not masquerade as a fast one: report -1
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // sweep-major: rep r of every query before rep r+1 of any
-      val sweeps: Seq[Seq[Double]] = (1 to nReps).map(_ => names.map(timeOne))
+      // Each sweep samples a query as the min of TWO back-to-back
+      // executions: the dominant residual noise at sub-second query times
+      // is a GC pause or scheduler hiccup lasting ~0.1-0.8 s that lands
+      // inside ONE execution — a paired sample filters it without giving
+      // up the sweep-major spacing that isolates multi-second contention
+      // bursts (a burst still poisons at most one sweep's pair, and the
+      // cross-sweep min filters that).
+      def sampleOne(name: String): Double = {
+        val a = timeOne(name); val b = timeOne(name)
+        if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      }
+      // sweep-major: rep r of every query before rep r+1 of any. A full
+      // GC before each sweep empties the tenured debris the previous
+      // sweep's 39 queries accumulated, so collections triggered DURING
+      // timed queries (the main spread source) become rare.
+      val sweeps: Seq[Seq[Double]] = (1 to nReps).map { _ =>
+        System.gc()
+        names.map(sampleOne)
+      }
       names.zipWithIndex.map { case (name, i) =>
         val times = sweeps.map(_(i))
         if (times.exists(_ < 0)) (name, -1.0, 0.0)
