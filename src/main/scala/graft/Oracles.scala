@@ -347,8 +347,118 @@ object Oracles {
         |  SELECT status_type,
         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY status_type ORDER BY ts, id) AS gap_us
         |  FROM prep WHERE status_type IN ('Allowed','Blocked'))
-        |WHERE gap_us IS NOT NULL GROUP BY status_type ORDER BY status_type""".stripMargin)
+        |WHERE gap_us IS NOT NULL GROUP BY status_type ORDER BY status_type""".stripMargin),
+
+    "a11_cms_domain_counts" -> CmsSql.query
   )
+
+  /** Spark's `count_min_sketch(domain, 0.001d, 0.99d, 42)` mirrored in
+    * DuckDB SQL, so [[graft.operators.Stats.cmsDomainEstimates]] is
+    * hash-checkable instead of rows-only.
+    *
+    * Why this is exact: for STRING items the sketch's bucket choice is
+    * seed-independent — `CountMinSketchImpl.getHashBuckets` double-hashes
+    * the UTF-8 bytes with the sketch package's private Murmur3_x86_32
+    * (`h1 = murmur(bytes, 0)`, `h2 = murmur(bytes, h1)`, `bucket_i =
+    * |int32(h1 + i*h2)| % width`; the constructor seed 42 only feeds the
+    * `hashA` family used for LONG items). eps=0.001 → width 2000,
+    * confidence=0.99 → depth 7. Merging daily sketches sums counter
+    * tables cell-wise, so the merged table is identical to one table
+    * built over all rows — the oracle can skip the per-day partition
+    * entirely and aggregate global per-domain counts into cells.
+    *
+    * The 32-bit wraparound arithmetic is spelled out in UBIGINT: every
+    * multiply is masked `% 4294967296` (max intermediate ~1.5e19 fits
+    * UBIGINT), `rotl(x,r)` becomes its two disjoint shift halves added
+    * (`(x<<r) % 2^32 + x >>> (32-r)` — the halves occupy disjoint bits so
+    * `+` ≡ `|`), `>>>` is `//`, and Java's signed `%` is recovered with an
+    * explicit two's-complement reinterpretation before `abs`. Murmur's
+    * byte stream folds via `list_reduce` seeded through `list_prepend`
+    * (DuckDB's reduce uses the head as the initial accumulator); the
+    * aligned 4-byte little-endian words and the per-byte tail go through
+    * the same mixK1/mixH1 chain, exactly like `hashUnsafeBytes`. Domains
+    * in this corpus are ASCII, so `ord(char)` == UTF-8 byte (a multi-byte
+    * code point would need a byte-level decomposition DuckDB 1.0 lacks).
+    * Validated against the Java sketch under forced collisions (width 10,
+    * 100 domains) and across tail lengths 0–3 — see `SketchSpec`.
+    */
+  private object CmsSql {
+    private val M = "4294967296"
+    /** k1 *= 0xcc9e2d51; k1 = rotl(k1,15); k1 *= 0x1b873593 */
+    private def mixK1(w: String): String = {
+      val a = s"(($w) * 3432918353) % $M"
+      val rot = s"((($a) * 32768) % $M + ($a) // 131072)"
+      s"(($rot) * 461845907) % $M"
+    }
+    /** h1 ^= k1; h1 = rotl(h1,13); h1 = h1*5 + 0xe6546b64 */
+    private def mixH1(h: String, k1: String): String = {
+      val x = s"xor(($h), ($k1))"
+      val rot = s"((($x) * 8192) % $M + ($x) // 524288)"
+      s"(($rot) * 5 + 3864292196) % $M"
+    }
+    /** h ^= len; h ^= h>>>16; h *= 0x85ebca6b; h ^= h>>>13; h *= 0xc2b2ae35; h ^= h>>>16 */
+    private def fmix(h0: String, ln: String): String = {
+      var h = s"xor(($h0), ($ln))"
+      h = s"xor(($h), ($h) // 65536)"
+      h = s"(($h) * 2246822507) % $M"
+      h = s"xor(($h), ($h) // 8192)"
+      h = s"(($h) * 3266489909) % $M"
+      s"xor(($h), ($h) // 65536)"
+    }
+    /** Murmur3_x86_32 over `elems` (words-then-tail-bytes list) from `seed`. */
+    private def murmur(elems: String, seed: String, ln: String): String =
+      fmix(
+        s"list_reduce(list_prepend(CAST(($seed) AS UBIGINT), $elems), " +
+          s"(h, w) -> CAST((${mixH1("h", mixK1("w"))}) AS UBIGINT))",
+        ln)
+
+    val query: String = Prep + s""",
+counts AS (
+  SELECT domain, count(*) AS exact_cnt FROM prep GROUP BY domain
+),
+hashed AS (
+  SELECT domain, exact_cnt, h1, ${murmur("elems", "h1", "ln")} AS h2
+  FROM (
+    SELECT domain, exact_cnt, elems, ln, ${murmur("elems", "0", "ln")} AS h1
+    FROM (
+      SELECT domain, exact_cnt, length(domain) AS ln,
+             CAST(list_concat(
+               list_transform(range(length(domain) // 4), w ->
+                 ord(domain[4*w+1]) + ord(domain[4*w+2])*256 +
+                 ord(domain[4*w+3])*65536 + ord(domain[4*w+4])*16777216),
+               list_transform(range((length(domain) // 4) * 4, length(domain)), i ->
+                 ord(domain[i+1]))
+             ) AS UBIGINT[]) AS elems
+      FROM counts
+    )
+  )
+),
+bucketed AS (
+  SELECT domain, exact_cnt, i,
+         abs(CASE WHEN v >= 2147483648 THEN v - 4294967296 ELSE v END) % 2000 AS bucket
+  FROM (
+    SELECT domain, exact_cnt, i,
+           CAST((CAST(h1 AS BIGINT) + i * CAST(h2 AS BIGINT)) % 4294967296 AS BIGINT) AS v
+    FROM hashed, (SELECT unnest(range(7)) AS i)
+  )
+),
+cells AS (
+  SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+  FROM bucketed GROUP BY i, bucket
+),
+top AS (
+  SELECT domain, exact_cnt FROM counts ORDER BY exact_cnt DESC, domain LIMIT 10
+)
+SELECT t.domain, t.exact_cnt, e.cms_est
+FROM top t
+JOIN (
+  SELECT b.domain, min(c.cell) AS cms_est
+  FROM bucketed b JOIN cells c USING (i, bucket)
+  WHERE b.domain IN (SELECT domain FROM top)
+  GROUP BY b.domain
+) e USING (domain)
+ORDER BY t.domain"""
+  }
 
   private def topDomainSql(statusType: String): String = Prep + s""",
 topd AS (SELECT domain, count(*) AS class_cnt FROM prep WHERE status_type='$statusType'

@@ -239,7 +239,9 @@ object Stats {
     * exact top-N domains. CMS estimates are deterministic given the
     * seed (counter sums + min — order-independent), always ≥ the true
     * count, and ≤ true + ε·N w.h.p.; `SketchSpec` asserts both bounds.
-    * No DuckDB CMS → driver records rows-only. */
+    * Hash-checked against DuckDB since round 7: for string items the
+    * bucket hashing is seed-independent Murmur3 double hashing, which
+    * [[Oracles.CmsSql]] mirrors bit-for-bit in SQL. */
   def cmsDomainEstimates(prep: DataFrame, topN: Int = 10): DataFrame = {
     val spark = prep.sparkSession
     import spark.implicits._

@@ -7,14 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * compare), so pin the key sets against each other. */
 class ContractSpec extends AnyFunSuite {
 
-  /** Queries intentionally without SQL oracles — only the sketch
-    * internals remain (HLL/CMS register layouts are engine-specific by
-    * nature); each has ScalaTest error-bound coverage instead. t05/m02
+  /** Queries intentionally without SQL oracles — only the two HLL
+    * entries remain (the HyperLogLog register layout is engine-specific
+    * by nature); each has ScalaTest error-bound coverage instead. t05/m02
     * graduated to real oracles in round 3 (DuckDB hex byte-walk); the
     * five ANN queries graduated in round 5 (md5-parity hyperplanes +
-    * fold-exact dot mirrors + unrolled Lloyd iterations in SQL). */
+    * fold-exact dot mirrors + unrolled Lloyd iterations in SQL); the CMS
+    * graduated in round 7 (Murmur3_x86_32 spelled out in UBIGINT SQL —
+    * `Oracles.CmsSql`). */
   private val rowsOnly = Set(
-    "a11_approx_distinct", "a11_hll_daily_rollup", "a11_cms_domain_counts")
+    "a11_approx_distinct", "a11_hll_daily_rollup")
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

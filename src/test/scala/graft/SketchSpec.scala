@@ -49,6 +49,98 @@ class SketchSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "must be deterministic")
   }
 
+  test("CMS oracle arithmetic: the masked-UBIGINT murmur mirror matches the Java sketch under forced collisions") {
+    // Oracles.CmsSql transcribes Murmur3_x86_32 into SQL as unsigned-64
+    // arithmetic: multiplies masked % 2^32, rotations as two disjoint
+    // shift halves ADDED, >>> as integer division, signed-% recovered by
+    // two's-complement reinterpretation. This test runs the SAME
+    // transcription in Scala (BigInt-free: Long with masks, exactly the
+    // value domain UBIGINT gives DuckDB) and checks estimateCount parity
+    // with the real org.apache.spark.util.sketch at width 10, where 100
+    // domains MUST collide — so a bucket-choice bug cannot hide behind a
+    // collision-free sketch the way it could at width 2000.
+    val M = 0xFFFFFFFFL
+    def mixK1(w0: Long): Long = {
+      val a = (w0 * 3432918353L) & M
+      val rot = ((a << 15) & M) + (a >>> 17)
+      (rot * 461845907L) & M
+    }
+    def mixH1(h: Long, k1: Long): Long = {
+      val x = h ^ k1
+      val rot = ((x << 13) & M) + (x >>> 19)
+      (rot * 5L + 3864292196L) & M
+    }
+    def fmix(h0: Long, ln: Long): Long = {
+      var h = h0 ^ ln
+      h ^= h >>> 16; h = (h * 2246822507L) & M
+      h ^= h >>> 13; h = (h * 3266489909L) & M
+      h ^ (h >>> 16)
+    }
+    def murmur(bytes: Array[Byte], seed: Long): Long = {
+      val la = bytes.length - bytes.length % 4
+      var h = seed & M
+      var i = 0
+      while (i < la) {
+        val w = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+          ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+        h = mixH1(h, mixK1(w)); i += 4
+      }
+      while (i < la + bytes.length % 4) {
+        // signed byte widened to int, then masked to the 32-bit domain —
+        // the sketch feeds Platform.getByte (signed) into mixK1
+        h = mixH1(h, mixK1(bytes(i).toLong & M)); i += 1
+      }
+      fmix(h, bytes.length.toLong)
+    }
+    val width = 10; val depth = 7
+    def buckets(s: String): Seq[Int] = {
+      val b = s.getBytes("UTF-8")
+      val h1 = murmur(b, 0L)
+      val h2 = murmur(b, h1)
+      (0 until depth).map { i =>
+        val u = (h1 + i * h2) & M
+        val signed = if (u >= 0x80000000L) u - 0x100000000L else u
+        (math.abs(signed) % width).toInt
+      }
+    }
+    val doms = (0 until 100).map(k => s"""{"k": $k}""")
+    // real sketch at eps=0.2 (width 10): guaranteed collisions
+    val sk = org.apache.spark.util.sketch.CountMinSketch.create(0.2, 0.99, 42)
+    doms.zipWithIndex.foreach { case (d, i) => sk.add(d, i + 1L) }
+    assert(sk.depth() == depth && sk.width() == width)
+    // mirror table, built with the transcribed arithmetic
+    val table = Array.fill(depth, width)(0L)
+    doms.zipWithIndex.foreach { case (d, i) =>
+      buckets(d).zipWithIndex.foreach { case (b, row) => table(row)(b) += i + 1L }
+    }
+    doms.foreach { d =>
+      val est = buckets(d).zipWithIndex.map { case (b, row) => table(row)(b) }.min
+      assert(est == sk.estimateCount(d), s"bucket mirror diverged for $d")
+    }
+    // and at the production shape the estimates collide rarely — every
+    // mirror estimate must still equal the real sketch's
+    val sk2 = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    doms.zipWithIndex.foreach { case (d, i) => sk2.add(d, i + 1L) }
+    val w2 = sk2.width()
+    val t2 = Array.fill(sk2.depth(), w2)(0L)
+    def buckets2(s: String): Seq[Int] = {
+      val b = s.getBytes("UTF-8")
+      val h1 = murmur(b, 0L); val h2 = murmur(b, h1)
+      (0 until sk2.depth()).map { i =>
+        val u = (h1 + i * h2) & M
+        val signed = if (u >= 0x80000000L) u - 0x100000000L else u
+        (math.abs(signed) % w2).toInt
+      }
+    }
+    doms.zipWithIndex.foreach { case (d, i) =>
+      buckets2(d).zipWithIndex.foreach { case (b, row) => t2(row)(b) += i + 1L }
+    }
+    doms.foreach { d =>
+      val est = buckets2(d).zipWithIndex.map { case (b, row) => t2(row)(b) }.min
+      assert(est == sk2.estimateCount(d), s"production-shape mirror diverged for $d")
+    }
+  }
+
   test("percentile_approx stays within its rank-error guarantee vs the exact percentile") {
     // approx_percentile(acc) guarantees a result whose RANK is within
     // n/acc of the target rank — the scale swap a23 documents. Verify by
