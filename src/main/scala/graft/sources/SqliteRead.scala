@@ -127,14 +127,19 @@ object SqliteRead {
   // ---- file-level helpers ----
 
   /** Serializable WAL overlay: page size + committed page→image offsets
-    * (ships to executors inside the scan closure). */
-  private[sources] case class WalSpec(pageSize: Int, pages: Map[Int, Long])
+    * (ships to executors inside the scan closure), plus the header salts
+    * the driver parsed under — every later reopen revalidates them, so a
+    * checkpoint-reset racing the read fails loudly instead of serving a
+    * frankenstein of old offsets over new frames. */
+  private[sources] case class WalSpec(pageSize: Int, pages: Map[Int, Long],
+                                      salt1: Int, salt2: Int)
 
   private def walSpecOf(dbPath: String): Option[WalSpec] = {
     val wal = new java.io.File(dbPath + "-wal")
     if (wal.exists() && wal.length() >= 32) {
-      val (ps, map) = SqliteWal.pageMap(dbPath + "-wal")
-      if (map.nonEmpty) Some(WalSpec(ps, map)) else None
+      val o = SqliteWal.pageMap(dbPath + "-wal")
+      if (o.pages.nonEmpty) Some(WalSpec(o.pageSize, o.pages, o.salt1, o.salt2))
+      else None
     } else None
   }
 
@@ -182,6 +187,9 @@ object SqliteRead {
 
   private def withFile[A](path: String, wal: Option[WalSpec])(body: DbFile => A): A = {
     val main = new RandomAccessFile(path, "r")
+    // every open — driver probes AND executor scans — revalidates the
+    // sidecar's salts against the spec before trusting memoized offsets
+    wal.foreach(s => SqliteWal.validateSalts(path + "-wal", s.salt1, s.salt2))
     val walRaf = wal.map(_ => new RandomAccessFile(path + "-wal", "r"))
     try body(new DbFile(main, walRaf, wal))
     finally { main.close(); walRaf.foreach(_.close()) }

@@ -33,31 +33,43 @@ import scala.collection.mutable
   */
 object SqliteWal {
 
-  /** The committed page overlay of a WAL sidecar: page size and a map
-    * from page number to the byte offset OF THE PAGE IMAGE inside the
-    * WAL file (latest valid committed frame wins, matching SQLite's
-    * newest-frame-first lookup). Empty map = nothing to replay (e.g. the
-    * zero-length file a TRUNCATE checkpoint leaves behind, or a stale
-    * tail whose salts no longer match). */
-  def pageMap(walPath: String): (Int, Map[Int, Long]) = {
+  /** The committed page overlay of a WAL sidecar: page size, a map from
+    * page number to the byte offset OF THE PAGE IMAGE inside the WAL file
+    * (latest valid committed frame wins, matching SQLite's
+    * newest-frame-first lookup), and the header salts the overlay was
+    * parsed under — readers that reopen the sidecar later revalidate the
+    * salts to detect a checkpoint-reset in between ([[validateSalts]]).
+    * Empty map = nothing to replay (e.g. the zero-length file a TRUNCATE
+    * checkpoint leaves behind, or a stale tail whose salts no longer
+    * match). */
+  final case class Overlay(pageSize: Int, pages: Map[Int, Long],
+                           salt1: Int, salt2: Int)
+
+  def pageMap(walPath: String): Overlay = {
     val f = new RandomAccessFile(walPath, "r")
     try {
-      if (f.length() < 32) return (0, Map.empty)
+      if (f.length() < 32) return Overlay(0, Map.empty, 0, 0)
       val hdr = new Array[Byte](32)
       f.seek(0); f.readFully(hdr)
       val magic = be32(hdr, 0)
-      require(magic == 0x377f0682 || magic == 0x377f0683,
-        f"$walPath: not a WAL file (magic 0x$magic%08x)")
+      // SQLite's recovery rule (walIndexRecover) treats ANY header that
+      // fails validation — wrong magic and nonsense page size included —
+      // as an empty WAL, not an error: a stray or garbage `<db>-wal`
+      // sidecar must not block reading the main file. Same branch as the
+      // header-checksum mismatch below.
+      if (magic != 0x377f0682 && magic != 0x377f0683)
+        return Overlay(0, Map.empty, 0, 0)
       val le = magic == 0x377f0682
       val pageSize = be32(hdr, 8)
-      require(pageSize >= 512 && Integer.bitCount(pageSize) == 1,
-        s"$walPath: invalid WAL page size $pageSize")
+      if (pageSize < 512 || pageSize > 65536 || Integer.bitCount(pageSize) != 1)
+        return Overlay(0, Map.empty, 0, 0)
       val salt1 = be32(hdr, 16)
       val salt2 = be32(hdr, 20)
       var (s1, s2) = cksum(0, 0, hdr, 0, 24, le)
       // header checksum mismatch = the WAL was never written post-reset;
       // treat as empty rather than failing (SQLite does the same)
-      if (s1 != be32(hdr, 24) || s2 != be32(hdr, 28)) return (pageSize, Map.empty)
+      if (s1 != be32(hdr, 24) || s2 != be32(hdr, 28))
+        return Overlay(pageSize, Map.empty, salt1, salt2)
       val frameSize = 24L + pageSize
       val nFrames = ((f.length() - 32) / frameSize).toInt
       // tentative: frames since the last commit — promoted only when a
@@ -88,7 +100,29 @@ object SqliteWal {
           }
         }
       }
-      (pageSize, valid.toMap)
+      Overlay(pageSize, valid.toMap, salt1, salt2)
+    } finally f.close()
+  }
+
+  /** Guard for readers that parsed the WAL once and reopen it later (the
+    * executor side of [[SqliteRead]]): a checkpoint-and-reset on a LIVE
+    * database between parse and read rotates the header salts and rewrites
+    * frames in place, so memoized byte offsets would silently serve NEW
+    * transactions' page images as if they were the old committed state.
+    * Real SQLite readers pin against this with shm read-marks; a
+    * file-level reader can only detect-and-fail. Throws on mismatch. */
+  def validateSalts(walPath: String, salt1: Int, salt2: Int): Unit = {
+    val f = new RandomAccessFile(walPath, "r")
+    try {
+      val ok = f.length() >= 32 && {
+        val hdr = new Array[Byte](32)
+        f.seek(0); f.readFully(hdr)
+        be32(hdr, 16) == salt1 && be32(hdr, 20) == salt2
+      }
+      if (!ok) throw new IllegalStateException(
+        s"$walPath: WAL salts changed since the driver parsed the overlay " +
+          "— a checkpoint reset the log mid-read (live writer). Re-run the " +
+          "read, or copy the database (sqlite3 .backup) for a stable snapshot.")
     } finally f.close()
   }
 

@@ -169,6 +169,39 @@ class FtlIngestSpec extends SparkSpec {
     assert(FtlIngest.readSqlite(spark, Seq(db.toString), 0L, Long.MaxValue).count() == 200)
   }
 
+  test("sqlite: a >=32-byte garbage WAL sidecar (bad magic) also replays nothing, not an error") {
+    // SQLite's walIndexRecover treats a header that fails validation as
+    // an EMPTY log — a stray sidecar must not block reading the main file
+    val dir = Files.createTempDirectory("graft_wal_badmagic")
+    val db = dir.resolve("live.db")
+    Files.copy(java.nio.file.Paths.get(res("ftl_fixture_pk.db")), db)
+    Files.write(dir.resolve("live.db-wal"), Array.fill[Byte](64)(0x5a))
+    assert(FtlIngest.readSqlite(spark, Seq(db.toString), 0L, Long.MaxValue).count() == 200)
+  }
+
+  test("sqlite: a WAL whose salts rotate mid-read (checkpoint reset) fails loudly") {
+    // driver parses the overlay, then a 'checkpointer' rewrites the
+    // header salts before executors open the sidecar — the read must
+    // detect the rotation, never serve new frames at old offsets
+    val dir = Files.createTempDirectory("graft_wal_salts")
+    val db = dir.resolve("live.db")
+    Files.copy(java.nio.file.Paths.get(res("ftl_fixture_wal.db")), db)
+    val wal = dir.resolve("live.db-wal")
+    Files.copy(java.nio.file.Paths.get(res("ftl_fixture_wal.db-wal")), wal)
+    val spec = sources.SqliteWal.pageMap(wal.toString)
+    assert(spec.pages.nonEmpty)
+    // plan the read first: the driver parses and probes under the old
+    // salts, the executor scan is still lazy
+    val df = FtlIngest.readSqlite(spark, Seq(db.toString), 0L, Long.MaxValue)
+    // rotate salt-1 in place (offset 16), exactly what a WAL reset does
+    val raf = new java.io.RandomAccessFile(wal.toFile, "rw")
+    try { raf.seek(16); raf.writeInt(spec.salt1 + 1) } finally raf.close()
+    val e = intercept[Exception] { df.count() }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(messages.contains("salts changed"), s"unexpected failure: $messages")
+  }
+
   test("sqlite: a hot rollback journal fails loudly, never a torn read") {
     val dir = Files.createTempDirectory("graft_journal")
     val db = dir.resolve("crashed.db")
