@@ -22,6 +22,11 @@ object FacadeBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the facade's serving-tier collects (plot tables, hourly cache)
+      // scale with the replicated time span; at 100M rows they pass the
+      // 1g default cap. Unlimited here mirrors the pandas side, which
+      // holds the same tables in-process with no cap at all.
+      .config("spark.driver.maxResultSize", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -368,19 +368,31 @@ object Stats {
         coalesce(col("status_type"), lit("ALL")).as("status_k"), col("cnt"))
       .orderBy("period_k", "status_k")
 
-  /** A22/W5: mean inter-arrival seconds per class, diff over each class's
-    * own time-ordered subset (reference: stats.py:382-388). Window is
-    * partitioned by status_type → parallel, scales (unlike W1-W4's global
-    * window; see [[Streaks]] for the scalable treatment there).
-    * Microsecond-long arithmetic keeps the oracle comparison exact. */
-  def interArrival(prep: DataFrame): DataFrame = {
-    val w = Window.partitionBy("status_type").orderBy("ts", "id")
+  /** A22/W5: mean inter-arrival seconds per class (reference:
+    * stats.py:382-388 — mean of diff() over each class's time-ordered
+    * subset). The consecutive-gap sum TELESCOPES: Σ(tᵢ−tᵢ₋₁) over a
+    * class's sorted events is max(t)−min(t), so the mean gap is
+    * (max−min)/(n−1) — a plain aggregate, no window, no sort. The
+    * earlier per-class lag-window form was the facade's scale ceiling: a
+    * Window partitioned only by status_type funnels EVERY row of a class
+    * into one task's sort (measured 96 s of a 149 s facade run at 30 M
+    * rows; this form removes it entirely). Equality is exact, not
+    * approximate: the old double-accumulated avg equals (max−min)/(n−1)
+    * bit-for-bit while the gap sum is below 2^53 µs (~285 years), and
+    * the telescoped form stays exact beyond that. Tie order within equal
+    * timestamps never matters — the sum collapses regardless. */
+  def interArrival(prep: DataFrame): DataFrame =
+    interArrivalAgg(prep, round4 = true)
+
+  private def interArrivalAgg(prep: DataFrame, round4: Boolean): DataFrame = {
+    val mean = (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+      .cast("double") / (count(lit(1)) - 1) / 1e6
     prep.filter(col("status_type").isin("Allowed", "Blocked"))
-      .select(col("status_type"),
-        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
-      .filter(col("gap_us").isNotNull)
       .groupBy("status_type")
-      .agg(round(avg(col("gap_us")) / 1e6, 4).as("mean_gap_s"))
+      .agg((if (round4) round(mean, 4) else mean).as("mean_gap_s"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1) // a 0/1-event class has no gaps to average
+      .drop("n")
       .orderBy("status_type")
   }
 
@@ -397,17 +409,10 @@ object Stats {
         round(expr("percentile(reply_time, 0.99)") * 1000, 4).as("p99_ms"))
 
   /** A22 without display rounding — the raw mean the reference stores in
-    * `avg_time_between_*` (stats.py:382-388). */
-  def interArrivalRaw(prep: DataFrame): DataFrame = {
-    val w = Window.partitionBy("status_type").orderBy("ts", "id")
-    prep.filter(col("status_type").isin("Allowed", "Blocked"))
-      .select(col("status_type"),
-        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
-      .filter(col("gap_us").isNotNull)
-      .groupBy("status_type")
-      .agg((avg(col("gap_us")) / 1e6).as("mean_gap_s"))
-      .orderBy("status_type")
-  }
+    * `avg_time_between_*` (stats.py:382-388). Same telescoped aggregate
+    * as [[interArrival]]. */
+  def interArrivalRaw(prep: DataFrame): DataFrame =
+    interArrivalAgg(prep, round4 = false)
 
   /** Bag-semantics set difference: each client's Day events minus Night
     * events AS A MULTISET — a client with 7 Day and 3 Night events

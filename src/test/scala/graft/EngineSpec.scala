@@ -49,7 +49,7 @@ class EngineSpec extends SparkSpec {
     assert(stats("data_span_days") == 30L)
   }
 
-  test("computeStats makes at most 12 driver round-trips (fused collects + persisted prep)") {
+  test("computeStats makes at most 12 driver round-trips (fused collects)") {
     // raw Spark job count inflates under AQE (each query stage is its own
     // job), so the pinned metric is ACTIONS: SQL executions (one per
     // DataFrame collect) plus RDD jobs outside any SQL execution (the
