@@ -318,8 +318,13 @@ object Engine {
         m("slowest_domain") = "N/A"; m("slowest_avg_reply_time") = 0.0
     }
 
-    // ---- streaks (stats.py:323-365) ----
-    val streaks = Streaks.longestStreaks(prep).collect()
+    // ---- streaks + idle gaps (stats.py:323-365, 369-415) — the fused
+    // form: one range shuffle feeds both order-dependent stats, instead
+    // of each operator sorting the full relation separately (the two
+    // standalone sorts were the largest slice of this method at 100 M
+    // rows) ----
+    val (streaksDf, idleDf) = Streaks.longestStreaksWithIdle(prep)
+    val streaks = streaksDf.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getTimestamp(2)))).toMap
     for ((cls, cname) <- Seq("Allowed" -> "allowed", "Blocked" -> "blocked"))
       streaks.get(cls) match {
@@ -332,9 +337,7 @@ object Engine {
           m(s"streak_date_$cname") = "N/A"
           m(s"streak_hour_$cname") = "N/A"
       }
-
-    // ---- idle gaps (stats.py:369-415) ----
-    Streaks.longestIdle(prep).collect().headOption match {
+    idleDf.collect().headOption match {
       case Some(r) =>
         m("max_idle_ms") = r.getDouble(0) // seconds, reference-faithful misnomer
         m("before_gap") = gapFmt(r.getTimestamp(1))

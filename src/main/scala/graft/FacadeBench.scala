@@ -33,15 +33,24 @@ object FacadeBench {
     def stage[A](body: => A): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    // Diagnostic stage filter (SPARK_GRAFT_FACADE_STAGES=stats,hourly_agg):
+    // at 100 M rows the plot/hourly stages collect tens of millions of
+    // serving rows into the driver heap, and the garbage they leave
+    // stretches NEIGHBORING stages with GC pauses — running one stage in
+    // isolation separates a stage's own cost from cross-stage GC fallout.
+    val only = sys.env.get("SPARK_GRAFT_FACADE_STAGES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
     def runOnce(): Map[String, Double] = {
       var prep: org.apache.spark.sql.DataFrame = null
       val tPrep = stage {
         prep = Preprocess.preprocessEvents(Tables.events(spark, sfDir))
         prep.count() // materialize the scan+derive pass, like preprocess_df
       }
-      val tStats = stage(Engine.computeStats(prep))
-      val tPlot = stage(Engine.plotData(prep).values.foreach(_.collect()))
-      val tHourly = stage {
+      val tStats = if (!want("stats")) 0.0 else stage(Engine.computeStats(prep))
+      val tPlot = if (!want("plot_data")) 0.0
+        else stage(Engine.plotData(prep).values.foreach(_.collect()))
+      val tHourly = if (!want("hourly_agg")) 0.0 else stage {
         val (view, top) = Engine.hourlyAggregatedData(prep)
         view.collect(); top.collect()
       }

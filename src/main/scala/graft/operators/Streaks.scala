@@ -280,13 +280,123 @@ object Streaks {
       .orderBy("client")
   }
 
+  /** Exact epoch micros without the per-call `Instant` allocation —
+    * this runs once per ROW in the fused pass-1 hot loop.
+    * `getTime` already includes the millisecond part of the nanos field,
+    * so floor to seconds first and add the full nano fraction back. */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** W2 + W3 fused behind ONE range shuffle. [[longestStreaks]] and
+    * [[longestIdle]] each need the same `(ts, id)`-sorted relation; run
+    * separately they range-shuffle and sort the input twice — measured as
+    * the dominant slice of the facade's stats stage at 100 M rows. The
+    * fused pass 1 collects BOTH boundary-stat families per partition
+    * (run stats: first/last key + internal flips; idle stats: first/last
+    * ts + best internal gap) in one sorted scan, the driver folds both,
+    * and only the streak side needs a pass 2 (which reuses the same
+    * shuffle files — one exchange total across all three jobs). Outputs
+    * are bit-identical to the standalone operators (pinned in
+    * `StreaksSpec`); the standalone forms remain the oracle-checked
+    * public query surface. */
+  def longestStreaksWithIdle(prep: DataFrame): (DataFrame, DataFrame) = {
+    val spark = prep.sparkSession
+    val nParts = autoPartitions(prep, 0)
+    val runSchema = StructType(Seq(
+      StructField("grp", LongType, nullable = false),
+      StructField("key", StringType, nullable = true),
+      StructField("run_len", LongType, nullable = false),
+      StructField("start_ts", TimestampType, nullable = false)))
+    val rdd = prep
+      .select(col("ts"), col("id"), col("status_type").as("key"))
+      .repartitionByRange(nParts, col("ts"), col("id"))
+      .sortWithinPartitions("ts", "id")
+      .rdd
+    // pass 1: run-boundary AND idle-gap stats from the same sorted scan —
+    // still O(partitions) bytes to the driver
+    val stats = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var n = 0L; var flips = 0L
+      var firstKey: Any = null; var lastKey: Any = null
+      var firstTs: java.sql.Timestamp = null; var prevTs: java.sql.Timestamp = null
+      var bestGap = -1L
+      var bestBefore: java.sql.Timestamp = null
+      var bestAfter: java.sql.Timestamp = null
+      rows.foreach { r =>
+        val f = r.get(2); val t = r.getTimestamp(0)
+        if (n == 0L) { firstKey = f; firstTs = t }
+        else {
+          if (f != lastKey) flips += 1
+          val g = micros(t) - micros(prevTs)
+          if (g > bestGap) { bestGap = g; bestBefore = prevTs; bestAfter = t }
+        }
+        lastKey = f; prevTs = t; n += 1
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.single((pid, firstKey, lastKey, flips, firstTs, prevTs,
+        bestGap, bestBefore, bestAfter))
+    }.collect().sortBy(_._1)
+    // driver fold 1 — streak bases, exactly parallelRunsBy's
+    val bases = Map.newBuilder[Int, (Long, Boolean)]
+    var runsSoFar = 0L
+    var prevLastKey: Option[Any] = None
+    stats.foreach { case (pid, first, last, flips, _, _, _, _, _) =>
+      val continues = prevLastKey.contains(first)
+      bases += pid -> (runsSoFar, continues)
+      runsSoFar += (if (continues) 0L else 1L) + flips
+      prevLastKey = Some(last)
+    }
+    // driver fold 2 — idle candidates, exactly longestIdle's
+    val cands = ArrayBuffer.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+    stats.foreach { case (_, _, _, _, _, _, g, b, a) => if (g >= 0L) cands += ((g, b, a)) }
+    stats.iterator.sliding(2).withPartial(false).foreach { case Seq(p, q) =>
+      cands += ((micros(q._5) - micros(p._6), p._6, q._5))
+    }
+    val bc = spark.sparkContext.broadcast(bases.result())
+    val runsRdd = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      bc.value.get(pid) match {
+        case None => Iterator.empty[Row]
+        case Some((base, continues)) =>
+          val out = ArrayBuffer.empty[Row]
+          var grp = base; var started = false
+          var cur: Any = null; var len = 0L; var start: java.sql.Timestamp = null
+          rows.foreach { r =>
+            val f = r.get(2)
+            if (!started) {
+              grp = if (continues) base else base + 1
+              started = true; cur = f; len = 0L; start = r.getTimestamp(0)
+            } else if (f != cur) {
+              out += Row(grp, cur, len, start)
+              grp += 1; cur = f; len = 0L; start = r.getTimestamp(0)
+            }
+            len += 1
+          }
+          if (started) out += Row(grp, cur, len, start)
+          out.iterator
+      }
+    }
+    val runs = spark.createDataFrame(runsRdd, runSchema)
+      .groupBy("grp")
+      .agg(min(col("key")).as("key"), sum(col("run_len")).as("streak_len"),
+        min(col("start_ts")).as("start_ts"))
+    val streaks = topRunOfClass(runs, "Allowed")
+      .unionByName(topRunOfClass(runs, "Blocked")).orderBy("status_type")
+    val outSchema = StructType(Seq(
+      StructField("before_gap", TimestampType, nullable = false),
+      StructField("after_gap", TimestampType, nullable = false)))
+    val winner = cands.sortBy { case (g, _, a) => (-g, micros(a)) }.headOption
+    val idle = spark.createDataFrame(
+      spark.sparkContext.parallelize(winner.map(w => Row(w._2, w._3)).toSeq, 1),
+      outSchema)
+      .select(
+        round((unix_micros(col("after_gap")) - unix_micros(col("before_gap"))) / lit(1e6), 6)
+          .as("gap_s"),
+        col("before_gap"), col("after_gap"))
+    (streaks, idle)
+  }
+
   def longestIdle(prep: DataFrame, numPartitions: Int = 0): DataFrame = {
     val spark = prep.sparkSession
     val nParts = autoPartitions(prep, numPartitions)
-    def micros(t: java.sql.Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
     // one parallel pass: each partition reduces to its max internal gap
     // (strict > keeps the EARLIEST after-ts on ties, matching the window
     // form's `ORDER BY gap DESC, ts`) plus its first/last timestamps for

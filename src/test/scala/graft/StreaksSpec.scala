@@ -117,6 +117,27 @@ class StreaksSpec extends SparkSpec {
     }
   }
 
+  test("fused streaks+idle equals the standalone operators row-for-row") {
+    // longestStreaksWithIdle shares one range shuffle between W2 and W3;
+    // both outputs must be bit-identical to the standalone forms (which
+    // are the oracle-checked public surface)
+    val prep2000 = FtlFixture.prep(spark, 3, 2000)
+    val (streaks, idle) = graft.operators.Streaks.longestStreaksWithIdle(prep2000)
+    assert(streaks.collect().toSeq ==
+      graft.operators.Streaks.longestStreaks(prep2000).collect().toSeq)
+    assert(idle.collect().toSeq ==
+      graft.operators.Streaks.longestIdle(prep2000).collect().toSeq)
+    // degenerate inputs: empty, and a single row (no gaps, one run)
+    val empty = FtlFixture.prep(spark, 1, 1500).filter("id < 0")
+    val (s0, i0) = graft.operators.Streaks.longestStreaksWithIdle(empty)
+    assert(s0.collect().isEmpty && i0.collect().isEmpty)
+    val one = FtlFixture.prep(spark, 1, 1500).filter("id = 1")
+    val (s1, i1) = graft.operators.Streaks.longestStreaksWithIdle(one)
+    assert(s1.collect().toSeq ==
+      graft.operators.Streaks.longestStreaks(one).collect().toSeq)
+    assert(i1.collect().isEmpty)
+  }
+
   test("sliding RANGE window: trailing hour, equal-ts rows are mutual peers") {
     // client c: events at t=0s, 1800s, 3599s, 3600s, 3600s, 7300s
     // trailing-hour counts (ts-3599.999999s .. ts]:
