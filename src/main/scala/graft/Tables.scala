@@ -41,12 +41,22 @@ object Tables {
     }
   }
 
-  /** Nanos-long → microsecond timestamp normalization, shared by the
-    * batch and streaming readers. */
+  /** Canonicalize `ts` to session-TZ TimestampType, whatever the parquet
+    * encoding: INT64 nanos (legacy flag reads it as long → truncate to
+    * micros), TIMESTAMP(µs, no tz) (Spark reads TIMESTAMP_NTZ → cast;
+    * lossless because the session TZ is pinned UTC), or TIMESTAMP(µs, tz)
+    * (already TimestampType → no-op). Shared by the batch, streaming and
+    * serve readers so every downstream operator sees exactly one type —
+    * `unix_micros`, watermarks and Row.getTimestamp all require it. */
   def normalizeTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(eventsRaw(spark, dir))

@@ -53,6 +53,21 @@ object Streaks {
     if (requested > 0) requested
     else math.max(32, prep.queryExecution.toRdd.getNumPartitions)
 
+  /** Type-robust `ts` read for the RDD scan passes. Source normalization
+    * ([[graft.Tables.normalizeTs]]) guarantees TimestampType, but the raw
+    * row value still varies by conf: java.sql.Timestamp normally,
+    * java.time.Instant under datetime.java8API, java.time.LocalDateTime
+    * if an un-normalized NTZ frame ever reaches here. Accept all three so
+    * a source-encoding shift degrades to correct-but-unnormalized instead
+    * of a ClassCastException mid-scan. */
+  private def tsAt(r: Row): java.sql.Timestamp = r.get(0) match {
+    case t: java.sql.Timestamp       => t
+    case i: java.time.Instant        => java.sql.Timestamp.from(i)
+    case l: java.time.LocalDateTime  => java.sql.Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))
+    case other => throw new IllegalArgumentException(
+      s"unsupported ts value ${other.getClass.getName}; expected a timestamp")
+  }
+
   /** W1+A21: per-run relation for one class flag. Group id = running count
     * of flag flips over the time order (pandas: cumsum of
     * `flag != flag.shift()`, stats.py:507-514); keep only the runs where
@@ -173,10 +188,10 @@ object Streaks {
             val f = r.get(2)
             if (!started) {
               grp = if (continues) base else base + 1
-              started = true; cur = f; len = 0L; start = r.getTimestamp(0)
+              started = true; cur = f; len = 0L; start = tsAt(r)
             } else if (f != cur) {
               out += Row(grp, cur, len, start)
-              grp += 1; cur = f; len = 0L; start = r.getTimestamp(0)
+              grp += 1; cur = f; len = 0L; start = tsAt(r)
             }
             len += 1
           }
@@ -322,7 +337,7 @@ object Streaks {
       var bestBefore: java.sql.Timestamp = null
       var bestAfter: java.sql.Timestamp = null
       rows.foreach { r =>
-        val f = r.get(2); val t = r.getTimestamp(0)
+        val f = r.get(2); val t = tsAt(r)
         if (n == 0L) { firstKey = f; firstTs = t }
         else {
           if (f != lastKey) flips += 1
@@ -363,10 +378,10 @@ object Streaks {
             val f = r.get(2)
             if (!started) {
               grp = if (continues) base else base + 1
-              started = true; cur = f; len = 0L; start = r.getTimestamp(0)
+              started = true; cur = f; len = 0L; start = tsAt(r)
             } else if (f != cur) {
               out += Row(grp, cur, len, start)
-              grp += 1; cur = f; len = 0L; start = r.getTimestamp(0)
+              grp += 1; cur = f; len = 0L; start = tsAt(r)
             }
             len += 1
           }
@@ -411,7 +426,7 @@ object Streaks {
         var bestBefore: java.sql.Timestamp = null
         var bestAfter: java.sql.Timestamp = null
         rows.foreach { r =>
-          val t = r.getTimestamp(0)
+          val t = tsAt(r)
           if (first == null) first = t
           else {
             val g = micros(t) - micros(prev)

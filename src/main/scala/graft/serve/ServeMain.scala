@@ -100,8 +100,12 @@ object ServeMain {
         java.time.Instant.ofEpochSecond(from).atZone(java.time.ZoneOffset.UTC).toLocalDate.minusDays(1))
       val dHi = java.sql.Date.valueOf( // `to` is exclusive → widen from its last covered second
         java.time.Instant.ofEpochSecond(to - 1).atZone(java.time.ZoneOffset.UTC).toLocalDate.plusDays(1))
-      val windowed = spark.read.parquet(o.source)
-        .filter(col("date") >= lit(dLo) && col("date") <= lit(dHi))
+      // partition-prune on `date` BEFORE normalizing ts (a cast on ts
+      // would not block date pruning, but keeping the raw-column filter
+      // first keeps the ts range pushdown too when the encoding is native)
+      val windowed = graft.Tables.normalizeTs(
+          spark.read.parquet(o.source)
+            .filter(col("date") >= lit(dLo) && col("date") <= lit(dHi)))
         .filter(col("ts") >= timestamp_seconds(lit(from)) &&
                 col("ts") < timestamp_seconds(lit(to)))
       graft.Preprocess.regexAntiFilter(windowed, "domain", o.ignoreDomains)
