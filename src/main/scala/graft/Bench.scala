@@ -134,7 +134,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
     val results = measure(headline, reps)
-    val total = results.map(_._2).sum
+    // Totals sum PASSING queries only: a -1.0 failure sentinel summed in
+    // would make each failure look ~1s FASTER — failures are reported
+    // explicitly (n_failed/failed) and keep their -1.0 in the query map.
+    def passSum(rs: Seq[(String, Double, Double)]): Double =
+      rs.filter(_._2 >= 0).map(_._2).sum
+    val total = passSum(results)
     // FULL-BREADTH pass: every registered query, so a regression in the
     // non-headline 70% cannot hide between rounds. Headline numbers stay
     // the comparison surface (measured first, warmed, stable order); the
@@ -156,7 +161,9 @@ object Bench {
         measure(names, repsFull)
       }
     val all = results ++ rest
-    val totalAll = all.map(_._2).sum
+    val totalAll = passSum(all)
+    val failed = all.filter(_._2 < 0).map(_._1).sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -180,8 +187,8 @@ object Bench {
     // stdout line stays compact (driver captures only the stdout tail):
     // headline per-query map + both totals; the full per-query map goes
     // to BENCH_FULL.json alongside BENCH_LINE.json.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_all":$totalAll,"n_all":${all.size},"reps":$reps,"spread_max":${fmt(spreadMax)},"spread_med":${fmt(spreadMed)},"sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total_all","value":$totalAll,"unit":"sec","n":${all.size},"headline_total":$total,"reps":$reps,"queries":${jmap(all.sortBy(_._1))},"spreads":${jspread(all.sortBy(_._1))},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_all":$totalAll,"n_all":${all.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"spread_max":${fmt(spreadMax)},"spread_med":${fmt(spreadMed)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total_all","value":$totalAll,"unit":"sec","n":${all.size},"n_failed":${failed.size},"failed":$failedJson,"headline_total":$total,"reps":$reps,"queries":${jmap(all.sortBy(_._1))},"spreads":${jspread(all.sortBy(_._1))},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")),

@@ -322,6 +322,21 @@ object Oracles {
     "a11_distinct_counts" -> p(
       "SELECT count(DISTINCT domain) AS n_domains, count(DISTINCT client) AS n_clients FROM prep"),
 
+    // sketch queries in checked form: the oracle re-computes the EXACT
+    // values and asserts the engine-side error-bound booleans are TRUE —
+    // a sketch estimate drifting out of ε fails the hash compare
+    "a11_approx_distinct" -> p(
+      """SELECT count(DISTINCT domain) AS n_domains,
+        |       count(DISTINCT client) AS n_clients,
+        |       TRUE AS domains_within_eps, TRUE AS clients_within_eps
+        |FROM prep""".stripMargin),
+
+    "a11_hll_daily_rollup" -> p(
+      """SELECT count(DISTINCT date) AS n_days,
+        |       count(DISTINCT domain) AS exact_domains,
+        |       TRUE AS est_within_eps
+        |FROM prep""".stripMargin),
+
     "a12_diverse_client" -> p(
       """SELECT client, count(DISTINCT domain) AS n_domains FROM prep
         |GROUP BY client ORDER BY n_domains DESC, client LIMIT 1""".stripMargin),

@@ -46,8 +46,8 @@ object SparkEntry {
     "a10_day_night_top_client" -> ((s, d) => Stats.dayNightTopClient(prep(s, d))),
     "a10_day_night_top_domain" -> ((s, d) => Stats.dayNightTopDomain(prep(s, d), "Blocked")),
     "a11_distinct_counts"     -> ((s, d) => Stats.distinctCounts(prep(s, d))),
-    "a11_approx_distinct"     -> ((s, d) => Stats.approxDistinct(prep(s, d))),
-    "a11_hll_daily_rollup"    -> ((s, d) => Stats.hllDailyDomains(prep(s, d))),
+    "a11_approx_distinct"     -> ((s, d) => Stats.approxDistinctChecked(prep(s, d))),
+    "a11_hll_daily_rollup"    -> ((s, d) => Stats.hllDailyDomainsChecked(prep(s, d))),
     "a11_cms_domain_counts"   -> ((s, d) => Stats.cmsDomainEstimates(prep(s, d))),
     "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
     "u02_day_only_clients"    -> ((s, d) => Stats.dayOnlyClients(prep(s, d))),

@@ -232,6 +232,36 @@ object Stats {
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_domains"))
   }
 
+  /** [[approxDistinct]] in ORACLE-CHECKABLE form: the HLL estimate itself
+    * is engine-internal (DuckDB cannot reproduce Spark's sketch), so the
+    * query returns the EXACT distinct counts plus the error-bound
+    * predicate |est − exact| ≤ ε·exact as a boolean — the oracle asserts
+    * TRUE, so a sketch drifting out of tolerance flips the boolean and
+    * fails the hash compare instead of going untested. ε = 3× the
+    * default 5% rsd of approx_count_distinct. */
+  def approxDistinctChecked(prep: DataFrame, eps: Double = 0.15): DataFrame =
+    prep.agg(
+      countDistinct(col("domain")).as("n_domains"),
+      countDistinct(col("client")).as("n_clients"),
+      approx_count_distinct(col("domain")).as("ad"),
+      approx_count_distinct(col("client")).as("ac"))
+      .select(col("n_domains"), col("n_clients"),
+        (abs(col("ad") - col("n_domains")) <= col("n_domains") * eps).as("domains_within_eps"),
+        (abs(col("ac") - col("n_clients")) <= col("n_clients") * eps).as("clients_within_eps"))
+
+  /** [[hllDailyDomains]] in the same oracle-checkable shape: exact global
+    * distinct (hash-checked value) + the merged-sketch estimate reduced
+    * to a within-ε boolean (Datasketches lgK=12 ≈ 1.6% standard error;
+    * ε = 5% matches SketchSpec's bound). The exact side is a 1-row
+    * aggregate broadcast-joined onto the 1-row sketch rollup. */
+  def hllDailyDomainsChecked(prep: DataFrame, eps: Double = 0.05): DataFrame = {
+    val exact = prep.agg(countDistinct(col("domain")).as("exact_domains"))
+    hllDailyDomains(prep).crossJoin(broadcast(exact)).select(
+      col("n_days"), col("exact_domains"),
+      (abs(col("est_distinct_domains") - col("exact_domains")) <= col("exact_domains") * eps)
+        .as("est_within_eps"))
+  }
+
   /** A11 frequency sketch: per-day count-min sketches of the domain
     * stream (constant-size partial state, map-side combined — the same
     * persistable daily-rollup shape as [[hllDailyDomains]], for COUNTS
