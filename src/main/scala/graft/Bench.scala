@@ -30,7 +30,11 @@ object Bench {
     "t08_repetition_rules", "j10_ewma_daily",
     // round-5 flagships: the Window-free longest-idle, the endpoint-only
     // verified-cluster pipeline, and the composed curation pipeline
-    "w03_longest_idle", "d07_verified_clusters", "p09_curated_corpus")
+    "w03_longest_idle", "d07_verified_clusters", "p09_curated_corpus",
+    // round-8: the honest as-of pair — aggregates CONSUME the asof payload
+    // so neither the union+window nor the native form can be pruned under
+    // count() (j05/j08 above both prune to a scan; kept for continuity)
+    "j12_asof_gap_stats", "j13_asof_gap_stats_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +171,12 @@ object Bench {
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results)
+    // stdout/BENCH_LINE per-query values rounded to 4dp (0.1 ms): the
+    // driver captures only ~2000 stdout chars, and 41 full-precision
+    // doubles overflow that; BENCH_FULL keeps full precision
+    def jmapShort(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = jmapShort(results)
     // Aggregate spread summary keeps the stdout line compact: worst and
     // median relative spread across headline reps. A healthy warm run sits
     // well under 0.5; a contention-poisoned one shows multiples.

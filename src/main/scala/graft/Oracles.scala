@@ -709,6 +709,25 @@ FROM allc a JOIN topc c USING(domain)"""
         |  ON l.client = r.client AND r.ts <= l.ts
         |ORDER BY l.client, l.ts, l.id""".stripMargin),
 
+    // the aggregated gap pair (bench forms of j05/j08): identical SQL for
+    // both implementations — same canonical ASOF semantics, aggregated so
+    // the payload is consumed and neither side's join can be pruned
+    "j12_asof_gap_stats" -> p(
+      """SELECT l.client, count(*) AS n_blocked, count(r.ts) AS n_matched,
+        |       round(sum(round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6)), 3) AS sum_gap_s
+        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') l
+        |ASOF LEFT JOIN (SELECT client, ts FROM prep WHERE status_type = 'Allowed') r
+        |  ON l.client = r.client AND r.ts <= l.ts
+        |GROUP BY l.client ORDER BY l.client""".stripMargin),
+
+    "j13_asof_gap_stats_native" -> p(
+      """SELECT l.client, count(*) AS n_blocked, count(r.ts) AS n_matched,
+        |       round(sum(round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6)), 3) AS sum_gap_s
+        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') l
+        |ASOF LEFT JOIN (SELECT client, ts FROM prep WHERE status_type = 'Allowed') r
+        |  ON l.client = r.client AND r.ts <= l.ts
+        |GROUP BY l.client ORDER BY l.client""".stripMargin),
+
     // the broadcast (zero-left-shuffle) as-of form against a dim-sized
     // hourly rollup timeline; DuckDB's native ASOF is again the oracle
     "j09_asof_hourly_bcast" -> p(

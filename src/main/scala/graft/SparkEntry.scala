@@ -99,6 +99,8 @@ object SparkEntry {
     "j11_asof_forward"        -> ((s, d) => AsofJoin.allowedBeforeBlocked(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
     "j08_asof_blocked_allowed_native" -> ((s, d) => AsofJoin.blockedAfterAllowedNative(prep(s, d))),
+    "j12_asof_gap_stats"        -> ((s, d) => AsofJoin.asofGapStatsUnion(prep(s, d))),
+    "j13_asof_gap_stats_native" -> ((s, d) => AsofJoin.asofGapStatsNative(prep(s, d))),
     "j09_asof_hourly_bcast" -> ((s, d) => AsofJoin.blockedVsHourlyAllowed(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),

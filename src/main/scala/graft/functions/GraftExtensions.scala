@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // keep travelling down to the scan in the same fixed point
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinElimination)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
@@ -84,7 +85,7 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     val rules = Seq(graft.plans.AsOfJoinPushdown, graft.plans.AsOfJoinPruning,
-      graft.plans.TopKRewrite)
+      graft.plans.AsOfJoinElimination, graft.plans.TopKRewrite)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =

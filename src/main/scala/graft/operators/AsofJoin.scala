@@ -160,6 +160,30 @@ object AsofJoin {
       .orderBy("client", "ts", "id")
   }
 
+  /** j12/j13: the j05/j08 gap analytic AGGREGATED per client. This is the
+    * honest BENCH form of the pair: `.count()` over j05/j08's per-row
+    * output lets the optimizer skip the join entirely on BOTH forms
+    * (Catalyst folds the union form's `_is_left` filter + unused Window;
+    * `AsOfJoinElimination` does the same for the native node), so their
+    * bench times measured a pruned scan, not the operator. Here the
+    * aggregate CONSUMES the asof payload, so both implementations pay
+    * their full join cost — an engine-vs-engine comparison. */
+  def asofGapStats(
+      prep: DataFrame,
+      impl: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame): DataFrame =
+    asofFrames(prep, impl)
+      .withColumn("gap_s",
+        round((unix_micros(col("ts")) - unix_micros(col("asof_allowed_ts"))) / lit(1e6), 6))
+      .groupBy("client")
+      .agg(count(lit(1)).as("n_blocked"),
+        count(col("asof_allowed_ts")).as("n_matched"),
+        round(sum(col("gap_s")), 3).as("sum_gap_s"))
+      .orderBy("client")
+
+  def asofGapStatsUnion(prep: DataFrame): DataFrame = asofGapStats(prep, asof)
+  def asofGapStatsNative(prep: DataFrame): DataFrame =
+    asofGapStats(prep, graft.plans.NativeAsof.asof)
+
   private def asofFrames(
       prep: DataFrame,
       impl: (DataFrame, DataFrame, String, String, Seq[String]) => DataFrame): DataFrame = {

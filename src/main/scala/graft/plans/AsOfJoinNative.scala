@@ -89,60 +89,104 @@ case class AsOfJoinExec(
       payload.map(p => SortOrder(p, Ascending)))
 
   protected override def doExecute(): RDD[InternalRow] = {
-    // Null-guarded, nulls-FIRST comparisons — the children are sorted
-    // Ascending (= NULLS FIRST), and the interpreted ordering itself NPEs
-    // on null operands. Null keys therefore form the first group and
-    // match each other, and a null ts orders before every real ts (acts
-    // as -infinity) — exactly what the union+window form gives dirty
-    // data, keeping the documented equivalence (pinned in AsofNativeSpec).
-    val keyOrd = nullsFirst(TypeUtils.getInterpretedOrdering(leftKey.dataType))
-    val tsOrd = nullsFirst(TypeUtils.getInterpretedOrdering(leftTs.dataType))
+    // Comparison strategy (the merge's entire per-row cost): keys are
+    // projected to single-column UnsafeRows by CODEGEN'D projections and
+    // compared with a GENERATED ordering — the SortMergeJoin technique —
+    // instead of interpreted expression eval, which allocates a wrapper
+    // (UTF8String) or box (Long) per probe and dispatches megamorphically.
+    // Ascending generated orderings are NULLS FIRST, matching the
+    // children's sort: null keys form the first group and match each
+    // other, and a null ts orders before every real ts (acts as
+    // -infinity) — exactly what the union+window form gives dirty data,
+    // keeping the documented equivalence (pinned in AsofNativeSpec).
+    // Long-backed ts types (timestamps are micros-longs internally) skip
+    // even the projection and compare raw longs.
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
     val nPayload = payload.length
     val payloadExprs = payload.map(_.asInstanceOf[Expression])
     val lKey = leftKey; val lTs = leftTs; val rKey = rightKey; val rTs = rightTs
+    import org.apache.spark.sql.types.{LongType => SLong, TimestampNTZType => SNtz, TimestampType => STs}
+    val tsLongBacked = Seq(lTs.dataType, rTs.dataType).forall {
+      case STs | SNtz | SLong => true
+      case _ => false
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyBound = BindReferences.bindReference(lKey: Expression, lOut)
-      val lTsBound = BindReferences.bindReference(lTs: Expression, lOut)
-      val rKeyBound = BindReferences.bindReference(rKey: Expression, rOut)
-      val rTsBound = BindReferences.bindReference(rTs: Expression, rOut)
+      // generated inside the partition: BaseOrdering instances are not
+      // serializable, and Janino's cache dedupes the per-partition codegen
+      val keyCmp: Ordering[InternalRow] = codegen.GenerateOrdering.generate(
+        Seq(SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending)))
+      val tsCmp: Ordering[InternalRow] =
+        if (tsLongBacked) null
+        else codegen.GenerateOrdering.generate(
+          Seq(SortOrder(BoundReference(0, lTs.dataType, nullable = true), Ascending)))
+      val lKeyProj = UnsafeProjection.create(Seq(lKey: Expression), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKey: Expression), rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTs: Expression), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTs: Expression), rOut)
+      val lTsAt = BindReferences.bindReference(lTs: Expression, lOut)
+        .asInstanceOf[BoundReference].ordinal
+      val rTsAt = BindReferences.bindReference(rTs: Expression, rOut)
+        .asInstanceOf[BoundReference].ordinal
       val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
       val resultProj = UnsafeProjection.create(
         outAttrs.map(_.asInstanceOf[Expression]), lOut ++ payloadOut)
       val joined = new JoinedRow
       val nullPayload: InternalRow = InternalRow.fromSeq(Seq.fill(nPayload)(null))
-      val rBuf = rIter.buffered
-      // lastKey/lastPayload are COPIES: upstream sort iterators reuse row
-      // buffers, so anything retained across next() must be detached.
-      var lastKey: Any = null
+      // Current right row, DECODED ONCE on advance: a buffered-head form
+      // would re-project the same head row's key and ts for every left
+      // row it survives — O(|L|) redundant work on same-key stretches.
+      // The projected key/ts live in the r*Proj reuse buffers, which stay
+      // valid between advances (only the next advanceR() overwrites them),
+      // same for the sort iterator's row buffer behind rRow.
+      var rValid = false
+      var rRow: InternalRow = null
+      var rKeyRow: InternalRow = null
+      var rTsNull = false; var rTsLong = 0L; var rTsRow: InternalRow = null
+      def advanceR(): Unit =
+        if (rIter.hasNext) {
+          rRow = rIter.next()
+          rKeyRow = rKeyProj(rRow)
+          if (tsLongBacked) {
+            rTsNull = rRow.isNullAt(rTsAt)
+            rTsLong = if (rTsNull) 0L else rRow.getLong(rTsAt)
+          } else rTsRow = rTsProj(rRow)
+          rValid = true
+        } else { rValid = false; rRow = null; rKeyRow = null; rTsRow = null }
+      advanceR()
+      // lastKey/lastPayload are COPIES: upstream sort iterators and
+      // projections reuse row buffers, so anything retained across
+      // next() must be detached.
+      var lastKey: InternalRow = null
       var haveMatch = false
       var lastPayload: InternalRow = nullPayload
       lIter.map { lrow =>
-        val lk = lKeyBound.eval(lrow)
-        val lt = lTsBound.eval(lrow)
-        while (rBuf.hasNext && keyOrd.compare(rKeyBound.eval(rBuf.head), lk) < 0)
-          rBuf.next()
-        while (rBuf.hasNext && keyOrd.compare(rKeyBound.eval(rBuf.head), lk) == 0 &&
-            tsOrd.compare(rTsBound.eval(rBuf.head), lt) <= 0) {
-          val r = rBuf.next()
-          lastPayload = payloadProj(r).copy()
-          lastKey = InternalRow.copyValue(lk)
+        val lkRow = lKeyProj(lrow)
+        var lTsNull = false; var lTsLong = 0L; var lTsRow: InternalRow = null
+        if (tsLongBacked) {
+          lTsNull = lrow.isNullAt(lTsAt)
+          lTsLong = if (lTsNull) 0L else lrow.getLong(lTsAt)
+        } else lTsRow = lTsProj(lrow)
+        // right.ts <= left.ts under nulls-first (null ts = -infinity)
+        def rTsLeL: Boolean =
+          if (tsLongBacked) rTsNull || (!lTsNull && rTsLong <= lTsLong)
+          else tsCmp.compare(rTsRow, lTsRow) <= 0
+        while (rValid && keyCmp.compare(rKeyRow, lkRow) < 0) advanceR()
+        while (rValid && keyCmp.compare(rKeyRow, lkRow) == 0 && rTsLeL) {
+          lastPayload = payloadProj(rRow).copy()
+          // skip the defensive key copy when still inside the same key
+          // group — one copy per key, not one per consumed right row
+          if (!haveMatch || keyCmp.compare(lastKey, lkRow) != 0)
+            lastKey = lkRow.copy()
           haveMatch = true
+          advanceR()
         }
-        val p = if (haveMatch && keyOrd.compare(lastKey, lk) == 0) lastPayload
+        val p = if (haveMatch && keyCmp.compare(lastKey, lkRow) == 0) lastPayload
                 else nullPayload
         resultProj(joined(lrow, p))
       }
     }
-  }
-
-  private def nullsFirst(ord: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
-    override def compare(a: Any, b: Any): Int =
-      if (a == null) { if (b == null) 0 else -1 }
-      else if (b == null) 1
-      else ord.compare(a, b)
   }
 
   override protected def withNewChildrenInternal(

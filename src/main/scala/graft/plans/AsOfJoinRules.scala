@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rules for [[AsOfJoinNode]] — the `Rule[LogicalPlan]` leg of
@@ -73,6 +73,33 @@ object AsOfJoinPushdown extends Rule[LogicalPlan] with PredicateHelper {
   * Both arms are guarded to fire only when they remove at least one
   * column, so the rule is idempotent under fixed-point batches.
   */
+/** WHOLE-JOIN elimination — the custom-node analogue of what Catalyst
+  * does to the composed union+window as-of on its own: under `count()`
+  * (or any consumer ignoring the `asof_*` columns) the built-in pruning
+  * folds the window form's `filter(_is_left = 1)` back to just the left
+  * branch and drops the Window outright, so the query never joins at
+  * all. The as-of node emits EXACTLY one output row per left row (no
+  * multiplication, no filtering — pinned in AsofNativeSpec), so when an
+  * enclosing Project or Aggregate consumes none of the minted payload
+  * attributes the node is, cardinality- and column-wise, its left
+  * child. Without this rule the opaque node pays both shuffles and the
+  * merge for a result the plan then throws away — the kind of asymmetry
+  * that made the j05-vs-j08 bench comparison meaningless (the union
+  * form's `.count()` measured a pruned scan, the native form the full
+  * join). */
+object AsOfJoinElimination extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoinNode)
+        if AttributeSet(projList.flatMap(_.references))
+          .intersect(AttributeSet(j.payloadOut)).isEmpty =>
+      p.copy(child = j.left)
+    case a: Aggregate if a.child.isInstanceOf[AsOfJoinNode] &&
+        a.references.intersect(
+          AttributeSet(a.child.asInstanceOf[AsOfJoinNode].payloadOut)).isEmpty =>
+      a.withNewChildren(Seq(a.child.asInstanceOf[AsOfJoinNode].left))
+  }
+}
+
 object AsOfJoinPruning extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projList, j: AsOfJoinNode)

@@ -115,6 +115,32 @@ class AsofNativeSpec extends SparkSpec {
       s.contains("AsOfJoin")) // AQE may wrap; string check above is the witness
   }
 
+  test("elimination: count() over the native asof prunes the join to the left side") {
+    val prep = FtlFixture.prep(spark, 7, 300)
+    val joined = AsofJoin.blockedAfterAllowedNative(prep)
+    // cardinality contract: exactly one output row per left row, so the
+    // pruned count must equal the left side's count
+    val leftCnt = prep.filter(col("status_type") === "Blocked").count()
+    assert(joined.count() == leftCnt)
+    // plan contract: with no asof_* payload consumed, AsOfJoinElimination
+    // collapses the node — no AsOfJoin (and no Window) executes
+    val s = joined.groupBy().count().queryExecution.executedPlan.toString
+    assert(!s.contains("AsOfJoin"), "count() must not pay the join: " + s.take(400))
+    assert(!s.contains("Window"), s.take(400))
+    // and a consumer that DOES read the payload keeps the join
+    val kept = joined.agg(count(col("prev_allowed_ts")))
+      .queryExecution.executedPlan.toString
+    assert(kept.contains("AsOfJoin"), kept.take(400))
+  }
+
+  test("aggregated gap pair (j12/j13): union and native forms agree") {
+    val prep = FtlFixture.prep(spark, 7, 900)
+    val u = AsofJoin.asofGapStatsUnion(prep)
+    val n = AsofJoin.asofGapStatsNative(prep)
+    assert(u.count() > 0)
+    assert(u.exceptAll(n).count() == 0 && n.exceptAll(u).count() == 0)
+  }
+
   test("broadcast asof ≡ union+window asof, incl. no-match keys and ts collisions") {
     val prep = FtlFixture.prep(spark, 7, 900)
     val blocked = prep.filter(col("status_type") === "Blocked").select("client", "ts", "id")

@@ -7,16 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * compare), so pin the key sets against each other. */
 class ContractSpec extends AnyFunSuite {
 
-  /** Queries intentionally without SQL oracles — only the two HLL
-    * entries remain (the HyperLogLog register layout is engine-specific
-    * by nature); each has ScalaTest error-bound coverage instead. t05/m02
-    * graduated to real oracles in round 3 (DuckDB hex byte-walk); the
-    * five ANN queries graduated in round 5 (md5-parity hyperplanes +
-    * fold-exact dot mirrors + unrolled Lloyd iterations in SQL); the CMS
-    * graduated in round 7 (Murmur3_x86_32 spelled out in UBIGINT SQL —
-    * `Oracles.CmsSql`). */
-  private val rowsOnly = Set(
-    "a11_approx_distinct", "a11_hll_daily_rollup")
+  /** Queries intentionally without SQL oracles — EMPTY since round 8:
+    * t05/m02 graduated in round 3 (DuckDB hex byte-walk); the five ANN
+    * queries in round 5 (md5-parity hyperplanes + fold-exact dot mirrors
+    * + unrolled Lloyd iterations in SQL); the CMS in round 7
+    * (Murmur3_x86_32 spelled out in UBIGINT SQL — `Oracles.CmsSql`); and
+    * the two HLL entries in round 8, reshaped to exact counts + within-ε
+    * booleans the oracle asserts TRUE (the register layout itself stays
+    * engine-specific — the bound is what is checkable). */
+  private val rowsOnly = Set.empty[String]
 
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -36,11 +35,15 @@ class ContractSpec extends AnyFunSuite {
     val unknown = Bench.headline.toSet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"headline entries with no query: $unknown")
     // the driver's stdout-tail capture is ~2000 chars; the emitted JSON
-    // line must fit with room for sbt's trailing [success] line
+    // line must fit with room for sbt's trailing [success] line. Mirrors
+    // Bench's actual format: per-query values rounded to 4dp, plus the
+    // totals/failed/spread trailer fields.
     val worstCaseLine = Bench.headline
-      .map(n => s""""$n":123.456789012""").mkString(
+      .map(n => s""""$n":123.4568""").mkString(
         """{"metric":"total","value":1234.567890123,"unit":"sec","queries":{""",
-        ",", s"""},"sf":"/root/testdata/sf0.1"}""")
+        ",",
+        """},"total_all":1234.567890123,"n_all":130,"n_failed":0,"failed":[],""" +
+          """"reps":3,"spread_max":12.3456,"spread_med":0.1234,"sf":"/root/testdata/sf0.1"}""")
     assert(worstCaseLine.length < 1500,
       s"bench JSON line too long for driver tail capture: ${worstCaseLine.length}")
   }
