@@ -582,7 +582,16 @@ FROM allc a JOIN topc c USING(domain)"""
     "p02_regex_filter" -> p(
       """SELECT status_type, count(*) AS cnt FROM prep
         |WHERE domain IS NULL OR NOT regexp_matches(domain, '\d{2}\}$')
-        |GROUP BY status_type ORDER BY status_type""".stripMargin)
+        |GROUP BY status_type ORDER BY status_type""".stripMargin),
+
+    // F2: +05:30 display shift = a plain interval add on the naive UTC
+    // timestamp; the engine's invalid-zone leg falls back to UTC, so its
+    // hour is the unshifted hour
+    "f02_display_tz_hourly" -> p(
+      """SELECT CAST(hour(ts + INTERVAL 330 MINUTE) AS INTEGER) AS local_hour,
+        |       count(*) AS cnt,
+        |       count(DISTINCT CAST(hour(ts) AS INTEGER)) AS n_utc_hours
+        |FROM prep GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   val streaks: Map[String, String] = Map(

@@ -78,6 +78,21 @@ object SparkEntry {
     "p02_regex_filter"        -> ((s, d) =>
       Preprocess.regexAntiFilter(prep(s, d), "domain", Seq("""\d{2}\}$""", "["))
         .groupBy("status_type").agg(count(lit(1)).as("cnt")).orderBy("status_type")),
+    // F2 end-to-end: display-timezone conversion (reference db.py:70-74,
+    // process.py:52-61) — hourly histogram in a +05:30 display zone. The
+    // fb_ts leg routes an INVALID zone through the same API, exercising
+    // the warn-and-fallback-to-UTC path (fb hour = UTC hour); a fixed
+    // offset keeps the DuckDB oracle a plain interval shift (no ICU).
+    "f02_display_tz_hourly"   -> ((s, d) => {
+      val base = prep(s, d).select(col("ts"), col("ts").as("fb_ts"))
+      val shifted = graft.sources.FtlIngest.withDisplayTz(
+        graft.sources.FtlIngest.withDisplayTz(base, "ts", "+05:30"),
+        "fb_ts", "No/Such_Zone")
+      shifted.groupBy(hour(col("ts")).as("local_hour"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(hour(col("fb_ts"))).as("n_utc_hours"))
+        .orderBy("local_hour")
+    }),
     // order-dependent layer (SURVEY.md §2.5 W1-W4)
     "w01_streak_runs_blocked" -> ((s, d) => Streaks.streakRuns(prep(s, d), "Blocked")),
     "w02_longest_streaks"     -> ((s, d) => Streaks.longestStreaks(prep(s, d))),
