@@ -22,7 +22,7 @@ object Bench {
     "d01_exact_summary", "d02_minhash_cands", "d03_jaccard_dups",
     "d05_simhash_cands",
     "s01_knn_brute", "s07_knn_topk_agg", "s02_knn_lsh", "s05_knn_ivf_trained",
-    "t01_lang_id", "t04_fingerprint_groups",
+    "t10_lang_dist", "t04_fingerprint_groups",
     "m02_media_features", "p02_regex_filter",
     // round-4 flagships: completed TPC-H shapes, PQ-ANN, SimHash verify,
     // repetition rules, the EWMA fold
@@ -33,7 +33,10 @@ object Bench {
     "w03_longest_idle", "d07_verified_clusters", "p09_curated_corpus",
     // round-8: the honest as-of pair — aggregates CONSUME the asof payload
     // so neither the union+window nor the native form can be pruned under
-    // count() (j05/j08 above both prune to a scan; kept for continuity)
+    // count() (j05/j08 above both prune to a scan; kept for continuity).
+    // t10 replaced t01 for the same reason: langId is a row-preserving
+    // projection, so count() pruned all its regexps; the distribution
+    // aggregate pays the real language-ID cost.
     "j12_asof_gap_stats", "j13_asof_gap_stats_native")
 
   def main(args: Array[String]): Unit = {

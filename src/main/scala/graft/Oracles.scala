@@ -1627,6 +1627,19 @@ FROM allc a JOIN topc c USING(domain)"""
          |       ELSE 'fr' END AS pred_lang
          |FROM ($langHitsSub) ORDER BY doc_id""".stripMargin,
 
+    "t10_lang_dist" ->
+      s"""SELECT pred_lang, count(*) AS n_docs,
+         |  CAST(sum(en_hits + de_hits + fr_hits + es_hits + zh_hits) AS BIGINT) AS total_hits
+         |FROM (
+         |  SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+         |    CASE WHEN zh_hits >= greatest(en_hits, de_hits, fr_hits, es_hits) AND zh_hits > 0 THEN 'zh'
+         |         WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |         WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |         WHEN es_hits >= fr_hits THEN 'es'
+         |         ELSE 'fr' END AS pred_lang
+         |  FROM ($langHitsSub))
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
     "t02_quality_score" ->
       """SELECT doc_id, n_chars_m, n_tokens, punct_cnt, stop_hits,
         |  round(CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_word_len,

@@ -178,6 +178,7 @@ object SparkEntry {
     "s08_knn_pq"              -> ((s, d) => Similarity.knnPq(Tables.embeddings(s, d), 5, 10)),
     // training-data pipeline: text analysis over documents
     "t01_lang_id"             -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "t10_lang_dist"           -> ((s, d) => TextAnalysis.langDistribution(Tables.documents(s, d))),
     "t02_quality_score"       -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "t03_token_counts"        -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "t03_corpus_totals"       -> ((s, d) => TextAnalysis.corpusTokenTotals(Tables.documents(s, d))),

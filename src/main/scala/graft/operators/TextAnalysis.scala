@@ -41,6 +41,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T1's corpus rollup — and its honest BENCH form: [[langId]] is a
+    * row-preserving projection, so `.count()` over it prunes every
+    * regexp away and times a bare scan (the j05/j08 mirage, projection
+    * flavor). This aggregate CONSUMES the hit counts and the argmax, so
+    * the bench pays the real language-ID cost. */
+  def langDistribution(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("en_hits") + col("de_hits") + col("fr_hits") +
+          col("es_hits") + col("zh_hits")).as("total_hits"))
+      .orderBy("pred_lang")
+
   /** T2: quality scoring — length/punctuation/stopword-density features
     * and a bounded composite score. The formula is arbitrary but fixed;
     * the point is the feature extraction shape (all codegen'd scalar
