@@ -47,6 +47,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NATIVE asof (custom exec) equals the naive model on colliding-ts random inputs") {
+    for (seed <- 11L to 18L) {
+      val evs = sample(eventsGen, seed).zipWithIndex
+      val left = df("client STRING, ts TIMESTAMP, id BIGINT",
+        evs.collect { case ((k, t, 1), i) =>
+          Row(k, new java.sql.Timestamp(t * 1000), i.toLong) })
+      val right = df("client STRING, ts TIMESTAMP, allowed_ts TIMESTAMP",
+        evs.collect { case ((k, t, 0), _) =>
+          Row(k, new java.sql.Timestamp(t * 1000), new java.sql.Timestamp(t * 1000)) })
+      val got = graft.plans.NativeAsof.asof(left, right, "client", "ts", Seq("allowed_ts"))
+        .select("client", "id", "asof_allowed_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> Option(r.getTimestamp(2))).toMap
+      val rightTs = evs.collect { case ((k, t, 0), _) => (k, t) }
+      val want = evs.collect { case ((k, t, 1), i) =>
+        (k, i.toLong) -> rightTs.filter(r => r._1 == k && r._2 <= t)
+          .map(_._2).maxOption.map(m => new java.sql.Timestamp(m * 1000))
+      }.toMap
+      assert(got == want, s"seed=$seed")
+      // elimination invariant: payload-blind count == |left| exactly
+      // (one output row per left row; AsOfJoinElimination makes the
+      // count a plain left-side count, so this also guards the rule)
+      val cnt = graft.plans.NativeAsof.asof(left, right, "client", "ts", Seq("allowed_ts")).count()
+      assert(cnt == left.count(), s"seed=$seed: asof count != left count")
+    }
+  }
+
   test("forward asof equals the naive per-row min(right.ts >= left.ts), ties included") {
     for (seed <- 1L to 8L) {
       val evs = sample(eventsGen, seed).zipWithIndex
