@@ -337,6 +337,15 @@ object Oracles {
         |       TRUE AS est_within_eps
         |FROM prep""".stripMargin),
 
+    // A34: percentile_approx's contract is a RANK-error bound; the engine
+    // computes the empirical CDF straddle check itself, the oracle
+    // asserts it holds at every level
+    "a34_approx_quantile_bounds" ->
+      """SELECT CAST(0.50 AS DOUBLE) AS q_level, TRUE AS rank_ok
+        |UNION ALL SELECT CAST(0.95 AS DOUBLE), TRUE
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE), TRUE
+        |ORDER BY q_level""".stripMargin,
+
     "a12_diverse_client" -> p(
       """SELECT client, count(DISTINCT domain) AS n_domains FROM prep
         |GROUP BY client ORDER BY n_domains DESC, client LIMIT 1""".stripMargin),

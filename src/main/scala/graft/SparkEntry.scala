@@ -49,6 +49,7 @@ object SparkEntry {
     "a11_approx_distinct"     -> ((s, d) => Stats.approxDistinctChecked(prep(s, d))),
     "a11_hll_daily_rollup"    -> ((s, d) => Stats.hllDailyDomainsChecked(prep(s, d))),
     "a11_cms_domain_counts"   -> ((s, d) => Stats.cmsDomainEstimates(prep(s, d))),
+    "a34_approx_quantile_bounds" -> ((s, d) => Stats.approxQuantileBounds(prep(s, d))),
     "a12_diverse_client"      -> ((s, d) => Stats.diverseClient(prep(s, d))),
     "u02_day_only_clients"    -> ((s, d) => Stats.dayOnlyClients(prep(s, d))),
     "a26_reply_dispersion"    -> ((s, d) => Stats.replyDispersion(prep(s, d))),

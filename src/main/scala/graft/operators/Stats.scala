@@ -290,6 +290,41 @@ object Stats {
       .orderBy("domain")
   }
 
+  /** A34: approximate-quantile sketch with its guarantee CHECKED — the
+    * third sketch family next to HLL (cardinality) and CMS (frequency).
+    * `percentile_approx` (Greenwald-Khanna summaries) promises a RANK
+    * error ≤ 1/accuracy, not a value error, so the oracle-checkable form
+    * verifies exactly that: for each level q, the empirical CDF around
+    * the returned value must straddle q within ε — strictly-less
+    * fraction ≤ q+ε and less-or-equal fraction ≥ q−ε (the two-sided
+    * form is tie-safe; a single `<=` fraction can jump past q+ε on
+    * heavy ties without any sketch error). One corpus scan computes the
+    * sketch; one more, with the 3-row (level, value) relation broadcast,
+    * computes the CDF checks — no collect, fully lazy. */
+  def approxQuantileBounds(prep: DataFrame, eps: Double = 0.01,
+                           accuracy: Int = 1000): DataFrame = {
+    val levels = Seq(0.5, 0.95, 0.99)
+    val lvArr = array(levels.map(lit): _*)
+    val vals = prep.filter(col("reply_time").isNotNull).agg(
+      percentile_approx(col("reply_time"), lvArr, lit(accuracy)).as("vs"),
+      count(lit(1)).as("n"))
+    val lvRel = vals.select(col("n"), posexplode(col("vs")).as(Seq("i", "v")))
+      .withColumn("q_level", element_at(lvArr, col("i") + 1))
+      .select("q_level", "v", "n")
+    prep.filter(col("reply_time").isNotNull).select(col("reply_time"))
+      .crossJoin(broadcast(lvRel))
+      .groupBy("q_level")
+      .agg(
+        (sum(when(col("reply_time") < col("v"), 1L).otherwise(0L)).cast("double") /
+          first(col("n"))).as("frac_lt"),
+        (sum(when(col("reply_time") <= col("v"), 1L).otherwise(0L)).cast("double") /
+          first(col("n"))).as("frac_le"))
+      .select(col("q_level"),
+        ((col("frac_lt") <= col("q_level") + lit(eps)) &&
+          (col("frac_le") >= col("q_level") - lit(eps))).as("rank_ok"))
+      .orderBy("q_level")
+  }
+
   /** Statistical aggregates over reply times: per-status stddev and the
     * hour↔reply correlation — ratios/roots of distributed sums, rounded
     * to 6dp on both sides (relative error of a distributed vs sequential
