@@ -69,6 +69,14 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
+  // standard exec instrumentation — surfaces in the SQL UI / explain
+  // like every built-in join's metrics
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of left rows with a match"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] =
@@ -112,6 +120,8 @@ case class AsOfJoinExec(
       case STs | SNtz | SLong => true
       case _ => false
     }
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // generated inside the partition: BaseOrdering instances are not
       // serializable, and Janino's cache dedupes the per-partition codegen
@@ -182,8 +192,10 @@ case class AsOfJoinExec(
           haveMatch = true
           advanceR()
         }
-        val p = if (haveMatch && keyCmp.compare(lastKey, lkRow) == 0) lastPayload
-                else nullPayload
+        val matched = haveMatch && keyCmp.compare(lastKey, lkRow) == 0
+        val p = if (matched) lastPayload else nullPayload
+        numOutputRows += 1
+        if (matched) numMatchedRows += 1
         resultProj(joined(lrow, p))
       }
     }
