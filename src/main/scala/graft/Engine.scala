@@ -105,7 +105,7 @@ object Engine {
     // ---- one-pass global summary: totals + range + uniques + reply
     // (stats.py:10-52, 420-423, 446-455 — four reference scans, one job;
     // also the job that materializes the persisted prep) ----
-    val g = Stats.globalSummary(prep).head
+    val g = Stats.globalSummary(prep).head()
     val total = g.getAs[Long]("total")
     m("n_data_points") = total
     m("total_queries") = total

@@ -30,7 +30,7 @@ object AsofJoin {
       .withColumn("_is_left", lit(0))
     val unioned = leftTagged.columns.foldLeft(rightTagged) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-    }.select(leftTagged.columns.map(col): _*).unionByName(leftTagged)
+    }.select(leftTagged.columns.toIndexedSeq.map(col): _*).unionByName(leftTagged)
     // right rows (_is_left=0) sort before left rows on equal ts → "<=";
     // the payload columns are the FINAL sort keys so that when several
     // right rows share (key, ts), `last(..., ignoreNulls)` deterministically
@@ -67,7 +67,7 @@ object AsofJoin {
       .withColumn("_is_left", lit(0))
     val unioned = leftTagged.columns.foldLeft(rightTagged) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-    }.select(leftTagged.columns.map(col): _*).unionByName(leftTagged)
+    }.select(leftTagged.columns.toIndexedSeq.map(col): _*).unionByName(leftTagged)
     val tieBreaks = payloadCols.map(c => col(s"_r_$c").asc_nulls_last)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc +: col("_is_left").desc +: tieBreaks: _*)
@@ -109,7 +109,7 @@ object AsofJoin {
       // size(NULL)=NULL (no right rows for the key) and the guard keeps
       // ANSI element_at from seeing an empty array
       .withColumn("__m", when(size(col("__hits")) > 0, element_at(col("__hits"), -1)))
-    probed.select(left.columns.map(col) ++
+    probed.select(left.columns.toIndexedSeq.map(col) ++
       payloadCols.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
   }
 

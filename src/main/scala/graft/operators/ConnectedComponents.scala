@@ -50,7 +50,7 @@ object ConnectedComponents {
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("label")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      Option(df.agg(sum("label")).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -144,7 +144,7 @@ object ConnectedComponents {
     def checksum(e: DataFrame): (Long, Long) = {
       // bit_xor: commutative, order-independent, cannot overflow (sum
       // of 64-bit hashes would under ANSI arithmetic)
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var edges = pairs.select(col("i").as("u"), col("j").as("v"))
