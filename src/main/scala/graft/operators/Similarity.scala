@@ -182,6 +182,20 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // Trained-artifact memo (SnapshotKey discipline — see that object's
+    // doc): "training runs once at write time" is this operator family's
+    // own scale contract, and the artifact is k×dim driver doubles. A
+    // changed/appended corpus keys differently; in-memory frames carry
+    // no stable identity and train fresh every call.
+    val memoKey = SnapshotKey.of(emb).map((_, k, iterations))
+    memoKey.foreach { mk =>
+      centsMemo.synchronized {
+        centsMemo.get(mk).foreach { rows =>
+          centsMemo.remove(mk); centsMemo(mk) = rows // LRU touch
+          return rows.toSeq.toDF("cell", "centv")
+        }
+      }
+    }
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     // Centroids live on the DRIVER between iterations (k × dim doubles —
@@ -223,7 +237,35 @@ object Similarity {
         (cell, next.getOrElse(cell, prev))
       }
     }
+    memoKey.foreach { mk =>
+      centsMemo.synchronized {
+        centsMemo(mk) = centRows
+        while (centsMemo.size > TrainMemoMax) centsMemo.remove(centsMemo.head._1)
+      }
+    }
     toLocal(centRows)
+  }
+
+  private val TrainMemoMax = 4
+  private val centsMemo =
+    new scala.collection.mutable.LinkedHashMap[(String, Int, Int), Array[(Int, Seq[Double])]]
+  private val booksMemo =
+    new scala.collection.mutable.LinkedHashMap[(String, Int, Int, Int), Array[(Int, Int, Seq[Double])]]
+  // the ENCODED index (vec_id, subspace, code) — m small ints per vector,
+  // the artifact "that lets a 100 TB corpus' index live in executor
+  // memory" (see knnPq doc); persisted, so release via releaseCaches
+  private val codesMemo =
+    new scala.collection.mutable.LinkedHashMap[(String, Int, Int, Int), DataFrame]
+
+  /** Release the persisted PQ index relations (the trained centroid /
+    * codebook arrays are driver-local and just drop with the map). */
+  def releaseCaches(): Unit = {
+    centsMemo.synchronized(centsMemo.clear())
+    booksMemo.synchronized(booksMemo.clear())
+    codesMemo.synchronized {
+      codesMemo.valuesIterator.foreach(_.unpersist(blocking = false))
+      codesMemo.clear()
+    }
   }
 
   /** Nearest-centroid cell id per vector — exposed for balance/recall
@@ -340,6 +382,16 @@ object Similarity {
   def pqCodebooks(emb: DataFrame, m: Int, codes: Int, iterations: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // same trained-artifact memo as kmeansCentroids — m·codes×sub doubles
+    val memoKey = SnapshotKey.of(emb).map((_, m, codes, iterations))
+    memoKey.foreach { mk =>
+      booksMemo.synchronized {
+        booksMemo.get(mk).foreach { rows =>
+          booksMemo.remove(mk); booksMemo(mk) = rows // LRU touch
+          return rows.toSeq.toDF("subspace", "cell", "centv")
+        }
+      }
+    }
     val sub = embeddingDim(emb) / m
     val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
       slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
@@ -374,6 +426,12 @@ object Similarity {
         .map(t => (t._1, t._2) -> t._3).toMap
       centRows = centRows.map { case (s, c, prev) =>
         (s, c, next.getOrElse((s, c), prev))
+      }
+    }
+    memoKey.foreach { mk =>
+      booksMemo.synchronized {
+        booksMemo(mk) = centRows
+        while (booksMemo.size > TrainMemoMax) booksMemo.remove(booksMemo.head._1)
       }
     }
     toLocal(centRows)
@@ -432,7 +490,28 @@ object Similarity {
     // no persist needed: pqCodebooks returns a driver-local relation
     // (m·codes rows), so both consumers below read a LocalRelation
     val books = pqCodebooks(emb, m, codes, iterations)
-    val codesDf = pqEncode(emb, books, m)
+    // the encoded index is memoized per corpus snapshot (like the
+    // codebooks) — encoding is the write-time indexing job at scale
+    val codesDf = SnapshotKey.of(emb).map((_, m, codes, iterations)) match {
+      case None => pqEncode(emb, books, m)
+      case Some(mk) => codesMemo.synchronized {
+        codesMemo.get(mk) match {
+          case Some(c) if c.storageLevel !=
+              org.apache.spark.storage.StorageLevel.NONE =>
+            codesMemo.remove(mk); codesMemo(mk) = c // LRU touch
+            c
+          case _ =>
+            val c = pqEncode(emb, books, m)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            codesMemo(mk) = c
+            while (codesMemo.size > TrainMemoMax) {
+              val (k0, old) = codesMemo.head
+              codesMemo.remove(k0); old.unpersist(blocking = false)
+            }
+            c
+        }
+      }
+    }
     // per-query ADC lookup table: ||q_s - c||^2 for every (subspace, code)
     val qsubs = array((0 until m).map(i => struct(lit(i).as("subspace"),
       slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
