@@ -188,13 +188,17 @@ object Similarity {
     // changed/appended corpus keys differently; in-memory frames carry
     // no stable identity and train fresh every call.
     val memoKey = SnapshotKey.of(emb).map((_, k, iterations))
-    memoKey.foreach { mk =>
+    val memoHit: Option[Array[(Int, Seq[Double])]] = memoKey.flatMap { mk =>
       centsMemo.synchronized {
-        centsMemo.get(mk).foreach { rows =>
+        centsMemo.get(mk).map { rows =>
           centsMemo.remove(mk); centsMemo(mk) = rows // LRU touch
-          return rows.toSeq.toDF("cell", "centv")
+          rows
         }
       }
+    }
+    memoHit match {
+      case Some(rows) => return rows.toSeq.toDF("cell", "centv")
+      case None => ()
     }
     val vecs = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -384,13 +388,17 @@ object Similarity {
     import spark.implicits._
     // same trained-artifact memo as kmeansCentroids — m·codes×sub doubles
     val memoKey = SnapshotKey.of(emb).map((_, m, codes, iterations))
-    memoKey.foreach { mk =>
+    val memoHit: Option[Array[(Int, Int, Seq[Double])]] = memoKey.flatMap { mk =>
       booksMemo.synchronized {
-        booksMemo.get(mk).foreach { rows =>
+        booksMemo.get(mk).map { rows =>
           booksMemo.remove(mk); booksMemo(mk) = rows // LRU touch
-          return rows.toSeq.toDF("subspace", "cell", "centv")
+          rows
         }
       }
+    }
+    memoHit match {
+      case Some(rows) => return rows.toSeq.toDF("subspace", "cell", "centv")
+      case None => ()
     }
     val sub = embeddingDim(emb) / m
     val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
