@@ -1826,6 +1826,32 @@ FROM allc a JOIN topc c USING(domain)"""
         |  octet_length(encode(text)) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "m04_resized_media" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |    CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
+        |    CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
+        |    octet_length(encode(text)) AS blen,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |t AS (
+        |  SELECT *,
+        |    greatest(1, width * 64 // greatest(width, height)) AS tw,
+        |    greatest(1, height * 64 // greatest(width, height)) AS th
+        |  FROM m),
+        |s AS (
+        |  SELECT *, greatest(1, (width * height) // (tw * th)) AS strd FROM t)
+        |SELECT doc_id, kind, width, height,
+        |  CAST(tw AS INTEGER) AS target_w, CAST(th AS INTEGER) AS target_h,
+        |  CAST(strd AS INTEGER) AS stride,
+        |  CAST((blen + strd - 1) // strd AS INTEGER) AS resized_len,
+        |  CAST(coalesce(list_sum(
+        |    [CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT)
+        |     FOR i IN range(0, blen) IF i % strd = 0]), 0)
+        |    % 1000000007 AS BIGINT) AS resized_checksum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "m03_sampled_frames" ->
       """SELECT doc_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
         |       CAST(f AS INTEGER) AS frame_idx

@@ -64,6 +64,51 @@ object Multimodal {
           lit(every))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("target_w", IntegerType, nullable = false),
+    StructField("target_h", IntegerType, nullable = false),
+    StructField("stride", IntegerType, nullable = false),
+    StructField("resized_len", IntegerType, nullable = false),
+    StructField("resized_checksum", LongType, nullable = false)))
+
+  /** The resize stage of an image pipeline: fit (width, height) into a
+    * `box`×`box` target preserving aspect ratio, then "resample" the
+    * payload by pixel-decimation stride. The geometry and the stride are
+    * pure integer arithmetic (oracle-mirrorable); the byte decimation
+    * stands in for the codec's scaler. Same mapPartitions shape as
+    * [[extractFeatures]] — a real scaler initializes once per partition
+    * and only the body of `resize` changes. */
+  def resizeMedia(docs: DataFrame, box: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val src = attachMedia(docs).select(col("doc_id"), col("media"),
+      col("meta.kind"), col("meta.width"), col("meta.height"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      // real pipeline: val scaler = Codec.acquireScaler() here, once per partition
+      def resize(r: Row): Row = {
+        val id    = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val kind  = r.getString(2)
+        val w     = r.getInt(3)
+        val h     = r.getInt(4)
+        val m  = math.max(w, h)
+        val tw = math.max(1, w * box / m)
+        val th = math.max(1, h * box / m)
+        val stride = math.max(1, (w.toLong * h / (tw.toLong * th)).toInt)
+        var sum = 0L
+        var n   = 0
+        var i   = 0
+        while (i < bytes.length) { sum += (bytes(i) & 0xff); n += 1; i += stride }
+        Row(id, kind, w, h, tw, th, stride, n, sum % 1000000007L)
+      }
+      rows.map(resize)
+    }
+    spark.createDataFrame(rdd, resizedSchema).orderBy("doc_id")
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = true),

@@ -45,12 +45,14 @@ object Pipeline {
     val dropNear = Dedup.verifiedClusters(docs, jaccardThreshold, maxIter = ccMaxIter)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("_drop_id"))
-    // stage 3 + 4: quality floor and deterministic sample membership
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality_score"))
+    // stage 3 + 4: quality floor and deterministic sample membership.
+    // quality_score is a pure per-row function of text, so it is scored
+    // IN PLACE (qualityScoreExpr) — joining back to a second scan of the
+    // corpus would add a full doc_id shuffle and a redundant read for a
+    // value the surviving rows already carry the input to.
     exactKept
       .join(dropNear, col("doc_id") === col("_drop_id"), "left_anti")
-      .join(quality, Seq("doc_id"))
+      .withColumn("quality_score", TextAnalysis.qualityScoreExpr(col("text")))
       .filter(col("quality_score") >= minQuality)
       .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))

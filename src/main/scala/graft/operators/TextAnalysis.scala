@@ -54,10 +54,34 @@ object TextAnalysis {
           col("es_hits") + col("zh_hits")).as("total_hits"))
       .orderBy("pred_lang")
 
+  /** quality_score as a pure expression over a text column — lets
+    * consumers (Pipeline.curate) score rows in place instead of joining
+    * back to a second scan of the corpus. Op order is fixed: both
+    * [[qualityScore]] and the DuckDB oracle replay it, so the doubles are
+    * bit-identical everywhere.
+    *
+    * floor-truncate instead of round: the weighted sum of small
+    * rationals lands EXACTLY on round-half boundaries (e.g. 0.5529365),
+    * where Spark's and DuckDB's round() disagree; floor of bit-identical
+    * doubles (identical op order) cannot. */
+  def qualityScoreExpr(text: Column): Column = {
+    val nTokens  = size(split(text, " "))
+    val punctCnt = regexp_count(text, lit("[.,!?;:]"))
+    val stopHits = regexp_count(lower(text), lit(LangPatterns.head._2))
+    val raw = least(nTokens.cast("double"), lit(200.0)) / 200.0 * 0.4 +
+      least(stopHits.cast("double") / greatest(nTokens, lit(1)) * 5.0,
+        lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punctCnt.cast("double")
+        / greatest(nTokens, lit(1)) * 10.0, lit(1.0))) * 0.3
+    floor(raw * 1e6).cast("double") / 1e6
+  }
+
   /** T2: quality scoring — length/punctuation/stopword-density features
     * and a bounded composite score. The formula is arbitrary but fixed;
     * the point is the feature extraction shape (all codegen'd scalar
-    * expressions over one scan). */
+    * expressions over one scan; duplicated subtrees between the feature
+    * columns and [[qualityScoreExpr]] collapse under codegen
+    * subexpression elimination). */
   def qualityScore(docs: DataFrame): DataFrame = {
     val nTokens = size(split(col("text"), " "))
     val punctCnt = regexp_count(col("text"), lit("[.,!?;:]"))
@@ -68,24 +92,13 @@ object TextAnalysis {
       nChars.as("n_chars_m"),
       nTokens.as("n_tokens"),
       punctCnt.as("punct_cnt"),
-      stopHits.as("stop_hits"))
+      stopHits.as("stop_hits"),
+      qualityScoreExpr(col("text")).as("quality_score"))
       .withColumn("avg_word_len",
         round((col("n_chars_m") - (col("n_tokens") - 1)).cast("double")
           / greatest(col("n_tokens"), lit(1)), 6))
       .withColumn("stop_ratio",
         round(col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1)), 6))
-      .withColumn("quality_score", {
-        // floor-truncate instead of round: the weighted sum of small
-        // rationals lands EXACTLY on round-half boundaries (e.g.
-        // 0.5529365), where Spark's and DuckDB's round() disagree; floor
-        // of bit-identical doubles (identical op order) cannot.
-        val raw = least(col("n_tokens").cast("double"), lit(200.0)) / 200.0 * 0.4 +
-          least(col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1)) * 5.0,
-            lit(1.0)) * 0.3 +
-          (lit(1.0) - least(col("punct_cnt").cast("double")
-            / greatest(col("n_tokens"), lit(1)) * 10.0, lit(1.0))) * 0.3
-        floor(raw * 1e6).cast("double") / 1e6
-      })
       .orderBy("doc_id")
   }
 
