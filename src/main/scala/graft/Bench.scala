@@ -17,8 +17,7 @@ object Bench {
     "h01_pricing_summary", "h05_region_revenue", "h10_returned_revenue",
     "h_topn_per_customer", "h_anti_no_open_orders",
     "w02_longest_streaks", "w04_streak_runs_scalable", "w05_sessionize",
-    "j03_gap_filled", "j05_asof_blocked_allowed", "j08_asof_blocked_allowed_native",
-    "h21_sole_returned_supplier",
+    "j03_gap_filled", "h21_sole_returned_supplier",
     "d01_exact_summary", "d02_minhash_cands", "d03_jaccard_dups",
     "d05_simhash_cands",
     "s01_knn_brute", "s07_knn_topk_agg", "s02_knn_lsh", "s05_knn_ivf_trained",
@@ -33,11 +32,18 @@ object Bench {
     "w03_longest_idle", "d07_verified_clusters", "p09_curated_corpus",
     // round-8: the honest as-of pair — aggregates CONSUME the asof payload
     // so neither the union+window nor the native form can be pruned under
-    // count() (j05/j08 above both prune to a scan; kept for continuity).
-    // t10 replaced t01 for the same reason: langId is a row-preserving
-    // projection, so count() pruned all its regexps; the distribution
-    // aggregate pays the real language-ID cost.
-    "j12_asof_gap_stats", "j13_asof_gap_stats_native")
+    // count(). j05/j08 left the headline the same round: both prune to a
+    // bare scan under count() (the as-of elimination), so their seats
+    // measured nothing; BENCH_FULL still times them. t10 replaced t01 for
+    // the same reason: langId is a row-preserving projection, so count()
+    // pruned all its regexps; the distribution aggregate pays the real
+    // language-ID cost.
+    "j12_asof_gap_stats", "j13_asof_gap_stats_native",
+    // round-8: sequence packing — the global-prefix-sum two-pass (the w04
+    // treatment applied to a running token sum). p12's measured work is
+    // the opaque two-pass RDD machinery (count() cannot prune it); p13's
+    // manifest aggregate consumes the bin ids.
+    "p12_packed_sequences", "p13_bin_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

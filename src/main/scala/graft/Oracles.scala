@@ -1047,6 +1047,49 @@ FROM allc a JOIN topc c USING(domain)"""
         |        / count(*), 6) AS rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // sequence packing: the oracle replays the window-cumsum semantic
+    // spec (Packing.packSequencesWindow); the engine runs the two-pass
+    // range-partition form — equality of the two is ALSO pinned in
+    // PackingSpec, so this hash-compare transitively verifies the
+    // scalable path. `//` everywhere: integer division, matching the
+    // engine's `div` (never double-rounded).
+    "p12_packed_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before
+        |  FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 2048 AS bin_id,
+        |  cum_before % 2048 AS bin_offset,
+        |  (cum_before % 2048 + n_tokens - 1) // 2048 + 1 AS bins_spanned
+        |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "p13_bin_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id, n_tokens, cum_before // 2048 AS bin_id,
+        |    (cum_before % 2048 + n_tokens - 1) // 2048 + 1 AS bins_spanned
+        |  FROM cum)
+        |SELECT bin_id,
+        |  CAST(count(*) AS BIGINT) AS docs_started,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+        |  min(doc_id) AS first_doc,
+        |  max(bins_spanned) AS max_span
+        |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin,
+
     // end-to-end curation: the d07 verified-cluster chain decides near-dup
     // drops; exact dedup, the t02 quality floor, and the p06 sample
     // predicate compose around it — one statement, same keep rules as

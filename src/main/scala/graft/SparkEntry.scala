@@ -198,6 +198,8 @@ object SparkEntry {
     // the composed curation pipeline (exact dedup -> near-dup clusters ->
     // quality floor -> deterministic 3/4 sample), oracle-checked end-to-end
     "p09_curated_corpus"      -> ((s, d) => Pipeline.curate(Tables.documents(s, d), sampleBuckets = 192)),
+    "p12_packed_sequences"    -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
+    "p13_bin_manifest"        -> ((s, d) => Packing.binManifest(Tables.documents(s, d))),
     // training-data pipeline: multimodal binary-column plumbing
     "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),

@@ -250,25 +250,33 @@ object Joins {
   /** TPC-H Q7 shape: bilateral trade volume — revenue between one pair
     * of (supplier nation, customer nation), both directions, by year.
     * Two independent nation lookups (aliased dims) hang off supplier and
-    * customer; nation/supplier broadcast (supplier is 1e-4 of lineitem
-    * in TPC-H proportions), orders⋈lineitem is the one big shuffle.
-    * The disjunctive nation-pair predicate can only be applied AFTER
-    * both lookups — it's the canonical "filter above a multi-join" that
-    * Catalyst can't push into either scan. */
+    * customer. The disjunctive nation-PAIR predicate can only be applied
+    * after both lookups, but its two-nation IMPLICATION — each side's
+    * nation ∈ {A, B} — pushes all the way down: both dim chains start
+    * from the 2-row filtered nation table, so only ~2/|nations| of
+    * customers and suppliers survive their lookups, the supplier
+    * broadcast prunes lineitem map-side, and the one big shuffle
+    * (lineitem⋈orders) moves the pruned sliver of both facts instead of
+    * their entirety (the h08 "filters travel down the bigger side" rule;
+    * this is the standard Q7 plan). The residual pair filter above the
+    * joins then only removes same-nation (A,A)/(B,B) rows. */
   def nationVolume(s: SparkSession, dir: String,
                    nationA: String = "NATION_3", nationB: String = "NATION_8"): DataFrame = {
+    val nat2 = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nationA, nationB))
     val supN = Tables.supplier(s, dir)
-      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(nat2), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val custN = Tables.customer(s, dir)
-      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(nat2), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "cust_nation")
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(custN, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
               (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),

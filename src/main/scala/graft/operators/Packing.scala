@@ -1,0 +1,126 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing — the "concatenate the corpus, cut it into fixed-size
+  * context windows" step an LLM training pipeline runs between curation
+  * and tokenized-shard writing. Each document is assigned the training
+  * bin (context window) where its first token lands, given deterministic
+  * doc_id order and a token budget of `capacity` per bin; documents
+  * straddle bin boundaries (GPT-style packing: no padding, a document may
+  * continue into the next window).
+  *
+  * Per doc: `bin_id` = floor(cum_tokens_before / capacity),
+  * `bin_offset` = cum_tokens_before % capacity, and `bins_spanned` =
+  * how many windows the document touches.
+  *
+  * The interesting part at 100 TB is the GLOBAL PREFIX SUM: a window
+  * cumsum over `ORDER BY doc_id` serializes the corpus through one task
+  * (the W1-W4 problem). [[packSequences]] uses the same two-pass
+  * range-partition machinery as `Streaks.parallelRunsBy`: pass 1 collects
+  * one token-subtotal per partition (O(partitions) driver bytes), a
+  * driver fold turns them into per-partition starting offsets, and pass 2
+  * assigns bins partition-parallel from the broadcast bases. Both passes
+  * reuse one range shuffle's files. [[packSequencesWindow]] is the
+  * single-window semantic spec the scalable form is tested equal to.
+  */
+object Packing {
+
+  val DefaultCapacity = 2048L
+
+  /** ws-token count expression — identical shape to
+    * `TextAnalysis.tokenCounts`' ws_tokens so oracle SQL mirrors with
+    * `len(string_split(text, ' '))`. Never 0: split("") = [""]. */
+  private def wsTokens(text: Column): Column = size(split(text, " ")).cast("long")
+
+  // `div`, not `/`: Spark's Divide on longs goes through double, which
+  // loses exactness past 2^53 — reachable by a global token offset at
+  // full corpus scale. `div`/`%` stay in integer arithmetic.
+  private def withBinColumns(df: DataFrame, capacity: Long): DataFrame =
+    df.withColumn("bin_id", expr(s"_cum_before div ${capacity}L"))
+      .withColumn("bin_offset", col("_cum_before") % capacity)
+      .withColumn("bins_spanned",
+        expr(s"(bin_offset + n_tokens - 1) div ${capacity}L + 1L"))
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+        col("bin_offset"), col("bins_spanned"))
+      .orderBy("doc_id")
+
+  /** Semantic spec: one global-order window cumsum. Correct, and the
+    * form the DuckDB oracle mirrors — but the Window serializes onto a
+    * single task, so it exists as the equality baseline for
+    * [[packSequences]], not the production path. */
+  private[graft] def packSequencesWindow(docs: DataFrame,
+                                         capacity: Long = DefaultCapacity): DataFrame = {
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = docs.select(col("doc_id"), wsTokens(col("text")).as("n_tokens"))
+      .withColumn("_cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    withBinColumns(cum, capacity)
+  }
+
+  /** Production path: global prefix sum via two range-partitioned passes,
+    * no Window operator and no single-task stage (the `Streaks`
+    * treatment applied to a running SUM instead of a running change
+    * count). Degenerate inputs (empty, single partition) fall out of the
+    * same code path. */
+  def packSequences(docs: DataFrame, capacity: Long = DefaultCapacity,
+                    numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"), wsTokens(col("text")).as("n_tokens"))
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else math.max(32, base.queryExecution.toRdd.getNumPartitions)
+    val rdd = base
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd
+    // pass 1: one token subtotal per partition — O(partitions) driver data
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var s = 0L
+      rows.foreach(r => s += r.getLong(1))
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1)
+    // driver fold: partition p starts at the sum of all earlier subtotals
+    val bases = Map.newBuilder[Int, Long]
+    var total = 0L
+    subtotals.foreach { case (pid, s) => bases += pid -> total; total += s }
+    val bc = spark.sparkContext.broadcast(bases.result())
+    // pass 2: running offset within each partition from its broadcast
+    // base; reuses pass 1's shuffle files (same lineage)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("_cum_before", LongType, nullable = false)))
+    val cumRdd = rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var cum = bc.value.getOrElse(pid, 0L)
+      val out = ArrayBuffer.empty[Row]
+      rows.foreach { r =>
+        out += Row(r.getLong(0), r.getLong(1), cum)
+        cum += r.getLong(1)
+      }
+      out.iterator
+    }
+    withBinColumns(spark.createDataFrame(cumRdd, outSchema), capacity)
+  }
+
+  /** The consumer view: per-bin manifest — how many documents start in
+    * each window and how full it is (the last bin is partial, and bins a
+    * long document fully covers contain zero starts but full token
+    * occupancy). `tokens_started` counts tokens of docs STARTING in the
+    * bin, so it can exceed capacity exactly when a doc spills over. */
+  def binManifest(docs: DataFrame, capacity: Long = DefaultCapacity,
+                  numPartitions: Int = 0): DataFrame =
+    packSequences(docs, capacity, numPartitions)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("docs_started"),
+        sum(col("n_tokens")).as("tokens_started"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("bins_spanned")).as("max_span"))
+      .orderBy("bin_id")
+}

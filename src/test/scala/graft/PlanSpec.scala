@@ -204,6 +204,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.nonEmpty), "per-part aggregate must consume the brand-pruned join")
   }
 
+  test("h07 two-nation implication prunes lineitem before the orderkey join") {
+    // the pair-disjunction's implication (each side's nation ∈ {A,B})
+    // must reach both fact sides BELOW the big l_orderkey join: the
+    // lineitem branch passes through the broadcast supplier-nation join
+    // (map-side prune) before any orderkey join, so the shuffle moves
+    // the two-nation sliver, never the raw fact table
+    val df = SparkEntry.queries("h07_nation_volume")(spark, dir)
+    df.collect()
+    val plan = executed(df)
+    val okJoins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("l_orderkey")) => j
+    }
+    assert(okJoins.nonEmpty, plan.toString.take(800))
+    val lineitemSide = okJoins.flatMap(j => Seq(j.left, j.right))
+      .filter(_.toString.contains("lineitem.parquet"))
+    assert(lineitemSide.nonEmpty, "no join input traces back to the lineitem scan")
+    assert(lineitemSide.forall(side => collect(side) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if (b.leftKeys ++ b.rightKeys).exists(_.toString.contains("l_suppkey")) => b
+    }.nonEmpty), "lineitem must be supplier-nation-pruned below the orderkey join")
+  }
+
   test("h02 correlated min: lineitem scanned once, 3 columns, both prunes broadcast") {
     val df = SparkEntry.queries("h02_min_cost_supplier")(spark, dir)
     val liScans = leafScans(df).filter(_.contains("lineitem.parquet"))
