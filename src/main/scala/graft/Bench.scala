@@ -43,7 +43,12 @@ object Bench {
     // treatment applied to a running token sum). p12's measured work is
     // the opaque two-pass RDD machinery (count() cannot prune it); p13's
     // manifest aggregate consumes the bin ids.
-    "p12_packed_sequences", "p13_bin_manifest")
+    "p12_packed_sequences", "p13_bin_manifest",
+    // round-8: decontamination (broadcast eval shingles vs streaming
+    // corpus) and chunk stats (distinct-hash aggregate consumes every
+    // chunk's content) — both end in aggregates, so count() prunes
+    // neither
+    "d12_decontaminated", "p15_chunk_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

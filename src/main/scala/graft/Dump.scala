@@ -22,6 +22,16 @@ object Dump {
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(s"[dump] $n -> $outDir/$n")
     }
+    // matching oracle subset so tools/check.py runs on a Dump dir too
+    val sub = names.split(",").toSeq.flatMap(n =>
+      SparkEntry.oracleSql.get(n).map(sql => n -> sql))
+    val json = sub.map { case (n, sql) =>
+      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      s""""$n": "$esc""""
+    }.mkString("{", ",\n", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

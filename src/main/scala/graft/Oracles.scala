@@ -178,6 +178,31 @@ object Oracles {
         |SELECT status_type, date, round(ewma, 6) AS ewma FROM rec
         |ORDER BY status_type, date""".stripMargin),
 
+    // trailing-window z-score: current row excluded (ROWS ... 1
+    // PRECEDING), < 3 trailing points or zero variance => NULL z; the
+    // anomaly test applies to the ROUNDED z on both sides
+    "w09_daily_anomalies" -> p(
+      """, daily AS (
+        |  SELECT status_type, date, count(*) AS cnt
+        |  FROM prep GROUP BY status_type, date),
+        |scored AS (
+        |  SELECT status_type, date, cnt,
+        |    count(cnt) OVER w AS n_prev,
+        |    avg(cnt) OVER w AS mean_prev,
+        |    stddev_samp(cnt) OVER w AS sd_prev
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY status_type ORDER BY date
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT status_type, date, cnt,
+        |    round(mean_prev, 6) AS trailing_mean,
+        |    CASE WHEN n_prev >= 3 AND sd_prev > 0
+        |         THEN round((cnt - mean_prev) / sd_prev, 6) END AS z_score
+        |  FROM scored)
+        |SELECT status_type, date, cnt, trailing_mean, z_score,
+        |  coalesce(abs(z_score) > 2.0, false) AS is_anomaly
+        |FROM z ORDER BY status_type, date""".stripMargin),
+
     // ntile → INTEGER and sum(BIGINT) → BIGINT: DuckDB widens to
     // BIGINT/HUGEINT where Spark stays int/long
     // explicit bin arithmetic (DuckDB has no width_bucket); floor math
@@ -1090,6 +1115,35 @@ FROM allc a JOIN topc c USING(domain)"""
         |  max(bins_spanned) AS max_span
         |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin,
 
+    // DuckDB list slices are 1-based inclusive (w[a:b]), mirroring
+    // Spark's 1-based slice(w, start, len); // floors where Spark's div
+    // truncates, but both only disagree below the greatest(0, _) cut.
+    "p14_chunked_docs" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, w, CAST(i AS INTEGER) AS chunk_no
+        |  FROM t, unnest(generate_series(0, greatest((len(w) - 64 + 47) // 48, 0))) s(i))
+        |SELECT doc_id, lang, chunk_no,
+        |  CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "p15_chunk_stats" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, w, CAST(i AS INTEGER) AS chunk_no
+        |  FROM t, unnest(generate_series(0, greatest((len(w) - 64 + 47) // 48, 0))) s(i)),
+        |ch AS (
+        |  SELECT lang, chunk_no,
+        |    CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS INTEGER) AS n_tokens,
+        |    md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_hash
+        |  FROM c)
+        |SELECT lang, count(*) AS n_chunks,
+        |  count(DISTINCT chunk_hash) AS n_distinct_chunks,
+        |  round(avg(n_tokens), 6) AS avg_chunk_tokens,
+        |  max(chunk_no) AS max_chunk_no
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
     // end-to-end curation: the d07 verified-cluster chain decides near-dup
     // drops; exact dedup, the t02 quality floor, and the p06 sample
     // predicate compose around it — one statement, same keep rules as
@@ -1266,6 +1320,29 @@ FROM allc a JOIN topc c USING(domain)"""
     "d01_exact_groups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // decontamination: corpus docs sharing >= 2 distinct word-trigrams
+    // with the src0 "benchmark" slice; per-doc totals and hits counted
+    // in one left-join pass, exactly like the engine
+    "d12_decontaminated" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+        |       unnest(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE len(w) >= 3),
+        |ev AS (
+        |  SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+        |  WHERE source = 'src0'),
+        |agg AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles, count(ev.s) AS n_overlap
+        |  FROM sh JOIN documents d USING (doc_id)
+        |  LEFT JOIN ev ON ev.s = sh.s
+        |  WHERE d.source <> 'src0'
+        |  GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac
+        |FROM agg WHERE n_overlap >= 2 ORDER BY doc_id""".stripMargin,
 
     "d02_minhash_cands" -> (minhashCtes + "\nSELECT i, j FROM cands ORDER BY i, j"),
 

@@ -111,6 +111,7 @@ object SparkEntry {
     "a31_client_rank_ties"    -> ((s, d) => Stats.clientRankTies(prep(s, d))),
     "w08_transition_matrix"   -> ((s, d) => Stats.transitionMatrix(prep(s, d))),
     "p11_notin_null"          -> ((s, d) => Preprocess.notInNullSemantics(prep(s, d))),
+    "w09_daily_anomalies"     -> ((s, d) => Stats.dailyAnomalies(prep(s, d))),
     "j10_ewma_daily"          -> ((s, d) => Stats.ewmaDaily(prep(s, d))),
     "j11_asof_forward"        -> ((s, d) => AsofJoin.allowedBeforeBlocked(prep(s, d))),
     "j05_asof_blocked_allowed" -> ((s, d) => AsofJoin.blockedAfterAllowed(prep(s, d))),
@@ -200,6 +201,10 @@ object SparkEntry {
     "p09_curated_corpus"      -> ((s, d) => Pipeline.curate(Tables.documents(s, d), sampleBuckets = 192)),
     "p12_packed_sequences"    -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
     "p13_bin_manifest"        -> ((s, d) => Packing.binManifest(Tables.documents(s, d))),
+    "p14_chunked_docs"        -> ((s, d) => Packing.chunkDocs(Tables.documents(s, d))),
+    "p15_chunk_stats"         -> ((s, d) => Packing.chunkStats(Tables.documents(s, d))),
+    // eval-set decontamination: src0 docs play the held-out benchmark
+    "d12_decontaminated"      -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     // training-data pipeline: multimodal binary-column plumbing
     "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),

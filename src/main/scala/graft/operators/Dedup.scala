@@ -701,4 +701,34 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
       .select(col("doc_id"), expr(s"substr(text, i, $n)").as("s"))
       .distinct()
+
+  /** Benchmark decontamination (beyond-reference training-data op): flag
+    * corpus documents whose word-shingle sets overlap an evaluation
+    * set's. Standard LLM-pretraining hygiene: any training document
+    * sharing >= `minOverlap` distinct n-grams with the held-out
+    * benchmark set is quarantined before training, so eval scores
+    * measure generalization rather than memorization. Here the
+    * `source = evalSource` slice of the corpus plays the benchmark set.
+    *
+    * Scale shape: an eval set is benchmark-sized (MBs) while the corpus
+    * is the 100 TB side, so the eval set's DISTINCT shingles are
+    * `broadcast` and the corpus shingle relation streams map-side
+    * through the broadcast hash join — the big side is never shuffled.
+    * A left join (not inner) lets ONE `groupBy(doc_id)` pass count both
+    * the per-doc shingle total (`count(*)`) and the eval hits
+    * (`count(_hit)`), so the overlap fraction costs no second corpus
+    * scan. Shuffle volume is |corpus docs|, not |shingles|.
+    */
+  def decontaminate(docs: DataFrame, evalSource: String = "src0",
+                    minOverlap: Long = 2): DataFrame = {
+    val evalShingles = wordShingles(docs.filter(col("source") === evalSource))
+      .select(col("s")).distinct().withColumn("_hit", lit(1))
+    wordShingles(docs.filter(col("source") =!= evalSource))
+      .join(broadcast(evalShingles), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
 }

@@ -123,4 +123,59 @@ object Packing {
         min(col("doc_id")).as("first_doc"),
         max(col("bins_spanned")).as("max_span"))
       .orderBy("bin_id")
+
+  /** RAG/context-window chunking (beyond-reference): split every
+    * document into overlapping `window`-token chunks, one starting every
+    * `stride` tokens — the per-document sibling of [[packSequences]]'s
+    * cross-document packing (retrieval and fine-tuning pipelines chunk
+    * WITHIN a document so each piece stays self-attributable). The last
+    * chunk is the first one whose window reaches the end of the
+    * document, so every token is covered and no chunk is empty
+    * (`window >= stride` enforced). Emits the chunk's md5 rather than
+    * its text: verification-strong, dump-small.
+    *
+    * Scale shape: pure projection + explode — NO shuffle, the chunker
+    * rides the parquet scan with a row-expansion factor of
+    * ~ n_tokens/stride, and chunks of a document land in the same
+    * partition as the document (locality downstream writers rely on).
+    * All expressions are codegen'd builtins (`sequence`/`slice`/
+    * `concat_ws`/`md5`).
+    */
+  private def chunkRel(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need window >= stride > 0, got window=$window stride=$stride")
+    // n_chunks - 1 = ceil((n_tokens - window) / stride), floored at 0;
+    // `div` keeps it integral (truncation vs floor differs only below
+    // the greatest(0, _) cut, where both normalize to 0).
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("_cn", explode(sequence(lit(0),
+        greatest(lit(0), expr(s"(size(w) - $window + $stride - 1) div $stride")))))
+      // int, not the bigint `div` emits: a >2^31-chunk DOCUMENT cannot
+      // exist, and the oracle's INTEGER must match the dumped schema
+      .withColumn("chunk_no", col("_cn").cast("int"))
+      .select(col("doc_id"), col("lang"), col("chunk_no"),
+        concat_ws(" ",
+          slice(col("w"), col("chunk_no") * stride + 1, lit(window))).as("chunk_text"),
+        size(slice(col("w"), col("chunk_no") * stride + 1, lit(window))).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("chunk_no"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+  }
+
+  def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    chunkRel(docs, window, stride).orderBy("doc_id", "chunk_no")
+
+  /** Corpus chunk statistics per language — the aggregate consumer of
+    * [[chunkDocs]] (and its bench-honest form: the distinct-hash count
+    * structurally depends on every chunk's content, so `count()` cannot
+    * prune the chunk construction). The duplicate-chunk gap
+    * (`n_chunks - n_distinct_chunks`) is the chunk-level dedup signal a
+    * RAG index build keys on. */
+  def chunkStats(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    chunkRel(docs, window, stride)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+        round(avg(col("n_tokens")), 6).as("avg_chunk_tokens"),
+        max(col("chunk_no")).as("max_chunk_no"))
+      .orderBy("lang")
 }

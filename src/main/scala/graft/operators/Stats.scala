@@ -593,6 +593,40 @@ object Stats {
       .orderBy("status_type", "date")
   }
 
+  /** Rolling z-score anomaly flags over the per-status daily series —
+    * the alerting extension of the reference's daily time-series family
+    * (stats.py:154-185 argmaxes over these counts; an operator that
+    * FLAGS unusual days is the natural next ask of a long-term-stats
+    * dashboard). Each day is scored against the mean/stddev of the
+    * `lookback` PRECEDING days only (trailing window, current row
+    * excluded), so a spike cannot suppress its own detection; days
+    * whose trailing window has < 3 points or zero variance emit a NULL
+    * z-score rather than a fake 0.
+    *
+    * Scale shape: the window runs over the DAILY aggregate (365 rows/
+    * year/status), partitioned by status_type — the fact table is
+    * reduced by a map-side-combined groupBy first, and no global-order
+    * window ever sees row-scale data. */
+  def dailyAnomalies(prep: DataFrame, lookback: Int = 7,
+                     zThreshold: Double = 2.0): DataFrame = {
+    val daily = prep.groupBy("status_type", "date")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy("status_type").orderBy("date")
+      .rowsBetween(-lookback, -1)
+    daily.select(col("status_type"), col("date"), col("cnt").cast("long").as("cnt"),
+        count(col("cnt")).over(w).as("_n"),
+        avg(col("cnt")).over(w).as("_mean"),
+        stddev_samp(col("cnt")).over(w).as("_sd"))
+      .withColumn("z_score",
+        when(col("_n") >= 3 && col("_sd") > 0,
+          round((col("cnt") - col("_mean")) / col("_sd"), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_score")) > zThreshold, lit(false)))
+      .select(col("status_type"), col("date"), col("cnt"),
+        round(col("_mean"), 6).as("trailing_mean"), col("z_score"), col("is_anomaly"))
+      .orderBy("status_type", "date")
+  }
+
   /** Relative-standing analytics over per-client activity: percent_rank
     * (share of clients strictly below) and cume_dist (share at-or-below)
     * — the ranking-family members a27's ntile does not cover. Both are

@@ -224,4 +224,41 @@ class DedupSpec extends SparkSpec {
       "SELECT md5('call <PHONE> or <PHONE> today')").head.getString(0)
     assert(scrubbed2 == expected2)
   }
+
+  // ---- decontamination (d12) ----
+
+  private val contamDdl = "doc_id BIGINT, text STRING, source STRING"
+  private val contamCorpus = df(contamDdl, Seq(
+    // the eval "benchmark" doc: trigrams {a b c, b c d}
+    Row(0L, "a b c d", "src0"),
+    // shares BOTH eval trigrams (a b c, b c d) → flagged at minOverlap=2
+    Row(1L, "a b c d e", "corpus"),
+    // shares only "a b c" → below minOverlap=2, must NOT be flagged
+    Row(2L, "x y a b c", "corpus"),
+    // no overlap at all
+    Row(3L, "p q r s t", "corpus"),
+    // < 3 words: no shingles, never a candidate
+    Row(4L, "a b", "corpus")))
+
+  test("decontaminate: overlap threshold separates contaminated docs from grazers") {
+    val out = Dedup.decontaminate(contamCorpus, "src0", minOverlap = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    // doc 1 has trigrams {a b c, b c d, c d e} → 3 shingles, 2 eval hits
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6)
+    // at minOverlap=1 the grazer joins the quarantine; eval docs never do
+    val loose = Dedup.decontaminate(contamCorpus, "src0", minOverlap = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L))
+  }
+
+  test("decontaminate plan: eval side broadcast, corpus side never shuffled pre-join") {
+    val plan = Dedup.decontaminate(contamCorpus, "src0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval shingles must broadcast — the corpus side is the 100 TB side")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join would shuffle the corpus shingle relation")
+  }
 }

@@ -63,4 +63,60 @@ class PackingSpec extends SparkSpec {
     assert(Packing.packSequences(empty, capacity = 8, numPartitions = 3).count() == 0L)
     assert(Packing.binManifest(empty, capacity = 8, numPartitions = 3).count() == 0L)
   }
+
+  // ---- per-document chunking (p14/p15) ----
+
+  private def langDoc(id: Long, nTokens: Int): Row =
+    Row(id, (1 to math.max(nTokens, 1)).map(i => s"t$i").mkString(" "), "en")
+
+  private val chunkDocs = df("doc_id BIGINT, text STRING, lang STRING",
+    Seq(langDoc(0, 10), langDoc(1, 5), langDoc(2, 1), langDoc(3, 4), langDoc(4, 8)))
+
+  test("chunking: full coverage, fixed stride, truncated tail") {
+    // window=4, stride=3: 10 tokens → starts 1,4,7 (lens 4,4,4);
+    // 5 → starts 1,4 (lens 4,2); 1 → one chunk len 1; 4 → one chunk len 4;
+    // 8 → starts 1,4 (lens 4,4) — (8-4+2) div 3 = 2 yields start 7 len 2?
+    // no: (8-4+3-1) div 3 = 6 div 3 = 2 → starts 1,4,7, lens 4,4,2
+    val out = Packing.chunkDocs(chunkDocs, window = 4, stride = 3).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(2)).map(_.getInt(3)).toSeq }
+    assert(out(0L) == Seq(4, 4, 4))
+    assert(out(1L) == Seq(4, 2))
+    assert(out(2L) == Seq(1))
+    assert(out(3L) == Seq(4))
+    assert(out(4L) == Seq(4, 4, 2))
+    // every token index is covered: sum of (n_tokens - overlap) == doc tokens
+    // here directly: last chunk always reaches the end (start + len == n + 1)
+    val ends = Packing.chunkDocs(chunkDocs, window = 4, stride = 3).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        val last = rs.maxBy(_.getInt(2))
+        id -> (last.getInt(2) * 3 + last.getInt(3)) }
+    assert(ends == Map(0L -> 10, 1L -> 5, 2L -> 1, 3L -> 4, 4L -> 8))
+  }
+
+  test("chunk hashes are the md5 of the exact token span") {
+    val h = Packing.chunkDocs(chunkDocs, window = 4, stride = 3)
+      .filter("doc_id = 0 AND chunk_no = 1").head.getString(4)
+    val expected = spark.sql("SELECT md5('t4 t5 t6 t7')").head.getString(0)
+    assert(h == expected)
+  }
+
+  test("window must cover the stride (no token may fall between chunks)") {
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocs(chunkDocs, window = 2, stride = 3)
+    }
+  }
+
+  test("chunkStats: chunk-level dedup signal and no join/window in the plan") {
+    // two identical docs → their chunks collide in chunk_hash
+    val dup = df("doc_id BIGINT, text STRING, lang STRING",
+      Seq(langDoc(0, 10), Row(1L, (1 to 10).map(i => s"t$i").mkString(" "), "en")))
+    val r = Packing.chunkStats(dup, window = 4, stride = 3).head
+    assert(r.getString(0) == "en" && r.getLong(1) == 6 && r.getLong(2) == 3)
+    assert(r.getInt(4) == 2)
+    val plan = Packing.chunkStats(dup, window = 4, stride = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "chunk stats must stay a scan-ride projection + aggregate")
+  }
 }

@@ -130,4 +130,32 @@ class StatsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(m("Allowed") == 15.0 && m("Blocked") == 1.0)
   }
+
+  test("w09: trailing z-score flags the spike day, not the day after it") {
+    // 10 days of Allowed traffic; day 8 is a 100-event spike over a
+    // baseline that wobbles 8-12 (nonzero variance, so z is defined)
+    val perDay = Seq(8, 12, 9, 11, 10, 10, 9, 11, 100, 10)
+    val rows = perDay.zipWithIndex.flatMap { case (cnt, day) =>
+      (0 until cnt).map(i =>
+        Row(day * 1000 + i, 1704067200L + day * 86400L + i, 1, 2, "d", "c", 1.0))
+    }
+    val out = Stats.dailyAnomalies(prepOf(rows)).collect()
+      .filter(_.getString(0) == "Allowed").sortBy(_.getDate(1).getTime)
+    assert(out.length == 10)
+    // days 0-2: < 3 trailing points → NULL z, never anomalous
+    out.take(3).foreach { r =>
+      assert(r.isNullAt(4) && !r.getBoolean(5), s"day with thin history flagged: $r")
+    }
+    // the spike: mean of its 7 preceding ≈ 10.29, z >> 2
+    val spike = out(8)
+    assert(spike.getLong(2) == 100 && spike.getBoolean(5))
+    assert(spike.getDouble(4) > 2.0)
+    // the day AFTER the spike is normal: the spike inflates its trailing
+    // sd far more than the mean, so |z| stays small — no echo alert
+    val after = out(9)
+    assert(!after.getBoolean(5) && math.abs(after.getDouble(4)) < 1.0)
+    // trailing window excludes the current row: day 8's mean is baseline-
+    // scale, untouched by its own 100
+    assert(spike.getDouble(3) < 15.0)
+  }
 }
