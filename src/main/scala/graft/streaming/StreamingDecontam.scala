@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Streaming decontamination — the continuous-ingest form of `d12`: new
+  * documents arrive on a stream and are checked against a STATIC
+  * benchmark shingle set before they may enter the training corpus.
+  *
+  * Shape: a document's decontamination verdict depends only on its own
+  * text and the (static) eval set, so no cross-batch state exists and
+  * the right streaming vehicle is `foreachBatch` — each micro-batch runs
+  * the exact batch operator ([[Dedup.decontaminateAgainst]]: corpus
+  * shingles stream through the broadcast eval set, one per-doc
+  * aggregate) and appends its flagged rows. A stateful streaming
+  * aggregation would buy nothing and cost doc_id-keyed state the
+  * engine would have to watermark-evict; `StreamingSpec` pins
+  * stream ≡ batch regardless of how documents split across batches.
+  *
+  * The eval shingle set should be built once ([[Dedup.evalShingleSet]])
+  * and persisted by the caller — otherwise every micro-batch re-scans
+  * the benchmark corpus to rebuild the broadcast.
+  */
+object StreamingDecontam {
+
+  /** Flag one micro-batch (or any static frame) against the prebuilt
+    * eval shingle set. */
+  def flagBatch(batch: DataFrame, evalShingles: DataFrame,
+                minOverlap: Long = 2): DataFrame =
+    Dedup.decontaminateAgainst(batch, evalShingles, minOverlap)
+
+  /** Run the stream: append each batch's contaminated (doc_id,
+    * n_shingles, n_overlap, overlap_frac) rows to a parquet quarantine
+    * directory. Checkpointed — restart-safe, each input batch flagged
+    * exactly once. */
+  def start(docs: DataFrame, evalShingles: DataFrame, outDir: String,
+            checkpointDir: String, minOverlap: Long = 2,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        flagBatch(batch, evalShingles, minOverlap)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+}

@@ -192,4 +192,58 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Random corpora of random-length docs over a tiny vocabulary (heavy
+    * shingle collisions — the decontamination/chunking stress regime). */
+  private val docsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(25, Gen.choose(0, 40)).map(_.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(k => s"w${(i * 7 + k * 3) % 11}").mkString(" "))
+    })
+
+  test("chunking: every window/stride covers all tokens, strides exactly, never overshoots") {
+    for (seed <- 1L to 6L) {
+      val ds = sample(docsGen, seed)
+      val docs = df("doc_id BIGINT, text STRING, lang STRING",
+        ds.map { case (i, t) => Row(i, t, "en") })
+      for ((w, s) <- Seq((4, 3), (5, 5), (8, 2))) {
+        val chunks = graft.operators.Packing.chunkDocs(docs, w, s).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2))).toMap
+        ds.foreach { case (id, text) =>
+          val n = text.split(" ", -1).length // split("") = [""] — never 0
+          val cs = chunks(id)
+          // chunk k holds tokens [k*s+1, min(k*s+w, n)]; the LAST chunk
+          // reaches the end; no chunk is empty; all but the last are full
+          assert(cs.head.getInt(2) == 0 && cs.last.getInt(2) * s + cs.last.getInt(3) == n,
+            s"seed=$seed doc=$id w=$w s=$s: tail coverage broken")
+          cs.zipWithIndex.foreach { case (c, k) =>
+            assert(c.getInt(2) == k, "chunk_no must be dense from 0")
+            val expectLen = math.min(w, n - k * s)
+            assert(c.getInt(3) == expectLen && expectLen > 0,
+              s"seed=$seed doc=$id chunk=$k: len ${c.getInt(3)} != $expectLen")
+          }
+        }
+      }
+    }
+  }
+
+  test("decontamination equals the naive set-overlap oracle") {
+    for (seed <- 10L to 14L) {
+      val ds = sample(docsGen, seed)
+      val (evalD, corpusD) = ds.partition(_._1 % 5 == 0)
+      val docs = df("doc_id BIGINT, text STRING, source STRING",
+        ds.map { case (i, t) => Row(i, t, if (i % 5 == 0) "ev" else "c") })
+      val got = Dedup.decontaminate(docs, "ev", minOverlap = 2).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      def tris(t: String): Set[String] = {
+        val ws = t.split(" ", -1)
+        if (ws.length < 3) Set.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val evalSet = evalD.flatMap(d => tris(d._2)).toSet
+      val want = corpusD.map { case (i, t) =>
+        val sh = tris(t); i -> ((sh.size.toLong, sh.count(evalSet).toLong))
+      }.filter(_._2._2 >= 2).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }

@@ -298,4 +298,40 @@ class StreamingSpec extends SparkSpec {
       Seq("client", "session_start", "session_end", "n_events"), "left_anti")
     assert(streamed.count() > 0 && joined.count() == 0)
   }
+
+  test("streaming decontamination: quarantine equals the batch operator across a batch split") {
+    import graft.streaming.StreamingDecontam
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark set: trigrams {a b c, b c d, c d e}
+    val evalDocs = df("doc_id BIGINT, text STRING",
+      Seq(org.apache.spark.sql.Row(100L, "a b c d e")))
+    val evalSh = graft.operators.Dedup.evalShingleSet(evalDocs).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = StreamingDecontam.start(stream, evalSh, s"$dir/out", s"$dir/ckpt",
+      minOverlap = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: one contaminated (2 shared trigrams), one grazer (1), one clean
+      input.addData((1L, "a b c d x"), (2L, "z z a b c"), (3L, "p q r s t"))
+      q.processAllAvailable()
+      // batch 2: contamination arriving later must flag identically
+      input.addData((4L, "b c d e f"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+    val allDocs = df("doc_id BIGINT, text STRING", Seq(
+      org.apache.spark.sql.Row(1L, "a b c d x"),
+      org.apache.spark.sql.Row(2L, "z z a b c"),
+      org.apache.spark.sql.Row(3L, "p q r s t"),
+      org.apache.spark.sql.Row(4L, "b c d e f")))
+    val batch = graft.operators.Dedup.decontaminateAgainst(allDocs, evalSh, 2)
+    val asSet = (d: org.apache.spark.sql.DataFrame) => d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(asSet(streamed) == asSet(batch))
+    assert(asSet(streamed).map(_._1) == Set(1L, 4L))
+    evalSh.unpersist()
+  }
 }
