@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only decomposition probe for the decontamination pipeline: times
+  * each stage of d12 in isolation so optimization targets the measured
+  * bottleneck (like [[Profile]], not part of the driver contract). */
+object ShingleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/docs_x100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(label: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= "src0")
+    println(s"[probe] scan partitions = " +
+      corpus.select("text").rdd.getNumPartitions)
+    time("scan+split only") {
+      corpus.select(explode(split(col("text"), " ")).as("t")).count()
+    }
+    time("shingles (no distinct)") {
+      corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ", element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2), element_at(col("w"), i + 3)))).as("s"))
+        .count()
+    }
+    time("wordShingles (distinct)") {
+      graft.operators.Dedup.wordShingles(corpus).count()
+    }
+    val evalSh = graft.operators.Dedup.evalShingleSet(
+      docs.filter(col("source") === "src0"))
+    time("full decontaminate") {
+      graft.operators.Dedup.decontaminateAgainst(corpus, evalSh).count()
+    }
+    spark.stop()
+  }
+}

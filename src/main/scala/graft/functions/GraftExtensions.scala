@@ -61,6 +61,16 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"nfc_normalize expects 1 argument, got ${other.length}")
       }),
+    ("distinct_shingles",
+      new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
+      (args: Seq[Expression]) => args match {
+        // n must be a literal: it shapes the generated loop at plan time
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          DistinctShingles(c, n)
+        case other => throw new IllegalArgumentException(
+          "distinct_shingles expects (tokens, n literal int), got " +
+            other.map(_.sql).mkString(", "))
+      }),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => args match {

@@ -23,6 +23,12 @@ package object functions {
   def nfc_normalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 
+  /** Distinct word n-grams of a token array (first-occurrence order) —
+    * the codegen'd replacement for the interpreted
+    * `array_distinct(transform(...))` chain; see [[DistinctShingles]]. */
+  def distinct_shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(DistinctShingles(ColumnBridge.expression(tokens), n))
+
   /** Single-pass grouped top-k by (score desc, id asc) → sorted
     * array<struct<score, id>>. Partial-aggregating heap; ships k rows per
     * group through the shuffle instead of the rank-window's everything —

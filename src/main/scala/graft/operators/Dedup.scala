@@ -91,18 +91,31 @@ object Dedup {
     * per char), which directly scales down every downstream hash/join.
     *
     * Set semantics with ZERO shuffle: the shingle array is built and
-    * deduplicated INSIDE one projection (`array_distinct` over the
-    * `transform` output), then exploded — a doc's duplicate shingles are
-    * co-located in its own row by construction, so no exchange is needed
-    * to remove them. This dominates both earlier shapes: the corpus-wide
-    * `.distinct()` (round 3) paid a full shuffle of the shingle relation,
-    * and the multiset form (round 4) skipped the shuffle but re-hashed
-    * every OCCURRENCE of every shingle — prose repeats shingles heavily,
-    * the md5 stage dominated, and d03 regressed 2.5×. Here the md5 stage
-    * hashes each distinct shingle exactly once AND no shuffle happens.
-    * Spark arrays are 0-indexed (`element_at` is 1-based); the DuckDB
-    * oracle mirrors with its 1-based lists. */
+    * deduplicated INSIDE one projection (the native
+    * [[graft.functions.DistinctShingles]] expression — one codegen'd
+    * pass, LinkedHashSet dedup), then exploded — a doc's duplicate
+    * shingles are co-located in its own row by construction, so no
+    * exchange is needed to remove them. This dominates all three earlier
+    * shapes: the corpus-wide `.distinct()` (round 3) paid a full shuffle
+    * of the shingle relation; the multiset form (round 4) skipped the
+    * shuffle but re-hashed every OCCURRENCE of every shingle (d03
+    * regressed 2.5×); and the builtin `array_distinct(transform(...))`
+    * composition (rounds 5-8, kept as [[wordShinglesHof]]) ran the
+    * trigram lambda INTERPRETED per element — measured at 60% of a
+    * 500k-doc decontamination run, a 5× stage / 3.4× query win for the
+    * native expression. The md5 stage still hashes each distinct shingle
+    * exactly once AND no shuffle happens. The DuckDB oracle mirrors the
+    * same trigrams with its 1-based lists. */
   def wordShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      graft.functions.distinct_shingles(split(col("text"), " "), 3)).as("s"))
+
+  /** The builtin-composed spec [[wordShingles]] replaced: higher-order
+    * `transform` is interpreted per element (lambdas never enter
+    * whole-stage codegen), and at 25M shingles that interpretation was
+    * 60% of the whole decontamination run. Kept for the equality test in
+    * `DedupSpec` — the native expression must match it row-for-row. */
+  private[graft] def wordShinglesHof(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(

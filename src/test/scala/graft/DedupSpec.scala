@@ -225,6 +225,30 @@ class DedupSpec extends SparkSpec {
     assert(scrubbed2 == expected2)
   }
 
+  test("native distinct_shingles equals the higher-order spec, edge cases included") {
+    val tricky = docs(
+      0L -> "a b c d e",
+      1L -> "a b c a b c a b c",         // heavy repetition → distinct matters
+      2L -> "a  b c d",                  // double space → empty token, kept by split
+      3L -> "",                          // split("") = [""] → 1 token, no shingle
+      4L -> "x y",                       // 2 tokens, no shingle
+      5L -> "einzigartige wörter über äöü tokens", // multi-byte UTF-8
+      6L -> " lead and trail ")          // leading/trailing empties from split
+    val native = Dedup.wordShingles(tricky).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val spec = Dedup.wordShinglesHof(tricky).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(native.toSeq.sorted == spec.toSeq.sorted)
+    assert(native.length == native.distinct.length, "per-doc shingles must be distinct")
+    // order within a doc is first-occurrence, like array_distinct
+    assert(native.filter(_._1 == 1L).map(_._2).toSeq ==
+      Seq("a b c", "b c a", "c a b"))
+    // the expression is codegen'd — it must NOT plan as an interpreted
+    // higher-order function (that's the whole point)
+    val plan = Dedup.wordShingles(tricky).queryExecution.executedPlan.toString
+    assert(plan.contains("distinct_shingles") && !plan.contains("transform("))
+  }
+
   // ---- decontamination (d12) ----
 
   private val contamDdl = "doc_id BIGINT, text STRING, source STRING"
