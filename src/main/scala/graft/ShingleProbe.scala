@@ -45,6 +45,24 @@ object ShingleProbe {
     time("full decontaminate") {
       graft.operators.Dedup.decontaminateAgainst(corpus, evalSh).count()
     }
+    // embedding-side twin: interpreted transform(cast) vs direct mixed-
+    // width dot_product through the bucket stage (pass an embeddings dir
+    // as a second arg to run it)
+    args.drop(1).headOption.foreach { embDir =>
+      val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
+      val planes = 8
+      def buckets(v: org.apache.spark.sql.Column) =
+        graft.operators.Similarity.bucketId(v, planes, 64)
+      time("bucketId over cast-double") {
+        emb.select(transform(col("embedding"), x => x.cast("double")).as("dv"))
+          .select(buckets(col("dv")).as("b"))
+          .groupBy("b").count().count()
+      }
+      time("bucketId over raw float") {
+        emb.select(buckets(col("embedding")).as("b"))
+          .groupBy("b").count().count()
+      }
+    }
     spark.stop()
   }
 }

@@ -62,3 +62,44 @@ object DistinctShingles {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
   }
 }
+
+/** All word n-grams of a token array, in order, duplicates kept — the
+  * multiset sibling of [[DistinctShingles]] for consumers that measure
+  * repetition (t08's duplicate-bigram share needs every occurrence).
+  * Same reason to exist: the `transform(sequence(...), i -> concat(...))`
+  * composition it replaces is an interpreted lambda per element. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

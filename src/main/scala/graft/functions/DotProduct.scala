@@ -16,29 +16,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * vector-friendly loop in the similarity hot path. The summation order
   * is identical to the sequential fold, so results are bit-equal to the
   * lambda version (and to the DuckDB oracle's DOUBLE[] computation).
+  *
+  * MIXED element widths are allowed (float×double): each side is read
+  * with its own getter and widened to double before the multiply —
+  * float→double widening is exact, so `dot(floats, doubles)` is
+  * bit-equal to casting the float array first. This removes the
+  * interpreted `transform(v, cast)` projections the similarity
+  * operators used to need when dotting raw float embeddings against
+  * double-valued hyperplanes/centroids.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  /** Both inputs must be arrays of the SAME float/double element type:
-    * eval and codegen pick the element getter from the LEFT child, so a
-    * mixed call like dot_product(array<float>, array<double>) would read
-    * the right side with the wrong-width getter — garbage values, not an
-    * error. Reject at analysis time instead. */
+  /** Each input independently an array of FLOAT or DOUBLE — each side
+    * gets its own width-correct getter (the round-4 version required
+    * identical types because one getter served both sides). */
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(lt @ (FloatType | DoubleType), _), ArrayType(rt, _)) if lt == rt =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two arrays with identical FLOAT or DOUBLE element " +
+          s"$prettyName requires two arrays with FLOAT or DOUBLE element " +
             s"types, got ${l.catalogString} and ${r.catalogString}")
     }
 
-  private def elemType: DataType =
-    left.dataType.asInstanceOf[ArrayType].elementType
+  private def elemTypeOf(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -53,18 +59,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var i = 0
     // null elements would read as 0.0 from unsafe arrays — fail loudly
     // (consistent with the ragged-length stance) instead of skewing scores
-    elemType match {
-      case FloatType =>
-        while (i < n) {
-          if (x.isNullAt(i) || y.isNullAt(i)) throw nullElem(i)
-          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
-        }
-      case DoubleType =>
-        while (i < n) {
-          if (x.isNullAt(i) || y.isNullAt(i)) throw nullElem(i)
-          acc += x.getDouble(i) * y.getDouble(i); i += 1
-        }
-      case t => throw new IllegalStateException(s"dot_product over $t")
+    val lf = elemTypeOf(left) == FloatType
+    val rf = elemTypeOf(right) == FloatType
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw nullElem(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv; i += 1
     }
     acc
   }
@@ -73,11 +74,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     new IllegalArgumentException(s"dot_product: null array element at index $i")
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = elemType match {
+    def getter(e: Expression) = elemTypeOf(e) match {
       case FloatType  => "getFloat"
       case DoubleType => "getDouble"
       case t          => throw new IllegalStateException(s"dot_product over $t")
     }
+    val (getL, getR) = (getter(left), getter(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -94,7 +96,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |    throw new IllegalArgumentException(
          |      "dot_product: null array element at index " + $i);
          |  }
-         |  $acc += (double) $a.$get($i) * (double) $b.$get($i);
+         |  $acc += (double) $a.$getL($i) * (double) $b.$getR($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin

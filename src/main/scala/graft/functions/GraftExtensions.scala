@@ -71,6 +71,15 @@ object GraftExtensions {
           "distinct_shingles expects (tokens, n literal int), got " +
             other.map(_.sql).mkString(", "))
       }),
+    ("word_ngrams",
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          WordNgrams(c, n)
+        case other => throw new IllegalArgumentException(
+          "word_ngrams expects (tokens, n literal int), got " +
+            other.map(_.sql).mkString(", "))
+      }),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => args match {

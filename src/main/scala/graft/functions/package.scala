@@ -29,6 +29,11 @@ package object functions {
   def distinct_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(DistinctShingles(ColumnBridge.expression(tokens), n))
 
+  /** All word n-grams in order, duplicates kept — the multiset sibling
+    * of [[distinct_shingles]]; see [[WordNgrams]]. */
+  def word_ngrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n))
+
   /** Single-pass grouped top-k by (score desc, id asc) → sorted
     * array<struct<score, id>>. Partial-aggregating heap; ships k rows per
     * group through the shuffle instead of the rank-window's everything —

@@ -110,10 +110,11 @@ object Similarity {
 
   /** Sign-pattern LSH bucket id from `planes` hyperplanes: bit j = sign of
     * dot(v, p_j). Buckets corpus vectors for corpus×corpus candidate
-    * generation without the O(n²) join. `dv` must already be
-    * array<double> (callers alias the cast once in an inner projection so
-    * the codegen dot products share it — CollapseProject keeps a
-    * non-cheap aliased expression single-evaluated). */
+    * generation without the O(n²) join. `dv` may be float or double —
+    * DotProduct widens each side element-wise against the double plane
+    * literal, bit-equal to pre-casting (float→double is exact), so
+    * callers pass the raw embedding with no interpreted transform(cast)
+    * projection. */
   def bucketId(dv: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
       when(dot(dv, lit(planeVector(j, dim))) >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -126,9 +127,7 @@ object Similarity {
     * fold-order dot products reproduce bit-identically in DuckDB. */
   def knnLsh(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
-      transform(col("embedding"), x => x.cast("double")).as("dv"))
-      .select(col("vec_id"), col("embedding"),
-        bucketId(col("dv"), planes, embeddingDim(emb)).as("bucket"))
+      bucketId(col("embedding"), planes, embeddingDim(emb)).as("bucket"))
     val q = withB.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), col("bucket"))
@@ -153,9 +152,7 @@ object Similarity {
   def knnLshMultiprobe(emb: DataFrame, nQueries: Int, k: Int,
                        planes: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
-      transform(col("embedding"), x => x.cast("double")).as("dv"))
-      .select(col("vec_id"), col("embedding"),
-        bucketId(col("dv"), planes, embeddingDim(emb)).as("bucket"))
+      bucketId(col("embedding"), planes, embeddingDim(emb)).as("bucket"))
     val probes = array(col("bucket") +:
       (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
     val q = withB.filter(col("vec_id") < nQueries)
@@ -275,10 +272,9 @@ object Similarity {
   /** Nearest-centroid cell id per vector — exposed for balance/recall
     * diagnostics. */
   def assignToCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    // centroids are double arrays (k-means means); dot_product requires
-    // matching element types, so lift the float embeddings to double
-    val vecs = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("dv"))
+    // centroids are double arrays (k-means means); dot_product widens
+    // each side independently, so the float embeddings dot them directly
+    val vecs = emb.select(col("vec_id"), col("embedding").as("dv"))
     val c = cents.select(col("cell"), col("centv"))
     val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
     vecs.join(broadcast(c), expr("true"))
@@ -297,11 +293,10 @@ object Similarity {
   def knnIvfTrained(emb: DataFrame, nQueries: Int, k: Int,
                     nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
     val cents = kmeansCentroids(emb, nCells, iterations).select(col("cell"), col("centv"))
-    // centroid distances need double arrays on both sides (dot_product
-    // rejects float×double); the float embedding is kept alongside for
-    // the float×float exact-scoring stage
+    // dot_product widens float×double element-wise, so the raw float
+    // embedding serves both the centroid distances and the exact scoring
     val vecs = emb.select(col("vec_id"), col("embedding"),
-      transform(col("embedding"), x => x.cast("double")).as("dv"),
+      col("embedding").as("dv"),
       norm(col("embedding")).as("vn"))
     def dist2(v: org.apache.spark.sql.Column) =
       dot(v, v) - lit(2.0) * dot(v, col("centv")) + dot(col("centv"), col("centv"))
@@ -465,7 +460,7 @@ object Similarity {
       slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
     val sliced = emb.select(col("vec_id"), explode(subs).as("s"))
       .select(col("vec_id"), col("s.subspace").as("subspace"),
-        transform(col("s.sv"), x => x.cast("double")).as("dv"))
+        col("s.sv").as("dv"))
     val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist2"), asc("cell"))
     sliced.join(broadcast(books), Seq("subspace"))
       .select(col("vec_id"), col("subspace"), col("cell"),
@@ -526,7 +521,7 @@ object Similarity {
     val qTable = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), explode(qsubs).as("s"))
       .select(col("query_id"), col("s.subspace").as("subspace"),
-        transform(col("s.sv"), x => x.cast("double")).as("qdv"))
+        col("s.sv").as("qdv"))
       .join(broadcast(books), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("cell").as("code"),
         (dot(col("qdv"), col("qdv")) - lit(2.0) * dot(col("qdv"), col("centv"))
@@ -579,9 +574,7 @@ object Similarity {
     * pinned in DedupSpec). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 4): DataFrame = {
     val b = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"),
-      transform(col("embedding"), x => x.cast("double")).as("dv"))
-      .select(col("vec_id"), col("embedding"), col("n"),
-        bucketId(col("dv"), planes, embeddingDim(emb)).as("bucket"))
+      bucketId(col("embedding"), planes, embeddingDim(emb)).as("bucket"))
     val l = b.select(col("bucket"), col("vec_id").as("i"),
       col("embedding").as("va"), col("n").as("na"))
     val r = b.select(col("bucket"), col("vec_id").as("j"),

@@ -225,7 +225,10 @@ object TextAnalysis {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")).as("bg"))
+        // native codegen'd n-grams (duplicates kept — the whole point of
+        // the dup-bigram share); the transform() lambda it replaces ran
+        // interpreted per element
+        explode(graft.functions.word_ngrams(col("ws"), 2)).as("bg"))
     val bigramStats = bigrams.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       countDistinct(col("bg")).as("n_distinct_bigrams"))
