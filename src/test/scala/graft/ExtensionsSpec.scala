@@ -29,6 +29,17 @@ class ExtensionsSpec extends SparkSpec {
         r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1))))
     assert(tk.toSeq == Seq(
       "a" -> Seq((0.9, 2L), (0.7, 3L)), "b" -> Seq((0.1, 4L))))
+    // mixed float×double dot is exact widening — same value as all-double
+    val mixed = spark.sql(
+      "SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT)), " +
+        "array(3.0D, 4.0D)) AS d").head.getDouble(0)
+    assert(mixed == 1.5 * 3.0 + 2.5 * 4.0)
+    // the n-gram pair: distinct (set) vs word_ngrams (multiset, ordered)
+    val ng = spark.sql(
+      "SELECT distinct_shingles(split('a b a b c', ' '), 2) AS ds, " +
+        "word_ngrams(split('a b a b c', ' '), 2) AS wn").head
+    assert(ng.getSeq[String](0) == Seq("a b", "b a", "b c"))
+    assert(ng.getSeq[String](1) == Seq("a b", "b a", "a b", "b c"))
   }
 
   test("extension injector: GraftExtensions.apply wires builders a registry can resolve") {
