@@ -164,6 +164,14 @@ object Packing {
   def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
     chunkRel(docs, window, stride).orderBy("doc_id", "chunk_no")
 
+  /** The STREAMING form: identical chunks without the presentation sort
+    * (global sorts are illegal in append-mode streams, and pointless —
+    * chunking is stateless, so it rides a document stream map-only: no
+    * watermark, no state store, chunks emitted in the arriving batch).
+    * `StreamingSpec` pins stream ≡ batch. */
+  def chunkStream(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    chunkRel(docs, window, stride)
+
   /** Corpus chunk statistics per language — the aggregate consumer of
     * [[chunkDocs]] (and its bench-honest form: the distinct-hash count
     * structurally depends on every chunk's content, so `count()` cannot

@@ -299,6 +299,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0 && joined.count() == 0)
   }
 
+  test("streaming chunking: stateless map-only, chunks equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDS().toDF("doc_id", "text", "lang")
+    val q = graft.operators.Packing.chunkStream(stream, window = 4, stride = 3)
+      .writeStream.queryName("chunk_stream").outputMode("append")
+      .format("memory").start()
+    val rows = Seq((1L, "a b c d e f g", "en"), (2L, "x y", "de"))
+    try {
+      input.addData(rows.head)
+      q.processAllAvailable()
+      input.addData(rows.last)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chunk_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val batch = graft.operators.Packing.chunkDocs(
+      df("doc_id BIGINT, text STRING, lang STRING",
+        rows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))),
+      window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming decontamination: quarantine equals the batch operator across a batch split") {
     import graft.streaming.StreamingDecontam
     import spark.implicits._
