@@ -1059,6 +1059,71 @@ FROM allc a JOIN topc c USING(domain)"""
   )
 
   /** Deterministic hash sampling + semi-structured extraction oracles. */
+  /** The p09 curation chain (exact canonical, verified clusters,
+    * quality, sample inputs) as a reusable CTE prefix — p09 selects
+    * the curated corpus from it, p16 chunks the survivors. */
+  private val CurationCtes: String = ("""WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |       unnest(generate_series(1, len(w) - 2)) t(i)
+      |  WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |         """ + (0 until 16).map(i =>
+        s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i").mkString(",\n         ") + """
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b.band_idx,
+      |    CASE b.band_idx
+      |      """ + (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+        if (b < 3) s"WHEN $b THEN md5($slice)" else s"ELSE md5($slice)"
+      }.mkString("\n      ") + """
+      |    END AS band_key
+      |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_idx)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.i, c.j, count(*) AS common
+      |  FROM cands c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+      |  GROUP BY c.i, c.j),
+      |vp AS (
+      |  SELECT m.i, m.j FROM common m
+      |  JOIN sizes si ON si.doc_id = m.i
+      |  JOIN sizes sj ON sj.doc_id = m.j
+      |  WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8),
+      |edges AS (SELECT i AS src, j AS dst FROM vp UNION ALL SELECT j, i FROM vp),
+      |reach(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+      |drop_near AS (
+      |  SELECT c.doc_id FROM comp c
+      |  JOIN (SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY cluster_id) n
+      |    USING (cluster_id)
+      |  WHERE n.n_docs > 1 AND c.doc_id <> c.cluster_id),
+      |exact_kept AS (
+      |  SELECT doc_id, lang, n_chars FROM (
+      |    SELECT doc_id, lang, n_chars,
+      |           min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+      |    FROM documents) WHERE doc_id = min_id),
+      |qual AS (
+      |  SELECT doc_id,
+      |    CAST(floor((least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.4
+      |        + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0) * 0.3
+      |        + (1.0 - least(CAST(punct_cnt AS DOUBLE) / greatest(n_tokens, 1) * 10.0, 1.0)) * 0.3
+      |      ) * 1e6) AS DOUBLE) / 1e6 AS quality_score
+      |  FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |           len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
+      |           len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|was)\b')) AS stop_hits
+      |    FROM documents))""").stripMargin
+
   val sampling: Map[String, String] = Map(
     "p06_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -1148,73 +1213,30 @@ FROM allc a JOIN topc c USING(domain)"""
     // drops; exact dedup, the t02 quality floor, and the p06 sample
     // predicate compose around it — one statement, same keep rules as
     // Pipeline.curate.
-    "p09_curated_corpus" -> ("""WITH RECURSIVE sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
-      |       unnest(generate_series(1, len(w) - 2)) t(i)
-      |  WHERE len(w) >= 3),
-      |sig AS (
-      |  SELECT doc_id,
-      |         """ + (0 until 16).map(i =>
-        s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i").mkString(",\n         ") + """
-      |  FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, b.band_idx,
-      |    CASE b.band_idx
-      |      """ + (0 until 4).map { b =>
-        val slice = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
-        if (b < 3) s"WHEN $b THEN md5($slice)" else s"ELSE md5($slice)"
-      }.mkString("\n      ") + """
-      |    END AS band_key
-      |  FROM sig, (VALUES (0), (1), (2), (3)) b(band_idx)),
-      |cands AS (
-      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |common AS (
-      |  SELECT c.i, c.j, count(*) AS common
-      |  FROM cands c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j AND b.s = a.s
-      |  GROUP BY c.i, c.j),
-      |vp AS (
-      |  SELECT m.i, m.j FROM common m
-      |  JOIN sizes si ON si.doc_id = m.i
-      |  JOIN sizes sj ON sj.doc_id = m.j
-      |  WHERE round(CAST(m.common AS DOUBLE) / (si.n + sj.n - m.common), 6) >= 0.8),
-      |edges AS (SELECT i AS src, j AS dst FROM vp UNION ALL SELECT j, i FROM vp),
-      |reach(node, lab) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
-      |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
-      |drop_near AS (
-      |  SELECT c.doc_id FROM comp c
-      |  JOIN (SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY cluster_id) n
-      |    USING (cluster_id)
-      |  WHERE n.n_docs > 1 AND c.doc_id <> c.cluster_id),
-      |exact_kept AS (
-      |  SELECT doc_id, lang, n_chars FROM (
-      |    SELECT doc_id, lang, n_chars,
-      |           min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
-      |    FROM documents) WHERE doc_id = min_id),
-      |qual AS (
-      |  SELECT doc_id,
-      |    CAST(floor((least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.4
-      |        + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0) * 0.3
-      |        + (1.0 - least(CAST(punct_cnt AS DOUBLE) / greatest(n_tokens, 1) * 10.0, 1.0)) * 0.3
-      |      ) * 1e6) AS DOUBLE) / 1e6 AS quality_score
-      |  FROM (
-      |    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-      |           len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
-      |           len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|was)\b')) AS stop_hits
-      |    FROM documents))
+    "p09_curated_corpus" -> (CurationCtes + """
       |SELECT e.doc_id, e.lang, e.n_chars, q.quality_score
       |FROM exact_kept e JOIN qual q USING (doc_id)
       |WHERE e.doc_id NOT IN (SELECT doc_id FROM drop_near)
       |  AND q.quality_score >= 0.3
       |  AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 2) < 'c0'
-      |ORDER BY e.doc_id""").stripMargin,
+      |ORDER BY e.doc_id""".stripMargin),
+
+    // the corpus -> training-chunks handoff: p09's keep set, texts
+    // re-attached by semi-join, then the p14 chunker over the survivors
+    "p16_curated_chunks" -> (CurationCtes + """,
+      |kept AS (
+      |  SELECT e.doc_id FROM exact_kept e JOIN qual q USING (doc_id)
+      |  WHERE e.doc_id NOT IN (SELECT doc_id FROM drop_near)
+      |    AND q.quality_score >= 0.3
+      |    AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 2) < 'c0'),
+      |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |      FROM documents JOIN kept USING (doc_id)),
+      |c AS (SELECT doc_id, lang, w, CAST(i AS INTEGER) AS chunk_no
+      |      FROM t, unnest(generate_series(0, greatest((len(w) - 64 + 47) // 48, 0))) s(i))
+      |SELECT doc_id, lang, chunk_no,
+      |  CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS INTEGER) AS n_tokens,
+      |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin),
 
     // TRY_CAST mirrors Spark's tolerant cast (malformed k -> NULL, not an
     // error), and the double-% flooring mirrors pmod so negative k buckets

@@ -199,6 +199,7 @@ object SparkEntry {
     // the composed curation pipeline (exact dedup -> near-dup clusters ->
     // quality floor -> deterministic 3/4 sample), oracle-checked end-to-end
     "p09_curated_corpus"      -> ((s, d) => Pipeline.curate(Tables.documents(s, d), sampleBuckets = 192)),
+    "p16_curated_chunks"      -> ((s, d) => Pipeline.curatedChunks(Tables.documents(s, d), sampleBuckets = 192)),
     "p12_packed_sequences"    -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
     "p13_bin_manifest"        -> ((s, d) => Packing.binManifest(Tables.documents(s, d))),
     "p14_chunked_docs"        -> ((s, d) => Packing.chunkDocs(Tables.documents(s, d))),

@@ -34,7 +34,13 @@ object Pipeline {
     *   than return partially-merged clusters. */
   def curate(docs: DataFrame, jaccardThreshold: Double = 0.8,
              minQuality: Double = 0.3, sampleBuckets: Int = 256,
-             ccMaxIter: Int = 20): DataFrame = {
+             ccMaxIter: Int = 20): DataFrame =
+    curateRel(docs, jaccardThreshold, minQuality, sampleBuckets, ccMaxIter)
+      .orderBy("doc_id")
+
+  private def curateRel(docs: DataFrame, jaccardThreshold: Double,
+                        minQuality: Double, sampleBuckets: Int,
+                        ccMaxIter: Int): DataFrame = {
     // stage 1: exact-duplicate canonical (no shuffle beyond the window)
     val wExact = Window.partitionBy(md5(col("text")))
     val exactKept = docs
@@ -56,6 +62,21 @@ object Pipeline {
       .filter(col("quality_score") >= minQuality)
       .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
-      .orderBy("doc_id")
+  }
+
+  /** The corpus → training-chunks handoff (p16): the curated keep set,
+    * texts re-attached by a doc_id semi-join, then the p14 chunker over
+    * the survivors — curation, near-dup clustering, quality, sampling
+    * and chunking in ONE lazy plan. At scale the keep set is the small
+    * side of the semi-join (curation is subtractive), and the chunker
+    * rides the survivor scan map-only; Catalyst orders the cheap
+    * predicates below the expensive verify join exactly as in
+    * [[curate]]. */
+  def curatedChunks(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                    minQuality: Double = 0.3, sampleBuckets: Int = 256,
+                    window: Int = 64, stride: Int = 48): DataFrame = {
+    val kept = curateRel(docs, jaccardThreshold, minQuality, sampleBuckets,
+      ccMaxIter = 20).select("doc_id")
+    Packing.chunkDocs(docs.join(kept, Seq("doc_id"), "left_semi"), window, stride)
   }
 }
