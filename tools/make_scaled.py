@@ -11,24 +11,41 @@ import sys, os
 import duckdb
 
 TABLES = {
+    # plain replication: N exact copies — fine for map-side operators
+    # (shingling, chunking, decontamination probes), PATHOLOGICAL for
+    # LSH self-joins (every doc gains >= N exact duplicates, so the
+    # candidate relation grows quadratically in N — by construction,
+    # not as a property of the operator)
     "documents": ("docs", "SELECT doc_id + r.i * 1000000 AS doc_id, "
                           "text, lang, source, n_chars"),
+    # mutated replication: every token (after the first) carries a
+    # replica-unique tag, so EVERY trigram is replica-local — a single
+    # prefix token would not do it (one extra shingle almost never
+    # changes the 16 signature mins, so band keys would still collide
+    # across replicas and candidates would still grow quadratically).
+    # Intra-replica duplicate structure is preserved: exact/near dup
+    # relations of the original corpus survive within each replica.
+    "documents-mutated": ("docsm",
+                          "SELECT doc_id + r.i * 1000000 AS doc_id, "
+                          "replace(text, ' ', ' r' || r.i || '_') AS text, "
+                          "lang, source, n_chars"),
     "embeddings": ("emb", "SELECT vec_id + r.i * 1000000 AS vec_id, "
                           "embedding, label"),
 }
 
 def main(table, mult, sf_dir="/root/testdata/sf0.1"):
     prefix, select = TABLES[table]
+    src = table.split("-")[0]  # documents-mutated reads documents.parquet
     out = f"/tmp/{prefix}_x{mult}"
     os.makedirs(out, exist_ok=True)
     duckdb.sql(f"""
       COPY ({select}
-            FROM '{sf_dir}/{table}.parquet',
+            FROM '{sf_dir}/{src}.parquet',
                  (SELECT unnest(generate_series(0, {mult - 1})) AS i) r)
-      TO '{out}/{table}.parquet' (FORMAT parquet)
+      TO '{out}/{src}.parquet' (FORMAT parquet)
     """)
-    n = duckdb.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
-    print(f"{out}/{table}.parquet rows={n}")
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/{src}.parquet'").fetchone()[0]
+    print(f"{out}/{src}.parquet rows={n}")
 
 if __name__ == "__main__":
     main(sys.argv[1], int(sys.argv[2]),
