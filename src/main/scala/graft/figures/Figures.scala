@@ -40,7 +40,8 @@ object Figures {
 
   /** Multi-series line chart; x is epoch millis, labeled as dates. */
   def lineChart(title: String, series: Seq[(String, Seq[(Long, Double)])],
-                w: Int = 880, h: Int = 300): String = {
+                w: Int = 880, h: Int = 300,
+                markers: Seq[(Long, Double, String)] = Seq.empty): String = {
     val pad = 48
     val pts = series.flatMap(_._2)
     if (pts.isEmpty) return emptyChart(title, w, h)
@@ -67,7 +68,12 @@ object Figures {
       s"""<rect x="${pad + i * 140}" y="8" width="10" height="10" fill="${color(i)}"/>""" +
         s"""<text x="${pad + i * 140 + 14}" y="17" class="tick">${esc(name)}</text>"""
     }
-    svg(title, w, h, yTicks ++ xTicks ++ lines ++ legend)
+    val marks = markers.map { case (x, y, label) =>
+      s"""<circle cx="${f"${sx(x)}%.1f"}" cy="${f"${sy(y)}%.1f"}" r="4.5" """ +
+        s"""fill="none" stroke="#d62728" stroke-width="2" class="anomaly">""" +
+        s"""<title>${esc(label)}</title></circle>"""
+    }
+    svg(title, w, h, yTicks ++ xTicks ++ lines ++ marks ++ legend)
   }
 
   /** Horizontal bars, one per labeled item (top-k domain charts). */
@@ -221,6 +227,19 @@ object Figures {
           .map { case (t, rs) => (t, rs.map(_.getLong(3)).sum.toDouble) }.toSeq
       }
     charts += lineChart(s"Client activity over time (top $nClients clients, hourly)", activity)
+
+    // daily volume with rolling z-score anomaly rings (w09 — beyond the
+    // reference's chart set: the alerting extension of its daily series)
+    val anom = graft.operators.Stats.dailyAnomalies(prep).collect()
+    val dailySeries = anom.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (st, rows) =>
+        st -> rows.map(r => (r.getDate(1).getTime, r.getLong(2).toDouble)).toSeq }
+    val rings = anom.filter(_.getBoolean(5)).map { r =>
+      (r.getDate(1).getTime, r.getLong(2).toDouble,
+        f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
+    }.toSeq
+    charts += lineChart("Daily query volume (anomalies ringed)",
+      dailySeries, markers = rings)
 
     // mean reply time by date (plot.py:162-180)
     val reply = graft.operators.Stats.replyByDate(prep).collect()

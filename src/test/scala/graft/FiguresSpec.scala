@@ -49,4 +49,14 @@ class FiguresSpec extends SparkSpec {
     val html = Figures.hbarChart("t", Seq("""a<b>&"c""" -> 1.0))
     assert(html.contains("a&lt;b&gt;&amp;&quot;c"))
   }
+
+  test("anomaly rings render at flagged points, none when nothing is flagged") {
+    val series = Seq("Allowed" -> (0 to 9).map(d => (d * 86400000L, 10.0)).toSeq)
+    val flat = Figures.lineChart("t", series)
+    assert(!flat.contains("class=\"anomaly\""))
+    val ringed = Figures.lineChart("t", series,
+      markers = Seq((8 * 86400000L, 100.0, "Allowed anomaly: 100 (z=8.2)")))
+    assert(ringed.contains("class=\"anomaly\""))
+    assert(ringed.contains("Allowed anomaly: 100 (z=8.2)"))
+  }
 }
