@@ -608,9 +608,17 @@ object Stats {
     * reduced by a map-side-combined groupBy first, and no global-order
     * window ever sees row-scale data. */
   def dailyAnomalies(prep: DataFrame, lookback: Int = 7,
-                     zThreshold: Double = 2.0): DataFrame = {
-    val daily = prep.groupBy("status_type", "date")
-      .agg(count(lit(1)).cast("double").as("cnt"))
+                     zThreshold: Double = 2.0): DataFrame =
+    dailyAnomaliesFrom(
+      prep.groupBy("status_type", "date")
+        .agg(count(lit(1)).cast("double").as("cnt")),
+      lookback, zThreshold)
+
+  /** The scoring stage over an ALREADY-AGGREGATED (status_type, date,
+    * cnt double) series — lets the serve layer score its cached hourly
+    * rollup (re-summed to days) without touching the fact source. */
+  def dailyAnomaliesFrom(daily: DataFrame, lookback: Int = 7,
+                         zThreshold: Double = 2.0): DataFrame = {
     val w = Window.partitionBy("status_type").orderBy("date")
       .rowsBetween(-lookback, -1)
     daily.select(col("status_type"), col("date"), col("cnt").cast("long").as("cnt"),

@@ -81,6 +81,34 @@ final class ServingCache(val prep: DataFrame, nClients: Int = 10) extends AutoCl
       .map { case (cl, rs) => cl -> rs.map(r => (r._2, r._3)).toSeq })
   }
 
+  /** Daily anomaly slice computed FROM THE CACHE: the hourly rollup
+    * re-summed to days (equal to direct daily counts by construction),
+    * then the w09 trailing z-score — the fact source is never re-read,
+    * same invariant as every other slice. */
+  def dailyAnomalies(client: Option[String]): DataFrame = {
+    val base = client.fold(hourly)(c => hourly.filter(col("client") === c))
+    val daily = base
+      .groupBy(col("status_type"), to_date(col("ts_hour")).as("date"))
+      .agg(sum("cnt").cast("double").as("cnt"))
+    graft.operators.Stats.dailyAnomaliesFrom(daily)
+  }
+
+  /** SVG figure: daily volume with anomaly rings (the w09 chart, per
+    * client filter). */
+  def anomaliesFigure(client: Option[String]): String = {
+    val rows = dailyAnomalies(client).collect()
+    val series = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (st, rs) =>
+        st -> rs.map(r => (r.getDate(1).getTime, r.getLong(2).toDouble)).toSeq }
+    val rings = rows.filter(_.getBoolean(5)).map { r =>
+      (r.getDate(1).getTime, r.getLong(2).toDouble,
+        f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
+    }.toSeq
+    val title = client.fold("Daily volume with anomaly flags")(c =>
+      s"Daily volume with anomaly flags for $c")
+    Figures.lineChart(title, series, markers = rings)
+  }
+
   override def close(): Unit = hourly.unpersist(blocking = false)
 }
 
@@ -92,6 +120,7 @@ final class ServingCache(val prep: DataFrame, nClients: Int = 10) extends AutoCl
   *                                  + both figures (inline SVG)
   *   - `GET /queries?client=<c>`    queries-over-time figure (SVG)
   *   - `GET /activity?client=<c>`   client-activity figure (SVG)
+  *   - `GET /anomalies?client=<c>`  daily volume + anomaly rings (SVG)
   *   - `GET /clients`               the cached top-client list (JSON)
   *   - `POST /reload[?start=YYYY-MM-DD&end=YYYY-MM-DD]`
   *                                  rebuild the cache from source (the
@@ -188,6 +217,8 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
     respond(ex, "image/svg+xml", cache.queriesFigure(clientOf(ex))))
   server.createContext("/activity", (ex: HttpExchange) =>
     respond(ex, "image/svg+xml", cache.activityFigure(clientOf(ex))))
+  server.createContext("/anomalies", (ex: HttpExchange) =>
+    respond(ex, "image/svg+xml", cache.anomaliesFigure(clientOf(ex))))
   server.createContext("/clients", (ex: HttpExchange) =>
     respond(ex, "application/json",
       cache.topClients.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")))
@@ -208,6 +239,7 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
          |</form>
          |${cache.queriesFigure(client)}
          |${cache.activityFigure(client)}
+         |${cache.anomaliesFigure(client)}
          |</body></html>""".stripMargin
     respond(ex, "text/html", page)
   })

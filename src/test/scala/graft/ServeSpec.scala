@@ -67,6 +67,23 @@ class ServeSpec extends SparkSpec {
     } finally cache.close()
   }
 
+  test("anomaly slice: cache-only leaves, equal to the oracle-checked w09 relation") {
+    val cache = new ServingCache(prep)
+    try {
+      val slice = cache.dailyAnomalies(None)
+      val leaves = slice.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        "anomaly slice must read only the cached rollup")
+      // re-summing the hourly rollup to days = direct daily counts, so
+      // the cache-side scoring must reproduce w09 exactly
+      assert(rowsOf(slice) == rowsOf(operators.Stats.dailyAnomalies(prep)))
+      // the figure endpoint renders from the same slice
+      val svg = cache.anomaliesFigure(None)
+      assert(svg.contains("<svg") && svg.contains("Daily volume"))
+    } finally cache.close()
+  }
+
   test("HTTP loop serves the dashboard and re-renders on a client filter") {
     val cache = new ServingCache(prep)
     val server = new StatsServer(cache, port = 0)
