@@ -40,6 +40,12 @@ class ExtensionsSpec extends SparkSpec {
         "word_ngrams(split('a b a b c', ' '), 2) AS wn").head
     assert(ng.getSeq[String](0) == Seq("a b", "b a", "b c"))
     assert(ng.getSeq[String](1) == Seq("a b", "b a", "a b", "b c"))
+    // null array elements follow concat_ws semantics (skipped, no NPE) —
+    // split() never produces them, but the SQL surface accepts any array
+    val withNull = spark.sql(
+      "SELECT distinct_shingles(array('a', CAST(NULL AS STRING), 'b', 'c'), 3) AS s")
+      .head.getSeq[String](0)
+    assert(withNull == Seq("a b", "b c"))
   }
 
   test("extension injector: GraftExtensions.apply wires builders a registry can resolve") {
