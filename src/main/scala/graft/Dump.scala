@@ -23,15 +23,9 @@ object Dump {
       println(s"[dump] $n -> $outDir/$n")
     }
     // matching oracle subset so tools/check.py runs on a Dump dir too
-    val sub = names.split(",").toSeq.flatMap(n =>
-      SparkEntry.oracleSql.get(n).map(sql => n -> sql))
-    val json = sub.map { case (n, sql) =>
-      val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t")
-      s""""$n": "$esc""""
-    }.mkString("{", ",\n", "}")
+    // (same escaper as Verify's full dump — SparkEntry.oracleJson)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      json.getBytes("UTF-8"))
+      SparkEntry.oracleJson(names.split(",").toSeq).getBytes("UTF-8"))
     spark.stop()
   }
 }

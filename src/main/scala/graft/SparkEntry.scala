@@ -218,4 +218,24 @@ object SparkEntry {
     * (sketches, hash-dependent signatures) → driver records a weaker
     * rows-only check. */
   def oracleSql: Map[String, String] = Oracles.all
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** `oracle_sql.json` body for the named queries (names without an
+    * oracle are skipped) — ONE escaper shared by Verify (full inventory)
+    * and Dump (partial), so the two dumps cannot diverge. */
+  def oracleJson(names: Iterable[String]): String =
+    names.flatMap(n => oracleSql.get(n).map(sql => s"${q(n)}: ${q(sql)}"))
+      .mkString("{", ",", "}")
 }

@@ -230,14 +230,8 @@ object Figures {
 
     // daily volume with rolling z-score anomaly rings (w09 — beyond the
     // reference's chart set: the alerting extension of its daily series)
-    val anom = graft.operators.Stats.dailyAnomalies(prep).collect()
-    val dailySeries = anom.groupBy(_.getString(0)).toSeq.sortBy(_._1)
-      .map { case (st, rows) =>
-        st -> rows.map(r => (r.getDate(1).getTime, r.getLong(2).toDouble)).toSeq }
-    val rings = anom.filter(_.getBoolean(5)).map { r =>
-      (r.getDate(1).getTime, r.getLong(2).toDouble,
-        f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
-    }.toSeq
+    val (dailySeries, rings) =
+      anomalySeries(graft.operators.Stats.dailyAnomalies(prep).collect())
     charts += lineChart("Daily query volume (anomalies ringed)",
       dailySeries, markers = rings)
 
@@ -258,6 +252,21 @@ object Figures {
     }
 
     page("Pi-hole long-term stats", charts.result())
+  }
+
+  /** w09 rows → ((status → daily series), anomaly rings with tooltip
+    * labels) — the one extraction both the static dashboard and the
+    * serve layer's interactive figure feed to [[lineChart]]. */
+  def anomalySeries(rows: Array[org.apache.spark.sql.Row])
+      : (Seq[(String, Seq[(Long, Double)])], Seq[(Long, Double, String)]) = {
+    val series = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (st, rs) =>
+        st -> rs.map(r => (r.getDate(1).getTime, r.getLong(2).toDouble)).toSeq }
+    val rings = rows.filter(_.getBoolean(5)).map { r =>
+      (r.getDate(1).getTime, r.getLong(2).toDouble,
+        f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
+    }.toSeq
+    (series, rings)
   }
 
   /** Render and write; returns the path for convenience. */

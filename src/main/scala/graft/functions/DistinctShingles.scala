@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -28,6 +29,16 @@ case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "distinct_shingles"
+
+  /** SQL-reachable, so reject non-string-array input at ANALYSIS time:
+    * getUTF8String over a wrong-typed UnsafeArrayData misreads raw bytes
+    * as offset/size words — garbage values, not an error (the same
+    * hazard DotProduct's check exists for). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     DistinctShingles.compute(input.asInstanceOf[ArrayData], n)
@@ -73,6 +84,16 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
+
+  /** SQL-reachable, so reject non-string-array input at ANALYSIS time:
+    * getUTF8String over a wrong-typed UnsafeArrayData misreads raw bytes
+    * as offset/size words — garbage values, not an error (the same
+    * hazard DotProduct's check exists for). */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     WordNgrams.compute(input.asInstanceOf[ArrayData], n)

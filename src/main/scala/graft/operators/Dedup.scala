@@ -753,7 +753,10 @@ object Dedup {
   def decontaminateAgainst(corpus: DataFrame, evalShingles: DataFrame,
                            minOverlap: Long = 2): DataFrame =
     wordShingles(corpus)
-      .join(broadcast(evalShingles.withColumn("_hit", lit(1))), Seq("s"), "left")
+      // defensive distinct: a duplicated eval shingle would fan the left
+      // join out and inflate BOTH counts (quarantining clean docs with no
+      // error); the eval side is MB-scale, so the extra exchange is noise
+      .join(broadcast(evalShingles.distinct().withColumn("_hit", lit(1))), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

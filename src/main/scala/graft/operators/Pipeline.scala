@@ -74,9 +74,10 @@ object Pipeline {
     * [[curate]]. */
   def curatedChunks(docs: DataFrame, jaccardThreshold: Double = 0.8,
                     minQuality: Double = 0.3, sampleBuckets: Int = 256,
-                    window: Int = 64, stride: Int = 48): DataFrame = {
+                    window: Int = 64, stride: Int = 48,
+                    ccMaxIter: Int = 20): DataFrame = {
     val kept = curateRel(docs, jaccardThreshold, minQuality, sampleBuckets,
-      ccMaxIter = 20).select("doc_id")
+      ccMaxIter).select("doc_id")
     Packing.chunkDocs(docs.join(kept, Seq("doc_id"), "left_semi"), window, stride)
   }
 }

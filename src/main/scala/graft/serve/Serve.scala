@@ -96,14 +96,7 @@ final class ServingCache(val prep: DataFrame, nClients: Int = 10) extends AutoCl
   /** SVG figure: daily volume with anomaly rings (the w09 chart, per
     * client filter). */
   def anomaliesFigure(client: Option[String]): String = {
-    val rows = dailyAnomalies(client).collect()
-    val series = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
-      .map { case (st, rs) =>
-        st -> rs.map(r => (r.getDate(1).getTime, r.getLong(2).toDouble)).toSeq }
-    val rings = rows.filter(_.getBoolean(5)).map { r =>
-      (r.getDate(1).getTime, r.getLong(2).toDouble,
-        f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
-    }.toSeq
+    val (series, rings) = Figures.anomalySeries(dailyAnomalies(client).collect())
     val title = client.fold("Daily volume with anomaly flags")(c =>
       s"Daily volume with anomaly flags for $c")
     Figures.lineChart(title, series, markers = rings)

@@ -31,17 +31,24 @@ object StreamingDecontam {
                 minOverlap: Long = 2): DataFrame =
     Dedup.decontaminateAgainst(batch, evalShingles, minOverlap)
 
-  /** Run the stream: append each batch's contaminated (doc_id,
-    * n_shingles, n_overlap, overlap_frac) rows to a parquet quarantine
-    * directory. Checkpointed — restart-safe, each input batch flagged
-    * exactly once. */
+  /** Run the stream: write each batch's contaminated (doc_id,
+    * n_shingles, n_overlap, overlap_frac) rows into a batchId-keyed
+    * subdirectory of the parquet quarantine. foreachBatch is only
+    * at-least-once (a crash between the sink write and the checkpoint
+    * commit replays the batch), so the write must be IDEMPOTENT:
+    * overwriting `batch_id=<id>` makes the replay a no-op instead of a
+    * duplicate append — that plus the checkpoint is the exactly-once
+    * recipe the Structured Streaming guide prescribes for file sinks
+    * driven from foreachBatch. Read the quarantine with
+    * `spark.read.parquet(outDir)` (batch_id surfaces as a partition
+    * column). */
   def start(docs: DataFrame, evalShingles: DataFrame, outDir: String,
             checkpointDir: String, minOverlap: Long = 2,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         flagBatch(batch, evalShingles, minOverlap)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

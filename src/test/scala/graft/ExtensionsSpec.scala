@@ -46,6 +46,11 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT distinct_shingles(array('a', CAST(NULL AS STRING), 'b', 'c'), 3) AS s")
       .head.getSeq[String](0)
     assert(withNull == Seq("a b", "b c"))
+    // wrong-typed input rejected at ANALYSIS, not misread at runtime
+    val badType = intercept[Exception] {
+      spark.sql("SELECT distinct_shingles(array(1, 2, 3), 3)").collect()
+    }
+    assert(badType.getMessage.toLowerCase.contains("distinct_shingles"))
   }
 
   test("extension injector: GraftExtensions.apply wires builders a registry can resolve") {
