@@ -324,6 +324,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("quarantine writes are replay-idempotent (foreachBatch is at-least-once)") {
+    // simulate a crash-replay: the same micro-batch written twice under
+    // its batchId must leave the quarantine unchanged, not doubled
+    val evalDocs = df("doc_id BIGINT, text STRING",
+      Seq(org.apache.spark.sql.Row(100L, "a b c d e")))
+    val evalSh = graft.operators.Dedup.evalShingleSet(evalDocs)
+    val batch = df("doc_id BIGINT, text STRING",
+      Seq(org.apache.spark.sql.Row(1L, "a b c d x")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    def writeOnce(): Unit = graft.streaming.StreamingDecontam
+      .flagBatch(batch, evalSh, 2)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+    writeOnce(); writeOnce() // the replay
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("streaming decontamination: quarantine equals the batch operator across a batch split") {
     import graft.streaming.StreamingDecontam
     import spark.implicits._
