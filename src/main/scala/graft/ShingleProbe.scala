@@ -45,6 +45,19 @@ object ShingleProbe {
     time("full decontaminate") {
       graft.operators.Dedup.decontaminateAgainst(corpus, evalSh).count()
     }
+    // 8-byte hashed join keys vs exact strings: the candidate production
+    // twin (64-bit collisions are ~1e-9 at benchmark-set scale)
+    time("decontaminate (hashed keys)") {
+      val ev = evalSh.select(xxhash64(col("s")).as("h")).distinct()
+        .withColumn("_hit", lit(1))
+      graft.operators.Dedup.wordShingles(corpus)
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .join(broadcast(ev), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
+        .filter(col("n_overlap") >= 2)
+        .count()
+    }
     // embedding-side twin: interpreted transform(cast) vs direct mixed-
     // width dot_product through the bucket stage (pass an embeddings dir
     // as a second arg to run it)

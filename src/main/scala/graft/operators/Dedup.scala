@@ -761,4 +761,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
+
+  /** PRODUCTION twin of [[decontaminateAgainst]]: both sides join on
+    * `xxhash64(shingle)` — 8-byte keys instead of ~20-char strings cut
+    * the broadcast probe + per-doc aggregate ~30% (whole query 15%,
+    * 9.4 s → 7.9 s at the 500k-doc/25M-shingle replica, ShingleProbe).
+    * A corpus↔eval cross-collision would inflate n_overlap by one:
+    * odds ~|corpus shingles|·|eval shingles|/2^64 ≈ 1e-9 at benchmark
+    * scale — the [[lshCandidatesXx]] trade. Not DuckDB-mirrorable (no
+    * xxhash64 there) → no driver query; `DedupSpec` pins it equal to
+    * the exact form. */
+  def decontaminateAgainstHashed(corpus: DataFrame, evalShingles: DataFrame,
+                                 minOverlap: Long = 2): DataFrame =
+    wordShingles(corpus)
+      .select(col("doc_id"), xxhash64(col("s")).as("_h"))
+      .join(broadcast(evalShingles.select(xxhash64(col("s")).as("_h"))
+        .distinct().withColumn("_hit", lit(1))), Seq("_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
 }

@@ -277,6 +277,18 @@ class DedupSpec extends SparkSpec {
     assert(loose == Set(1L, 2L))
   }
 
+  test("hashed-key decontamination twin equals the exact-string form") {
+    val evalSh = Dedup.evalShingleSet(contamCorpus.filter("source = 'src0'"))
+    val corpus = contamCorpus.filter("source <> 'src0'")
+    for (minOv <- Seq(1L, 2L)) {
+      val exact = Dedup.decontaminateAgainst(corpus, evalSh, minOv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val hashed = Dedup.decontaminateAgainstHashed(corpus, evalSh, minOv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(hashed == exact && exact.nonEmpty, s"minOverlap=$minOv")
+    }
+  }
+
   test("decontaminate plan: eval side broadcast, corpus side never shuffled pre-join") {
     val plan = Dedup.decontaminate(contamCorpus, "src0")
       .queryExecution.executedPlan.toString
