@@ -53,19 +53,29 @@ object Streaks {
     if (requested > 0) requested
     else math.max(32, prep.queryExecution.toRdd.getNumPartitions)
 
-  /** Type-robust `ts` read for the RDD scan passes. Source normalization
-    * ([[graft.Tables.normalizeTs]]) guarantees TimestampType, but the raw
-    * row value still varies by conf: java.sql.Timestamp normally,
-    * java.time.Instant under datetime.java8API, java.time.LocalDateTime
-    * if an un-normalized NTZ frame ever reaches here. Accept all three so
-    * a source-encoding shift degrades to correct-but-unnormalized instead
-    * of a ClassCastException mid-scan. */
-  private def tsAt(r: Row): java.sql.Timestamp = r.get(0) match {
-    case t: java.sql.Timestamp       => t
-    case i: java.time.Instant        => java.sql.Timestamp.from(i)
-    case l: java.time.LocalDateTime  => java.sql.Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))
-    case other => throw new IllegalArgumentException(
-      s"unsupported ts value ${other.getClass.getName}; expected a timestamp")
+  /** Epoch-micros projection of `ts` for the RDD scan passes. The two-pass
+    * machinery reads the physical `InternalRow`s (no external-Row
+    * conversion — measured as the dominant per-row cost of the r8 form),
+    * where TimestampType is ALWAYS a micros long regardless of the
+    * datetime.java8API conf; the defensive cast makes an un-normalized
+    * TIMESTAMP_NTZ frame equally readable (lossless under the pinned UTC
+    * session zone), so a source-encoding shift cannot change the scan's
+    * row layout (TsEncodingSpec pins all three parquet encodings). */
+  private def tsUs: Column = unix_micros(col("ts").cast(TimestampType)).as("ts_us")
+
+  /** Retain a key value across iterator steps: `UnsafeRow.getUTF8String`
+    * points into a buffer the scan reuses, so a kept key must be copied —
+    * but only at run boundaries, never per row. */
+  private def own(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+    case x => x
+  }
+
+  /** Internal → external key value (UTF8String → String) for the
+    * O(partitions) driver stats and the O(runs) output rows. */
+  private def ext(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case x => x
   }
 
   /** W1+A21: per-run relation for one class flag. Group id = running count
@@ -88,29 +98,172 @@ object Streaks {
       .select("grp", "streak_len", "start_ts")
   }
 
+  /** Per-partition summary of one sorted scan — everything every streak
+    * operator needs, collected in ONE pass: the first/last run fragments
+    * (the only runs that can span partitions), the local run count, the
+    * best COMPLETE interior run per key (for argmax forms; off when
+    * `wantBests` is false so the degenerate alternating-key case pays no
+    * hash-map cost), and the idle-gap family (for the fused W3). Constant
+    * bytes per partition apart from `bestInterior` (O(distinct keys) —
+    * the status alphabet for DNS logs). */
+  private case class PartStats(
+    pid: Int,
+    firstKey: Any, firstLen: Long, firstStartUs: Long,
+    lastKey: Any, lastLen: Long, lastStartUs: Long,
+    nRuns: Long,
+    bestInterior: scala.collection.immutable.Map[Any, (Long, Long)],
+    firstTs: Long, lastTs: Long,
+    bestGap: Long, bestBefore: Long, bestAfter: Long)
+
+  /** One complete run with its global id: (grp, key, len, startUs). */
+  private type RunRow = (Long, Any, Long, Long)
+
+  /** Pass 1 over the range-sorted physical rows: O(partitions) driver
+    * data (see [[PartStats]]). Reads `InternalRow`s directly — no
+    * external-Row conversion in the per-row hot loop. */
+  private def scanStats(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                        kt: DataType, wantBests: Boolean): Array[PartStats] =
+    rdd.mapPartitionsWithIndex { (pid, rows) =>
+      var n = 0L; var nRuns = 0L
+      var firstKey: Any = null; var firstLen = 0L; var firstStartUs = 0L
+      var curKey: Any = null; var curLen = 0L; var curStartUs = 0L
+      val bests = scala.collection.mutable.HashMap.empty[Any, (Long, Long)]
+      var firstTs = 0L; var prevTs = 0L
+      var bestGap = -1L; var bestBefore = 0L; var bestAfter = 0L
+      rows.foreach { r =>
+        val f = r.get(2, kt); val t = r.getLong(0)
+        if (n == 0L) {
+          firstTs = t
+          curKey = own(f); curLen = 1L; curStartUs = t; nRuns = 1L
+        } else {
+          val g = t - prevTs
+          if (g > bestGap) { bestGap = g; bestBefore = prevTs; bestAfter = t }
+          if (f != curKey) {
+            // the run that just closed: partition-first fragment if it is
+            // run #1, else a COMPLETE interior run (it both started and
+            // ended inside this partition — the last run never closes here)
+            if (nRuns == 1L) { firstKey = curKey; firstLen = curLen; firstStartUs = curStartUs }
+            else if (wantBests) {
+              val prev = bests.getOrElse(curKey, null)
+              if (prev == null || curLen > prev._1 ||
+                (curLen == prev._1 && curStartUs < prev._2))
+                bests(curKey) = (curLen, curStartUs)
+            }
+            curKey = own(f); curLen = 1L; curStartUs = t; nRuns += 1L
+          } else curLen += 1L
+        }
+        prevTs = t; n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else {
+        if (nRuns == 1L) { firstKey = curKey; firstLen = curLen; firstStartUs = curStartUs }
+        Iterator.single(PartStats(pid,
+          ext(firstKey), firstLen, firstStartUs,
+          ext(curKey), curLen, curStartUs, nRuns,
+          bests.map { case (k, v) => (ext(k), v) }.toMap,
+          firstTs, prevTs, bestGap, bestBefore, bestAfter))
+      }
+    }.collect().sortBy(_.pid)
+
+  /** Driver stitch: fold the O(partitions) stats into (a) every COMPLETE
+    * boundary-touching run — each partition's first/last fragments merged
+    * across partitions when the key continues — and (b) each partition's
+    * first-run global id (`firstGrp`), from which pass 2 derives interior
+    * run ids locally. Run ids equal the window form's cumsum-of-changes
+    * (run #1 = 1, sequential over all key values). */
+  private def stitchBoundary(stats: Array[PartStats])
+      : (ArrayBuffer[RunRow], collection.immutable.Map[Int, Long]) = {
+    val out = ArrayBuffer.empty[RunRow]
+    val firstGrps = Map.newBuilder[Int, Long]
+    var runsSoFar = 0L
+    var chain: RunRow = null
+    stats.foreach { s =>
+      val continues = chain != null && chain._2 == s.firstKey
+      val firstGrp = runsSoFar + (if (continues) 0L else 1L)
+      firstGrps += s.pid -> firstGrp
+      runsSoFar += (if (continues) 0L else 1L) + (s.nRuns - 1L)
+      if (continues) chain = (chain._1, chain._2, chain._3 + s.firstLen, chain._4)
+      else {
+        if (chain != null) out += chain
+        chain = (firstGrp, s.firstKey, s.firstLen, s.firstStartUs)
+      }
+      if (s.nRuns > 1L) {
+        // multi-run partition: the inbound chain ends at its first flip;
+        // its LAST run starts a fresh chain toward the next partition
+        out += chain
+        chain = (firstGrp + s.nRuns - 1L, s.lastKey, s.lastLen, s.lastStartUs)
+      }
+    }
+    if (chain != null) out += chain
+    (out, firstGrps.result())
+  }
+
+  /** The range-sorted physical scan shared by every streak pass. */
+  private def sortedScan(prep: DataFrame, key: Column, nParts: Int) =
+    prep.select(tsUs, col("id"), key.as("key"))
+      .repartitionByRange(nParts, col("ts_us"), col("id"))
+      .sortWithinPartitions("ts_us", "id")
+      .queryExecution.toRdd
+
+  /** Driver-side per-class argmax over interior bests + stitched boundary
+    * runs — (len desc, start asc), the window form's tie-break. */
+  private def bestRunOfClass(stats: Array[PartStats], boundary: collection.Seq[RunRow],
+                             cls: String): Option[(Long, Long)] = {
+    var best: (Long, Long) = null
+    def offer(len: Long, startUs: Long): Unit =
+      if (best == null || len > best._1 || (len == best._1 && startUs < best._2))
+        best = (len, startUs)
+    stats.foreach(_.bestInterior.get(cls).foreach { case (l, s) => offer(l, s) })
+    boundary.foreach { case (_, k, l, s) => if (k == cls) offer(l, s) }
+    Option(best)
+  }
+
+  /** Build the W2 result rows for `classes` from one pass-1 stats array.
+    * The result is a LocalRelation (the argmax already happened on the
+    * O(partitions·keys) driver data) — no second data pass, no shuffle. */
+  private def streaksFromStats(spark: org.apache.spark.sql.SparkSession,
+                               stats: Array[PartStats],
+                               classes: Seq[String]): DataFrame = {
+    val (boundary, _) = stitchBoundary(stats)
+    val rows = classes.flatMap { cls =>
+      bestRunOfClass(stats, boundary, cls).map { case (len, startUs) =>
+        Row(cls, len, startUs)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("status_type", StringType, nullable = false),
+      StructField("streak_len", LongType, nullable = false),
+      StructField("start_us", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+      .select(col("status_type"), col("streak_len"),
+        timestamp_micros(col("start_us")).as("start_ts"))
+      .orderBy("status_type")
+  }
+
   /** W2: longest streak of a class — argmax run by length, earliest start
     * on ties (pandas idxmax returns the first = earliest group,
-    * stats.py:337-344). Routed through the parallel run relation: the
-    * argmax is a TakeOrdered over runs — the plan carries no Window
-    * operator and no single-task stage. */
-  def longestStreak(prep: DataFrame, statusType: String): DataFrame =
-    topRunOfClass(parallelRunsBy(prep, col("status_type"), StringType), statusType)
-
-  private def topRunOfClass(runs: DataFrame, statusType: String): DataFrame =
-    runs.filter(col("key") === statusType)
-      .orderBy(desc("streak_len"), asc("start_ts")).limit(1)
-      .select(lit(statusType).as("status_type"), col("streak_len"), col("start_ts"))
+    * stats.py:337-344). ONE sorted pass: pass 1 already sees every run
+    * boundary, so it carries the per-key best interior run and the
+    * partition-edge fragments; the driver stitches spanning runs and
+    * takes the argmax — no pass 2, no Window, no run shuffle. */
+  def longestStreak(prep: DataFrame, statusType: String): DataFrame = {
+    val spark = prep.sparkSession
+    val rdd = sortedScan(prep, col("status_type"), autoPartitions(prep, 0))
+    streaksFromStats(spark, scanStats(rdd, StringType, wantBests = true), Seq(statusType))
+  }
 
   /** W2 both classes in one result (reference computes blocked + allowed,
     * stats.py:336-359). ONE scan for both classes: runs are computed on
     * the status VALUE (a maximal Allowed stretch is the same row set
     * whether bounded by "≠ Allowed" or by a value change), so the two
-    * argmax branches share the run relation — and its shuffle — instead
-    * of scanning the events twice. */
+    * argmaxes share the single pass. */
   def longestStreaks(prep: DataFrame): DataFrame = {
-    val runs = parallelRunsBy(prep, col("status_type"), StringType)
-    topRunOfClass(runs, "Allowed").unionByName(topRunOfClass(runs, "Blocked"))
-      .orderBy("status_type")
+    val spark = prep.sparkSession
+    val rdd = sortedScan(prep, col("status_type"), autoPartitions(prep, 0))
+    streaksFromStats(spark, scanStats(rdd, StringType, wantBests = true),
+      Seq("Allowed", "Blocked"))
   }
 
   /** Flag-run form: `grp` ids identical to [[streakRuns]]' window cumsum
@@ -124,16 +277,19 @@ object Streaks {
     * maximal stretches of equal `key` values in (ts, id) order, with
     * `grp` ids equal to the window form's running change count.
     *
-    * Two passes over one range-shuffled sort (see the object doc):
-    * pass 1 collects O(partitions) boundary stats, a driver fold turns
-    * them into per-partition (starting run id, continues-previous) pairs,
-    * and pass 2 emits per-partition RLE fragments with globally correct
-    * ids. Fragments of a partition-spanning run share a `grp` and merge
-    * in the final parallel groupBy — `sum(run_len)`, `min(start_ts)`.
+    * Two passes over one range-shuffled sort (see the object doc), with
+    * NO run-level shuffle: pass 1 collects O(partitions) boundary stats
+    * ([[scanStats]]); the driver stitches every boundary-touching run to
+    * completion and hands each partition its first-run global id
+    * ([[stitchBoundary]]); pass 2 re-reads the same shuffle files and
+    * emits only the INTERIOR runs — complete by construction, ids
+    * derived locally from `firstGrp` — so the old `groupBy(grp)` merge
+    * exchange over O(runs) rows is gone: boundary runs arrive as an
+    * O(partitions) LocalRelation unioned below the RDD scan.
     *
-    * The degenerate worst case (alternating keys, runs ≈ rows) keeps
-    * the same shape: the groupBy then shuffles ~|rows| run fragments,
-    * which is still a parallel aggregation, not a single-task window. */
+    * The degenerate worst case (alternating keys, runs ≈ rows) now
+    * emits ~|rows| interior runs straight from the map-side scan with no
+    * shuffle at all — strictly cheaper than the old parallel groupBy. */
   private[graft] def parallelRunsBy(prep: DataFrame, key: Column,
                                     keyType: DataType,
                                     numPartitions: Int = 0): DataFrame = {
@@ -143,66 +299,46 @@ object Streaks {
       StructField("grp", LongType, nullable = false),
       StructField("key", keyType, nullable = true),
       StructField("run_len", LongType, nullable = false),
-      StructField("start_ts", TimestampType, nullable = false)))
-    val rdd = prep
-      .select(col("ts"), col("id"), key.as("key"))
-      .repartitionByRange(nParts, col("ts"), col("id"))
-      .sortWithinPartitions("ts", "id")
-      .rdd
-    // pass 1: (pid, firstKey, lastKey, internal changes) per non-empty
-    // partition — constant bytes per partition, like the k-means
-    // centroid collect: O(partitions) driver data by construction
-    val stats = rdd.mapPartitionsWithIndex { (pid, rows) =>
-      var n = 0L; var flips = 0L
-      var first: Any = null; var last: Any = null
-      rows.foreach { r =>
-        val f = r.get(2)
-        if (n == 0L) first = f else if (f != last) flips += 1
-        last = f; n += 1
-      }
-      if (n == 0L) Iterator.empty else Iterator.single((pid, first, last, flips))
-    }.collect().sortBy(_._1)
-    // driver fold: partition p's first run id and whether its first row
-    // continues the previous partition's last run (same key)
-    val bases = Map.newBuilder[Int, (Long, Boolean)]
-    var runsSoFar = 0L
-    var prevLast: Option[Any] = None
-    stats.foreach { case (pid, first, last, flips) =>
-      val continues = prevLast.contains(first)
-      bases += pid -> (runsSoFar, continues)
-      runsSoFar += (if (continues) 0L else 1L) + flips
-      prevLast = Some(last)
-    }
-    val bc = spark.sparkContext.broadcast(bases.result())
-    // pass 2: per-partition RLE with global run ids; reuses pass 1's
-    // shuffle files (same RDD lineage), so the events scan+exchange run
-    // once across the two jobs
+      StructField("start_us", LongType, nullable = false)))
+    val kt = keyType
+    // physical InternalRows, not Dataset.rdd: no per-row external
+    // conversion (GenericRow + Timestamp object per input row), and both
+    // jobs below still share the one range shuffle on this lineage
+    val rdd = sortedScan(prep, key, nParts)
+    val stats = scanStats(rdd, kt, wantBests = false)
+    val (boundary, firstGrps) = stitchBoundary(stats)
+    val bc = spark.sparkContext.broadcast(firstGrps)
+    // pass 2: per-partition RLE of interior runs only (run #1 and the
+    // last run are the driver's); run i's id = firstGrp + i - 1. Reuses
+    // pass 1's shuffle files (same RDD lineage), so the events
+    // scan+exchange run once across the two jobs
     val runsRdd = rdd.mapPartitionsWithIndex { (pid, rows) =>
       bc.value.get(pid) match {
         case None => Iterator.empty[Row]
-        case Some((base, continues)) =>
+        case Some(firstGrp) =>
           val out = ArrayBuffer.empty[Row]
-          var grp = base; var started = false
-          var cur: Any = null; var len = 0L; var start: java.sql.Timestamp = null
+          var idx = 0L
+          var cur: Any = null; var len = 0L; var startUs = 0L
           rows.foreach { r =>
-            val f = r.get(2)
-            if (!started) {
-              grp = if (continues) base else base + 1
-              started = true; cur = f; len = 0L; start = tsAt(r)
-            } else if (f != cur) {
-              out += Row(grp, cur, len, start)
-              grp += 1; cur = f; len = 0L; start = tsAt(r)
-            }
-            len += 1
+            val f = r.get(2, kt)
+            if (idx == 0L) { idx = 1L; cur = own(f); len = 1L; startUs = r.getLong(0) }
+            else if (f != cur) {
+              if (idx >= 2L) out += Row(firstGrp + idx - 1L, ext(cur), len, startUs)
+              idx += 1L; cur = own(f); len = 1L; startUs = r.getLong(0)
+            } else len += 1L
           }
-          if (started) out += Row(grp, cur, len, start)
+          // the final (idx-th) run is the partition's last → driver-owned
           out.iterator
       }
     }
+    val boundaryRows = boundary.map { case (g, k, l, s) => Row(g, k, l, s) }
+    val local = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(boundaryRows.toSeq).asJava),
+      runSchema)
     spark.createDataFrame(runsRdd, runSchema)
-      .groupBy("grp")
-      .agg(min(col("key")).as("key"), sum(col("run_len")).as("streak_len"),
-        min(col("start_ts")).as("start_ts"))
+      .unionByName(local)
+      .select(col("grp"), col("key"), col("run_len").as("streak_len"),
+        timestamp_micros(col("start_us")).as("start_ts"))
   }
 
   /** The SCALE-PATH streak relation (SURVEY.md §7.3-3): identical output
@@ -295,118 +431,50 @@ object Streaks {
       .orderBy("client")
   }
 
-  /** Exact epoch micros without the per-call `Instant` allocation —
-    * this runs once per ROW in the fused pass-1 hot loop.
-    * `getTime` already includes the millisecond part of the nanos field,
-    * so floor to seconds first and add the full nano fraction back. */
-  private def micros(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-  /** W2 + W3 fused behind ONE range shuffle. [[longestStreaks]] and
-    * [[longestIdle]] each need the same `(ts, id)`-sorted relation; run
-    * separately they range-shuffle and sort the input twice — measured as
-    * the dominant slice of the facade's stats stage at 100 M rows. The
-    * fused pass 1 collects BOTH boundary-stat families per partition
-    * (run stats: first/last key + internal flips; idle stats: first/last
-    * ts + best internal gap) in one sorted scan, the driver folds both,
-    * and only the streak side needs a pass 2 (which reuses the same
-    * shuffle files — one exchange total across all three jobs). Outputs
-    * are bit-identical to the standalone operators (pinned in
-    * `StreaksSpec`); the standalone forms remain the oracle-checked
-    * public query surface. */
+  /** W2 + W3 fused behind ONE range shuffle AND one data pass.
+    * [[longestStreaks]] and [[longestIdle]] each need the same
+    * `(ts, id)`-sorted relation; run separately they range-shuffle and
+    * sort the input twice — measured as the dominant slice of the
+    * facade's stats stage at 100 M rows. The fused [[scanStats]] pass
+    * collects BOTH boundary-stat families per partition (run stats:
+    * edge fragments + per-key interior bests; idle stats: first/last ts
+    * + best internal gap); the driver folds both and the two results are
+    * LocalRelations — one exchange, one scan job, total. Outputs are
+    * bit-identical to the standalone operators (pinned in `StreaksSpec`);
+    * the standalone forms remain the oracle-checked public query
+    * surface. */
   def longestStreaksWithIdle(prep: DataFrame): (DataFrame, DataFrame) = {
     val spark = prep.sparkSession
-    val nParts = autoPartitions(prep, 0)
-    val runSchema = StructType(Seq(
-      StructField("grp", LongType, nullable = false),
-      StructField("key", StringType, nullable = true),
-      StructField("run_len", LongType, nullable = false),
-      StructField("start_ts", TimestampType, nullable = false)))
-    val rdd = prep
-      .select(col("ts"), col("id"), col("status_type").as("key"))
-      .repartitionByRange(nParts, col("ts"), col("id"))
-      .sortWithinPartitions("ts", "id")
-      .rdd
-    // pass 1: run-boundary AND idle-gap stats from the same sorted scan —
-    // still O(partitions) bytes to the driver
-    val stats = rdd.mapPartitionsWithIndex { (pid, rows) =>
-      var n = 0L; var flips = 0L
-      var firstKey: Any = null; var lastKey: Any = null
-      var firstTs: java.sql.Timestamp = null; var prevTs: java.sql.Timestamp = null
-      var bestGap = -1L
-      var bestBefore: java.sql.Timestamp = null
-      var bestAfter: java.sql.Timestamp = null
-      rows.foreach { r =>
-        val f = r.get(2); val t = tsAt(r)
-        if (n == 0L) { firstKey = f; firstTs = t }
-        else {
-          if (f != lastKey) flips += 1
-          val g = micros(t) - micros(prevTs)
-          if (g > bestGap) { bestGap = g; bestBefore = prevTs; bestAfter = t }
-        }
-        lastKey = f; prevTs = t; n += 1
-      }
-      if (n == 0L) Iterator.empty
-      else Iterator.single((pid, firstKey, lastKey, flips, firstTs, prevTs,
-        bestGap, bestBefore, bestAfter))
-    }.collect().sortBy(_._1)
-    // driver fold 1 — streak bases, exactly parallelRunsBy's
-    val bases = Map.newBuilder[Int, (Long, Boolean)]
-    var runsSoFar = 0L
-    var prevLastKey: Option[Any] = None
-    stats.foreach { case (pid, first, last, flips, _, _, _, _, _) =>
-      val continues = prevLastKey.contains(first)
-      bases += pid -> (runsSoFar, continues)
-      runsSoFar += (if (continues) 0L else 1L) + flips
-      prevLastKey = Some(last)
-    }
-    // driver fold 2 — idle candidates, exactly longestIdle's
-    val cands = ArrayBuffer.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
-    stats.foreach { case (_, _, _, _, _, _, g, b, a) => if (g >= 0L) cands += ((g, b, a)) }
+    val rdd = sortedScan(prep, col("status_type"), autoPartitions(prep, 0))
+    val stats = scanStats(rdd, StringType, wantBests = true)
+    val streaks = streaksFromStats(spark, stats, Seq("Allowed", "Blocked"))
+    // idle candidates: per-partition maxima + the O(partitions) gaps
+    // across consecutive non-empty partitions — exactly longestIdle's
+    val cands = ArrayBuffer.empty[(Long, Long, Long)]
+    stats.foreach { s => if (s.bestGap >= 0L) cands += ((s.bestGap, s.bestBefore, s.bestAfter)) }
     stats.iterator.sliding(2).withPartial(false).foreach { case Seq(p, q) =>
-      cands += ((micros(q._5) - micros(p._6), p._6, q._5))
+      cands += ((q.firstTs - p.lastTs, p.lastTs, q.firstTs))
     }
-    val bc = spark.sparkContext.broadcast(bases.result())
-    val runsRdd = rdd.mapPartitionsWithIndex { (pid, rows) =>
-      bc.value.get(pid) match {
-        case None => Iterator.empty[Row]
-        case Some((base, continues)) =>
-          val out = ArrayBuffer.empty[Row]
-          var grp = base; var started = false
-          var cur: Any = null; var len = 0L; var start: java.sql.Timestamp = null
-          rows.foreach { r =>
-            val f = r.get(2)
-            if (!started) {
-              grp = if (continues) base else base + 1
-              started = true; cur = f; len = 0L; start = tsAt(r)
-            } else if (f != cur) {
-              out += Row(grp, cur, len, start)
-              grp += 1; cur = f; len = 0L; start = tsAt(r)
-            }
-            len += 1
-          }
-          if (started) out += Row(grp, cur, len, start)
-          out.iterator
-      }
-    }
-    val runs = spark.createDataFrame(runsRdd, runSchema)
-      .groupBy("grp")
-      .agg(min(col("key")).as("key"), sum(col("run_len")).as("streak_len"),
-        min(col("start_ts")).as("start_ts"))
-    val streaks = topRunOfClass(runs, "Allowed")
-      .unionByName(topRunOfClass(runs, "Blocked")).orderBy("status_type")
+    val winner = cands.sortBy { case (g, _, a) => (-g, a) }.headOption
+    (streaks, idleResult(spark, winner))
+  }
+
+  /** Shared tail of the idle-gap operators: render the winning
+    * (before, after) micros pair with the ENGINE's own expressions (same
+    * unix-micros arithmetic + round as the window form), so rounding
+    * semantics stay oracle-identical. */
+  private def idleResult(spark: org.apache.spark.sql.SparkSession,
+                         winner: Option[(Long, Long, Long)]): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField("before_gap", TimestampType, nullable = false),
-      StructField("after_gap", TimestampType, nullable = false)))
-    val winner = cands.sortBy { case (g, _, a) => (-g, micros(a)) }.headOption
-    val idle = spark.createDataFrame(
+      StructField("before_us", LongType, nullable = false),
+      StructField("after_us", LongType, nullable = false)))
+    spark.createDataFrame(
       spark.sparkContext.parallelize(winner.map(w => Row(w._2, w._3)).toSeq, 1),
       outSchema)
       .select(
-        round((unix_micros(col("after_gap")) - unix_micros(col("before_gap"))) / lit(1e6), 6)
-          .as("gap_s"),
-        col("before_gap"), col("after_gap"))
-    (streaks, idle)
+        round((col("after_us") - col("before_us")) / lit(1e6), 6).as("gap_s"),
+        timestamp_micros(col("before_us")).as("before_gap"),
+        timestamp_micros(col("after_us")).as("after_gap"))
   }
 
   def longestIdle(prep: DataFrame, numPartitions: Int = 0): DataFrame = {
@@ -416,48 +484,33 @@ object Streaks {
     // (strict > keeps the EARLIEST after-ts on ties, matching the window
     // form's `ORDER BY gap DESC, ts`) plus its first/last timestamps for
     // the O(partitions) boundary gaps
-    val parts = prep.select(col("ts"), col("id"))
-      .repartitionByRange(nParts, col("ts"), col("id"))
-      .sortWithinPartitions("ts", "id")
-      .rdd.mapPartitionsWithIndex { (pid, rows) =>
-        var first: java.sql.Timestamp = null
-        var prev: java.sql.Timestamp = null
-        var bestGap = -1L
-        var bestBefore: java.sql.Timestamp = null
-        var bestAfter: java.sql.Timestamp = null
+    val parts = prep.select(tsUs, col("id"))
+      .repartitionByRange(nParts, col("ts_us"), col("id"))
+      .sortWithinPartitions("ts_us", "id")
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+        var n = 0L
+        var first = 0L; var prev = 0L
+        var bestGap = -1L; var bestBefore = 0L; var bestAfter = 0L
         rows.foreach { r =>
-          val t = tsAt(r)
-          if (first == null) first = t
+          val t = r.getLong(0)
+          if (n == 0L) first = t
           else {
-            val g = micros(t) - micros(prev)
+            val g = t - prev
             if (g > bestGap) { bestGap = g; bestBefore = prev; bestAfter = t }
           }
-          prev = t
+          prev = t; n += 1
         }
-        if (first == null) Iterator.empty
+        if (n == 0L) Iterator.empty
         else Iterator.single((pid, first, prev, bestGap, bestBefore, bestAfter))
       }.collect().sortBy(_._1)
     // driver: candidates = per-partition maxima + gaps across consecutive
     // NON-EMPTY partitions (range partitioning can leave holes); winner by
     // (gap desc, after-ts asc) — exact long-micros comparison, no float
-    val cands = ArrayBuffer.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+    val cands = ArrayBuffer.empty[(Long, Long, Long)]
     parts.foreach { case (_, _, _, g, b, a) => if (g >= 0L) cands += ((g, b, a)) }
     parts.iterator.sliding(2).withPartial(false).foreach { case Seq(p, q) =>
-      cands += ((micros(q._2) - micros(p._3), p._3, q._2))
+      cands += ((q._2 - p._3, p._3, q._2))
     }
-    val outSchema = StructType(Seq(
-      StructField("before_gap", TimestampType, nullable = false),
-      StructField("after_gap", TimestampType, nullable = false)))
-    val winner = cands.sortBy { case (g, _, a) => (-g, micros(a)) }.headOption
-    val bounds = spark.createDataFrame(
-      spark.sparkContext.parallelize(winner.map(w => Row(w._2, w._3)).toSeq, 1),
-      outSchema)
-    // the gap value is computed by the ENGINE's own expressions (same
-    // unix_micros arithmetic + round as the window form), so rounding
-    // semantics stay oracle-identical
-    bounds.select(
-      round((unix_micros(col("after_gap")) - unix_micros(col("before_gap"))) / lit(1e6), 6)
-        .as("gap_s"),
-      col("before_gap"), col("after_gap"))
+    idleResult(spark, cands.sortBy { case (g, _, a) => (-g, a) }.headOption)
   }
 }
