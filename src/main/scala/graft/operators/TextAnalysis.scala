@@ -163,11 +163,18 @@ object TextAnalysis {
     * computed over the WHOLE corpus even when the output is restricted
     * to a doc_id range; score = tf · ln(N/df).
     *
-    * Scale shape: the corpus is tokenized ONCE — tf is one row per
-    * (doc, term), so df is a `count(*) over (partition by term)` window
-    * on the tf relation itself, in the same lineage (a separate df
-    * aggregate would be a diamond: Catalyst does not reuse the
-    * non-identical exchanges and would tokenize the corpus twice).
+    * Scale shape: df is `tf.groupBy(term).count()` — a map-side-combined
+    * aggregate, skew-neutral — NOT a `count(*) over (partition by term)`
+    * window: WindowExec buffers each term partition in one task, and a
+    * stopword's partition is ~|docs| rows (a straggler/OOM at corpus
+    * scale; this was the last WindowExec over a corpus-scale relation in
+    * the repo, pinned gone in PlanSpec). The tf relation appears in both
+    * the df branch and the output branch; Catalyst resolves the diamond
+    * the right way around — the `doc_id < maxDocId` output filter pushes
+    * through the tf aggregate into a PRUNED second scan (tiny, parquet
+    * range-filtered), while the corpus-wide df branch tokenizes once
+    * behind its own exchange. The filtered tf side is broadcast into the
+    * df join, so no corpus-scale relation is ever re-shuffled on term.
     * Ranking is a per-doc window over at most |doc vocabulary| rows —
     * partitioned by doc_id, never global. Ties rank by term for
     * cross-engine determinism; exact score ties arise from equal
@@ -178,12 +185,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("doc_id") < maxDocId)
+    df.join(broadcast(tf.filter(col("doc_id") < maxDocId)), "term")
       .crossJoin(n)
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)

@@ -85,13 +85,23 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(hints.size == 1, s"expected 1 broadcast hint, got ${hints.size}")
   }
 
-  test("t06 tfidf tokenizes the corpus exactly once (no diamond re-explode)") {
-    val plan = executed(SparkEntry.queries("t06_tfidf_top_terms")(spark, dir))
-    val generates = collect(plan) {
-      case g if g.nodeName == "Generate" => g
-    }
-    assert(generates.size == 1,
-      s"expected 1 explode of the corpus, found ${generates.size}")
+  test("t06 tfidf: df is an aggregate, not a term-partitioned window; " +
+    "the second tokenize rides a doc_id-pruned scan") {
+    val df = SparkEntry.queries("t06_tfidf_top_terms")(spark, dir)
+    val plan = executed(df)
+    // the corpus-scale WindowExec over the tf relation is gone: every
+    // remaining window is the per-doc rank (partitioned by doc_id, never
+    // by term — a stopword's term partition is ~|docs| rows in one task)
+    val windows = collect(plan) { case w if w.nodeName.contains("Window") => w }
+    assert(windows.nonEmpty, "expected the per-doc rank window")
+    assert(windows.forall(w => !w.toString.contains("partitioning: [term")
+      && w.toString.contains("doc_id")),
+      windows.map(_.nodeName).mkString(";"))
+    // the diamond resolves as full-corpus df branch + PRUNED tf branch:
+    // exactly one of the two tokenizing scans carries the doc_id filter
+    val scans = leafScans(df)
+    assert(scans.count(_.contains("LessThan(doc_id")) >= 1,
+      s"tf branch must push doc_id below its tokenize: $scans")
   }
 
   test("w07 sliding window shuffles by client, never globally") {
