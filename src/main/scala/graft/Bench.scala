@@ -135,22 +135,32 @@ object Bench {
         else (name, times.min, if (times.min > 0) (times.max - times.min) / times.min else 0.0)
       }
     }
-    // Sweep 0 (untimed, TARGET SF): the first execution of some queries
+    // Sweep 0 (TARGET SF), now TIMED: the first execution of some queries
     // performs one-time shared-state builds that later executions reuse —
     // the memoized dedup chain/pairs (Dedup.chainOf/verifiedPairs), the
     // IVF/PQ codebooks, persisted signature relations. Those builds are
     // amortized-once costs of a warm engine, not per-query engine cost,
     // and with interleaved reps they would land entirely in rep 1 and
     // dominate the spread column (masking the contention signal the
-    // spread exists to expose). One untimed pass at the measurement SF
-    // moves every one-time build before the clock starts; the measured
-    // reps then sample the steady state, which is also what the judge
-    // re-measures. Disable with SPARK_GRAFT_WARM_TARGET=0.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") != "0")
-      headline.foreach { name =>
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+    // spread exists to expose). This pass moves every one-time build
+    // before the steady-state clock starts AND records what it cost: the
+    // per-query COLD column (first target-SF execution, headline order —
+    // later queries legitimately reuse earlier queries' builds, which is
+    // also the deployment shape; codegen/JIT were already compiled by the
+    // tiny-SF warmup above, so cold ≈ data-scale work + one-time builds).
+    // The measured sweeps below are the WARM (steady-state) record that
+    // the gate metric, trend tables and the judge's re-measure compare;
+    // SCALE.md states this. Disable with SPARK_GRAFT_WARM_TARGET=0.
+    val cold: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") == "0") Seq.empty
+      else headline.map { name =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] cold $name FAILED: ${e.getMessage}"); false }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    val coldTotal = cold.filter(_._2 >= 0).map(_._2).sum
     val results = measure(headline, reps)
     // Totals sum PASSING queries only: a -1.0 failure sentinel summed in
     // would make each failure look ~1s FASTER — failures are reported
@@ -210,8 +220,13 @@ object Bench {
     // stdout line stays compact (driver captures only the stdout tail):
     // headline per-query map + both totals; the full per-query map goes
     // to BENCH_FULL.json alongside BENCH_LINE.json.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_all":$totalAll,"n_all":${all.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"spread_max":${fmt(spreadMax)},"spread_med":${fmt(spreadMed)},"sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total_all","value":$totalAll,"unit":"sec","n":${all.size},"n_failed":${failed.size},"failed":$failedJson,"headline_total":$total,"reps":$reps,"queries":${jmap(all.sortBy(_._1))},"spreads":${jspread(all.sortBy(_._1))},"sf":"$sfDir"}"""
+    // "queries" = the WARM steady-state record (the gate + trend surface);
+    // "cold_total" summarizes the one-time-build regime, whose per-query
+    // map lives in BENCH_FULL.json ("cold") — stdout stays under the
+    // driver's ~2000-char tail capture.
+    val coldMap = cold.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","regime":"warm","queries":$qs,"cold_total":${fmt(coldTotal)},"total_all":$totalAll,"n_all":${all.size},"n_failed":${failed.size},"failed":$failedJson,"reps":$reps,"spread_max":${fmt(spreadMax)},"spread_med":${fmt(spreadMed)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total_all","value":$totalAll,"unit":"sec","regime":"warm","n":${all.size},"n_failed":${failed.size},"failed":$failedJson,"headline_total":$total,"cold_total":$coldTotal,"reps":$reps,"queries":${jmap(all.sortBy(_._1))},"cold":$coldMap,"spreads":${jspread(all.sortBy(_._1))},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")),
