@@ -1999,7 +1999,21 @@ FROM allc a JOIN topc c USING(domain)"""
         |       CAST(f AS INTEGER) AS frame_idx
         |FROM documents, unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 5)) t(f)
         |WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] = 'video'
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m05: the engine PARSES real PNG/BMP header bytes it attached
+    // (attachEncodedMedia builds them from (doc_id, text) expressions);
+    // the oracle re-derives the encoded dimensions from the same
+    // arithmetic, so a byte-order or offset mistake in the parser
+    // hash-mismatches here
+    "m05_decoded_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
+        |  CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INTEGER) AS bit_depth,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS data_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

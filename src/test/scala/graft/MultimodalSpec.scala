@@ -66,4 +66,51 @@ class MultimodalSpec extends SparkSpec {
     // the pruned projection should not carry the media bytes through the agg
     assert(!plan.contains("media#") || plan.contains("length"))
   }
+
+  private def unhexStr(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("parsePng reads a REAL known image: the canonical 1x1 transparent PNG") {
+    // the widely-published 67-byte 1×1 RGBA PNG (full file, valid CRCs)
+    val png = unhexStr(
+      "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489" +
+        "0000000d49444154789c626001000000050001a5f645400000000049454e44ae426082")
+    assert(Multimodal.parsePng(png).contains((1, 1, 8, 6)),
+      s"got ${Multimodal.parsePng(png)}")
+    // rejection paths: truncated, wrong signature, wrong chunk type
+    assert(Multimodal.parsePng(png.take(20)).isEmpty)
+    assert(Multimodal.parsePng("not a png at all, but long enough to index".getBytes).isEmpty)
+    val badChunk = png.clone(); badChunk(12) = 'X'.toByte
+    assert(Multimodal.parsePng(badChunk).isEmpty)
+  }
+
+  test("parseBmp reads a hand-assembled BITMAPINFOHEADER (little-endian)") {
+    // 14-byte file header + 40-byte DIB for a 3×2, 24 bpp image
+    val bb = java.nio.ByteBuffer.allocate(54 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(60).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(3).putInt(2).putShort(1).putShort(24)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val bmp = bb.array()
+    assert(Multimodal.parseBmp(bmp).contains((3, 2, 24)))
+    assert(Multimodal.parseBmp(bmp.take(40)).isEmpty)
+    assert(Multimodal.parseBmp("definitely not a bitmap, but long enough to index ok".getBytes).isEmpty)
+    // a wide image exercises multi-byte little-endian width (0x0201 = 513)
+    val wide = bmp.clone(); wide(18) = 0x01; wide(19) = 0x02
+    assert(Multimodal.parseBmp(wide).contains((513, 2, 24)))
+  }
+
+  test("decodeHeaders: engine-built PNG/BMP payloads round-trip through the parsers") {
+    val out = Multimodal.decodeHeaders(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    // even doc_ids → png with big-endian dims; odd → bmp little-endian
+    assert(out(0L) == (("png", 64, 64, 8, "hello world".getBytes("UTF-8").length)))
+    assert(out(1L) == (("bmp", 72, 72, 24, "abc".getBytes("UTF-8").length)))
+    assert(out(2L) == (("png", 80, 80, 8, 0)))
+    assert(out(5L) == (("bmp", 104, 104, 24, "video doc".getBytes("UTF-8").length)))
+    // the attached payloads are REAL headers: parse them directly too
+    val media = Multimodal.attachEncodedMedia(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Multimodal.parsePng(media(0L)).contains((64, 64, 8, 2)))
+    assert(Multimodal.parseBmp(media(5L)).contains((104, 104, 24)))
+  }
 }
