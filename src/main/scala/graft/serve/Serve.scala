@@ -222,6 +222,25 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
       val label = if (c.isEmpty) "All clients" else c
       s"""<option value="${esc(c)}"$sel>${esc(label)}</option>"""
     }.mkString
+    // the date-picker (reference app.py:987-1000, wired app.py:1091-1102):
+    // two calendar dates submitted to the existing /reload endpoint —
+    // both-or-neither validation and the end-exclusive +1 day live
+    // server-side, shared with programmatic reloads
+    val datePicker =
+      if (rebuild == null) ""
+      else
+        """<form id="range" onsubmit="reloadRange(event)">
+          |  <label>From <input type="date" name="start"></label>
+          |  <label>To <input type="date" name="end"></label>
+          |  <button type="submit">Reload range</button>
+          |</form>
+          |<script>
+          |function reloadRange(e){e.preventDefault();
+          |  var f=document.getElementById('range');
+          |  fetch('/reload?start='+f.start.value+'&end='+f.end.value)
+          |    .then(function(r){if(r.ok)location.reload();
+          |      else r.text().then(function(m){alert(m);});});}
+          |</script>""".stripMargin
     val page =
       s"""<!DOCTYPE html><html><head><meta charset="utf-8">
          |<title>Pi-hole long-term stats</title></head><body>
@@ -230,6 +249,7 @@ final class StatsServer(initial: ServingCache, port: Int = 0,
          |  <label>Client filter: <select name="client" onchange="this.form.submit()">
          |  $options</select></label>
          |</form>
+         |$datePicker
          |${cache.queriesFigure(client)}
          |${cache.activityFigure(client)}
          |${cache.anomaliesFigure(client)}

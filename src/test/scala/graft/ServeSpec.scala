@@ -186,6 +186,52 @@ class ServeSpec extends SparkSpec {
     } finally { server.close(); if (fresh != null) fresh.close() }
   }
 
+  test("the served page renders the date picker and its form drives /reload") {
+    // UI parity with the reference's date-picker (app.py:987-1000): the
+    // index page carries two date inputs + a reload button whose script
+    // submits to /reload?start=&end= — the spec drives the reload through
+    // the endpoint the HTML encodes and asserts the cache swapped to the
+    // narrowed window
+    val first = new ServingCache(prep)
+    var fresh: ServingCache = null
+    val server = new StatsServer(first, port = 0,
+      rebuild = (s, e) => {
+        val (from, to) = sources.FtlIngest.timeRangeEpochs(
+          s, e, 31, "UTC", java.time.Instant.now())
+        fresh = new ServingCache(prep.filter(
+          col("ts") >= timestamp_seconds(lit(from)) &&
+          col("ts") < timestamp_seconds(lit(to))))
+        fresh
+      })
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val html = fetch(s"$base/")._2
+      // the picker elements are rendered...
+      assert(html.contains("""<input type="date" name="start">"""), "start date input missing")
+      assert(html.contains("""<input type="date" name="end">"""), "end date input missing")
+      assert(html.contains("Reload range"), "reload button missing")
+      // ...and the endpoint the form script encodes is extractable
+      val m = """fetch\('(/reload\?start=)'""".r.findFirstMatchIn(html)
+      assert(m.isDefined, "form script must submit to /reload?start=...")
+      val url = s"$base${m.get.group(1)}2024-01-10&end=2024-01-12"
+      val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+      val b = fresh.hourly.agg(min("ts_hour"), max("ts_hour")).head
+      assert(!b.getTimestamp(0).before(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")), b)
+      assert(b.getTimestamp(1).before(java.sql.Timestamp.valueOf("2024-01-13 00:00:00")), b)
+    } finally { server.close(); if (fresh != null) fresh.close() }
+  }
+
+  test("no rebuild factory -> no date picker rendered (reload would 409)") {
+    val cache = new ServingCache(prep)
+    val server = new StatsServer(cache, port = 0)
+    try {
+      val html = fetch(s"http://127.0.0.1:${server.boundPort}/")._2
+      assert(!html.contains("""type="date""""), "picker must not render without a factory")
+    } finally server.close()
+  }
+
   test("a half-open or malformed date range is refused with 400; cache keeps serving") {
     val cache = new ServingCache(prep)
     val server = new StatsServer(cache, port = 0, rebuild = (_, _) => fail("must not rebuild"))
