@@ -375,4 +375,54 @@ class StreamingSpec extends SparkSpec {
     assert(asSet(streamed).map(_._1) == Set(1L, 4L))
     evalSh.unpersist()
   }
+
+  test("streaming near-dup ingest: drained pairs equal the from-scratch batch table") {
+    import graft.streaming.StreamingNearDup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.operators.Dedup.releaseCaches()
+    val mk = (id: Long, text: String) => org.apache.spark.sql.Row(id, text)
+    // seed corpus: 0≈1 near-dups, 2 distinct
+    val seedRows = Seq(
+      mk(0L, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(1L, "the quick brown fox jumps over the lazy dog again and AGAIN!"),
+      mk(2L, "completely different text about spark streaming micro batches"))
+    // batch 1 brings 3 (≈0,1 → cross-seed pairs); batch 2 brings 4≈3
+    // (cross-BATCH pair) and 5 (clean)
+    val b1 = Seq(mk(3L, "the quick brown fox jumps over the lazy dog again and again!!"))
+    val b2 = Seq(
+      mk(4L, "the quick brown fox jumps over the lazy dog again and again !!"),
+      mk(5L, "unrelated corpus noise with no shingle overlap whatsoever here"))
+    val schema = "doc_id BIGINT, text STRING"
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val threshold = 0.5
+    StreamingNearDup.seed(df(schema, seedRows), s"$dir/corpus", s"$dir/pairs", threshold)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.start(input.toDS().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/pairs", s"$dir/ckpt", threshold,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(b1.map(r => (r.getLong(0), r.getString(1))))
+      q.processAllAvailable()
+      input.addData(b2.map(r => (r.getLong(0), r.getString(1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingNearDup.pairsTable(spark, s"$dir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // from-scratch ground truth over the full corpus
+    graft.operators.Dedup.releaseCaches()
+    val allDocs = df(schema, seedRows ++ b1 ++ b2)
+    graft.operators.Dedup.writeVerifiedPairs(allDocs, s"$dir/scratch", threshold)
+    val batch = graft.operators.Dedup.readVerifiedPairs(spark, s"$dir/scratch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the split discovered pairs in every regime: seed-only, seed×batch,
+    // and cross-batch (3 arrived in batch 1, its near-dup 4 in batch 2)
+    assert(streamed.contains((0L, 1L)) && streamed.contains((3L, 4L)), streamed)
+    // replay idempotence: re-running a batch body under its batchId
+    // leaves the pairs table unchanged (foreachBatch is at-least-once)
+    val before = StreamingNearDup.pairsTable(spark, s"$dir/pairs").count()
+    StreamingNearDup.ingestBatch(df(schema, b2), 1L, s"$dir/corpus", s"$dir/pairs", threshold)
+    assert(StreamingNearDup.pairsTable(spark, s"$dir/pairs").count() == before)
+  }
 }
