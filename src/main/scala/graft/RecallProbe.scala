@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ANN accuracy probe: recall@k of each approximate kNN variant against
+  * the s01 brute-force ground truth, on the same embeddings table the
+  * bench times. Prints one line per variant (recall + min-of-reps
+  * seconds) — the source of SCALE.md's recall table, so the
+  * accuracy-for-speed trades the code comments claim are ON THE RECORD
+  * rather than asserted. Usage:
+  *   runMain graft.RecallProbe [sfDir] [reps]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val variants = Seq("s02_knn_lsh", "s06_knn_lsh_multiprobe",
+      "s04_knn_ivf", "s05_knn_ivf_trained", "s08_knn_pq")
+    def neighbors(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = neighbors("s01_knn_brute")
+    val k = truth.values.map(_.size).max
+    for (name <- variants) {
+      val approx = neighbors(name)
+      // recall@k averaged over queries; a query missing from the approx
+      // result (empty bucket) counts 0, not skipped
+      val recall = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+      val secs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"probe":"recall","variant":"$name","recall_at_$k":${math.round(recall * 10000) / 10000.0},"sec":${math.round(secs * 1000) / 1000.0},"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}
