@@ -45,8 +45,12 @@ object Figures {
     val pad = 48
     val pts = series.flatMap(_._2)
     if (pts.isEmpty) return emptyChart(title, w, h)
-    val (x0, x1) = (pts.map(_._1).min, math.max(pts.map(_._1).max, pts.map(_._1).min + 1))
-    val y1 = math.max(pts.map(_._2).max, 1e-9)
+    // markers participate in the domain: a marker outside the series'
+    // extent (public API allows it) must move the scale, not render
+    // outside the plot rectangle
+    val dom = pts ++ markers.map(m => (m._1, m._2))
+    val (x0, x1) = (dom.map(_._1).min, math.max(dom.map(_._1).max, dom.map(_._1).min + 1))
+    val y1 = math.max(dom.map(_._2).max, 1e-9)
     def sx(x: Long): Double = pad + (x - x0).toDouble / (x1 - x0) * (w - 2 * pad)
     def sy(y: Double): Double = h - pad - y / y1 * (h - 2 * pad)
     val lines = series.zipWithIndex.map { case ((name, ps), i) =>

@@ -78,7 +78,15 @@ object DistinctShingles {
   * multiset sibling of [[DistinctShingles]] for consumers that measure
   * repetition (t08's duplicate-bigram share needs every occurrence).
   * Same reason to exist: the `transform(sequence(...), i -> concat(...))`
-  * composition it replaces is an interpreted lambda per element. */
+  * composition it replaces is an interpreted lambda per element.
+  *
+  * NULL elements: joined with `concat_ws` semantics — a null token is
+  * SKIPPED, yielding a shortened n-gram ("a", null, "b" with n=2 →
+  * ["a", "b"]), where the `concat`-based composition it replaced
+  * propagated null into the whole gram. Unreachable from `split()`
+  * outputs (never null-elemented; the oracle surface is unaffected),
+  * but SQL callers passing nullable-element arrays should know the
+  * n-gram is shortened, not nulled. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"ngram width must be >= 1, got $n")
 

@@ -746,17 +746,30 @@ object Dedup {
   def evalShingleSet(evalDocs: DataFrame): DataFrame =
     wordShingles(evalDocs).select(col("s")).distinct()
 
-  /** Decontamination core against a prebuilt eval shingle set — shared
-    * by the batch query (d12) and the streaming per-micro-batch form
-    * ([[graft.streaming.StreamingDecontam]]). Unordered: ordering (and
-    * the eval-source split) live on the public batch surface. */
+  /** Decontamination against an eval shingle set of unknown provenance —
+    * the public batch surface (d12). Applies a defensive distinct first:
+    * a duplicated eval shingle would fan the left join out and inflate
+    * BOTH counts (quarantining clean docs with no error); the eval side
+    * is MB-scale, so the one extra exchange is noise in a one-shot
+    * batch. Callers that prebuilt the set with [[evalShingleSet]] (which
+    * is already distinct) and run per micro-batch should call
+    * [[decontaminateAgainstPrepared]] instead — paying the distinct on
+    * every batch is the avoidable cost there. */
   def decontaminateAgainst(corpus: DataFrame, evalShingles: DataFrame,
                            minOverlap: Long = 2): DataFrame =
+    decontaminateAgainstPrepared(corpus, evalShingles.distinct(), minOverlap)
+
+  /** Decontamination core against a set the caller GUARANTEES distinct
+    * ([[evalShingleSet]]'s output) — shared by the batch surface above
+    * and the streaming per-micro-batch form
+    * ([[graft.streaming.StreamingDecontam]]), which probes the same
+    * prebuilt broadcast every batch without a per-batch distinct
+    * exchange. Unordered: ordering (and the eval-source split) live on
+    * the public batch surface. */
+  def decontaminateAgainstPrepared(corpus: DataFrame, distinctEvalShingles: DataFrame,
+                                   minOverlap: Long = 2): DataFrame =
     wordShingles(corpus)
-      // defensive distinct: a duplicated eval shingle would fan the left
-      // join out and inflate BOTH counts (quarantining clean docs with no
-      // error); the eval side is MB-scale, so the extra exchange is noise
-      .join(broadcast(evalShingles.distinct().withColumn("_hit", lit(1))), Seq("s"), "left")
+      .join(broadcast(distinctEvalShingles.withColumn("_hit", lit(1))), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)

@@ -153,12 +153,15 @@ object Packing {
       // int, not the bigint `div` emits: a >2^31-chunk DOCUMENT cannot
       // exist, and the oracle's INTEGER must match the dumped schema
       .withColumn("chunk_no", col("_cn").cast("int"))
+      // alias the slice ONCE: both consumers read the alias, and
+      // CollapseProject keeps a multiply-referenced non-cheap expression
+      // in its own projection instead of inlining the array copy twice
+      // per chunk row (this chunker rides the scan at corpus scale)
       .select(col("doc_id"), col("lang"), col("chunk_no"),
-        concat_ws(" ",
-          slice(col("w"), col("chunk_no") * stride + 1, lit(window))).as("chunk_text"),
-        size(slice(col("w"), col("chunk_no") * stride + 1, lit(window))).as("n_tokens"))
-      .select(col("doc_id"), col("lang"), col("chunk_no"), col("n_tokens"),
-        md5(col("chunk_text")).as("chunk_hash"))
+        slice(col("w"), col("chunk_no") * stride + 1, lit(window)).as("chunk_w"))
+      .select(col("doc_id"), col("lang"), col("chunk_no"),
+        size(col("chunk_w")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk_w"))).as("chunk_hash"))
   }
 
   def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =

@@ -26,10 +26,12 @@ import graft.operators.Dedup
 object StreamingDecontam {
 
   /** Flag one micro-batch (or any static frame) against the prebuilt
-    * eval shingle set. */
+    * eval shingle set. Trusts the set's distinctness
+    * ([[Dedup.evalShingleSet]] guarantees it), so no per-batch distinct
+    * exchange rides every micro-batch. */
   def flagBatch(batch: DataFrame, evalShingles: DataFrame,
                 minOverlap: Long = 2): DataFrame =
-    Dedup.decontaminateAgainst(batch, evalShingles, minOverlap)
+    Dedup.decontaminateAgainstPrepared(batch, evalShingles, minOverlap)
 
   /** Run the stream: write each batch's contaminated (doc_id,
     * n_shingles, n_overlap, overlap_frac) rows into a batchId-keyed
