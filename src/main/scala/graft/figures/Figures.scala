@@ -179,17 +179,153 @@ object Figures {
        |figure { margin: 0 0 32px 0; }
        |figcaption { font-weight: 600; margin-bottom: 6px; }
        |.tick { font-size: 11px; fill: #555; }
+       |.cards { display: flex; flex-wrap: wrap; gap: 12px; margin: 12px 0; }
+       |.card { border: 1px solid #ddd; border-radius: 8px; padding: 12px 16px;
+       |        width: 240px; overflow: hidden; }
+       |.card h3 { margin: 0 0 6px 0; font-size: 15px; }
+       |.card .big { margin: 0; font-size: 20px; font-weight: 600;
+       |             text-overflow: ellipsis; overflow: hidden; }
+       |.card .sub { margin: 6px 0 0 0; font-size: 14px; color: #777; }
+       |.subheading h5, .subheading h6 { margin: 4px 0; font-weight: 400; color: #555; }
+       |details > summary { font-size: 25px; cursor: pointer; margin-top: 16px; }
        |</style></head><body>
        |<h1>${esc(title)}</h1>
        |${charts.mkString("\n")}
        |</body></html>""".stripMargin
 
+  // ---- the per-stat card layout (app.py:208-700) ----
+
+  private def card(title: String, value: String, sub: String): String =
+    s"""<div class="card"><h3>${esc(title)}</h3><p class="big">${esc(value)}</p>""" +
+      s"""<p class="sub">${esc(sub)}</p></div>"""
+
+  private def section(title: String, cards: Seq[String]): String =
+    s"""<details open><summary>${esc(title)}</summary><div class="cards">""" +
+      cards.mkString + "</div></details>"
+
+  /** The reference dashboard's ~70-scalar card layout (app.py:208-700)
+    * rendered from [[graft.Engine.computeStats]]'s dictionary — same 27
+    * cards, same section grouping (info row, Query / Activity / Day and
+    * Night / Other), same texts and number formats (thousands-grouped
+    * counts, the reference's `:.1f`/`:.2f` renderings, its N/A
+    * fallbacks). Keys the map lacks render as N/A rather than failing —
+    * a partial stats dict degrades to a partial page. */
+  def statCards(stats: Map[String, Any], timezone: String = "UTC"): String = {
+    def raw(k: String): Option[Any] = stats.get(k).filter(_ != null)
+    def s(k: String): String = raw(k).map(String.valueOf).getOrElse("N/A")
+    def grouped(k: String): String = raw(k) match {
+      case Some(n: Number) =>
+        java.text.NumberFormat.getIntegerInstance(java.util.Locale.US).format(n.longValue)
+      case _ => "N/A"
+    }
+    def dec(k: String, places: Int, suffix: String = ""): String = raw(k) match {
+      case Some(n: Number) => String.format(java.util.Locale.US, s"%.${places}f", n.doubleValue) + suffix
+      case _ => "N/A"
+    }
+    def hourRange(k: String): String = raw(k) match {
+      case Some(n: Number) => s"${n.intValue}:00 - ${n.intValue + 1}:00"
+      case _ => "N/A"
+    }
+    val summary =
+      s"""<div class="subheading"><h5>Data from ${esc(s("min_date"))} to ${esc(s("max_date"))}, """ +
+        s"""spanning ${esc(s("data_span_str"))} is shown. Stats are based on ${grouped("n_data_points")} data points.</h5>""" +
+        s"""<h6>Timezone is ${esc(timezone)}. Database records begin on ${esc(s("oldest_data_point"))} """ +
+        s"""and end on ${esc(s("latest_data_point"))}.</h6></div>"""
+    val info = Seq(
+      card("Allowed Queries", s"${grouped("allowed_count")} (${dec("allowed_pct", 1)}%)",
+        s"Top allowed client was ${s("top_allowed_client")}."),
+      card("Blocked Queries", s"${grouped("blocked_count")} (${dec("blocked_pct", 1)}%)",
+        s"Top blocked client was ${s("top_blocked_client")}."),
+      card("Top Allowed Domain", s("top_allowed_domain"),
+        s"was allowed ${grouped("top_allowed_domain_count")} times. " +
+          s"This domain was queried the most by ${s("top_allowed_domain_client")}."),
+      card("Top Blocked Domain", s("top_blocked_domain"),
+        s"was blocked ${grouped("top_blocked_domain_count")} times. " +
+          s"This domain was queried the most by ${s("top_blocked_domain_client")}."))
+    val query = section("Query Stats", Seq(
+      card("Total Unique Clients", grouped("unique_clients"),
+        "Devices that have made at least one query."),
+      card("Total Queries", grouped("total_queries"),
+        s"Out of which ${grouped("unique_domains")} were unique, most queries came from ${s("top_client")}."),
+      card("Highest number of queries were on", s("date_most_queries"),
+        s"Highest number of allowed queries were on ${s("date_most_allowed")}. " +
+          s"Highest number of blocked queries were on ${s("date_most_blocked")}."),
+      card("Lowest number of queries were on", s("date_least_queries"),
+        s"Lowest number of allowed queries were on ${s("date_least_allowed")}. " +
+          s"Lowest number of blocked queries were on ${s("date_least_blocked")}."),
+      card("Average reply time", s"${s("avg_reply_time")} ms",
+        s"Longest reply time was ${s("max_reply_time")} ms and shortest reply time was ${s("min_reply_time")} ms.")))
+    val activity = section("Activity Stats", Seq(
+      card("Most Active Hour", hourRange("most_active_hour"),
+        s"On average, ${grouped("avg_queries_most")} queries are made during this time."),
+      card("Least Active Hour", hourRange("least_active_hour"),
+        s"On average, ${grouped("avg_queries_least")} queries are made during this time."),
+      card("Most Active Day of the Week", s("most_active_day"),
+        s"On average, ${grouped("most_active_avg")} queries are made on this day."),
+      card("Least Active Day of the Week", s("least_active_day"),
+        s"On average, ${grouped("least_active_avg")} queries are made on this day."),
+      card("Longest Blocking Streak", s"${grouped("longest_streak_length_blocked")} queries",
+        s"on ${s("streak_date_blocked")} at ${s("streak_hour_blocked")}."),
+      card("Longest Allowing Streak", s"${grouped("longest_streak_length_allowed")} queries",
+        s"on ${s("streak_date_allowed")} at ${s("streak_hour_allowed")}.")))
+    val dayNight = section("Day and Night Stats", Seq(
+      card("Total queries during the day", grouped("day_total_queries"),
+        s"Most queries were from ${s("day_top_client")}. ${s("day_top_allowed_client")} had the most " +
+          s"allowed queries and ${s("day_top_blocked_client")} had the most blocked."),
+      card("Total queries during the night", grouped("night_total_queries"),
+        s"Most queries were from ${s("night_top_client")}. ${s("night_top_allowed_client")} had the most " +
+          s"allowed queries and ${s("night_top_blocked_client")} had the most blocked."),
+      card("Top allowed domain during the day", s("day_top_allowed_domain"),
+        s"was allowed ${grouped("day_top_allowed_domain_count")} times. " +
+          s"This domain was queried the most by ${s("day_top_allowed_domain_client")}."),
+      card("Top blocked domain during the day", s("day_top_blocked_domain"),
+        s"was blocked ${grouped("day_top_blocked_domain_count")} times. " +
+          s"This domain was queried the most by ${s("day_top_blocked_domain_client")}."),
+      card("Top allowed domain during the night", s("night_top_allowed_domain"),
+        s"was allowed ${grouped("night_top_allowed_domain_count")} times. " +
+          s"This domain was queried the most by ${s("night_top_allowed_domain_client")}."),
+      card("Top blocked domain during the night", s("night_top_blocked_domain"),
+        s"was blocked ${grouped("night_top_blocked_domain_count")} times. " +
+          s"This domain was queried the most by ${s("night_top_blocked_domain_client")}.")))
+    val other = section("Other Stats", Seq(
+      card("Most Persistent Client", s("most_persistent_client"),
+        s"Tried accessing '${s("blocked_domain")}' ${s("repeat_attempts")} times despite being blocked."),
+      card("Most Diverse Client", s("most_diverse_client"),
+        s"Queried ${grouped("unique_domains_count")} unique domains."),
+      card("Longest Idle Period",
+        raw("max_idle_ms") match {
+          case Some(n: Number) =>
+            java.text.NumberFormat.getIntegerInstance(java.util.Locale.US)
+              .format(math.round(n.doubleValue)) + " s"
+          case _ => "N/A"
+        },
+        if (raw("before_gap").isDefined && raw("after_gap").isDefined)
+          s"Between ${s("before_gap")} and ${s("after_gap")}" else "N/A"),
+      card("Slowest Responding Domain", s("slowest_domain"),
+        raw("slowest_avg_reply_time") match {
+          case Some(n: Number) if n.doubleValue != 0.0 =>
+            String.format(java.util.Locale.US, "Avg reply time: %.2f ms", n.doubleValue * 1000)
+          case _ => "N/A"
+        }),
+      card("Average Time Between Blocked Queries", dec("avg_time_between_blocked", 2, " s"),
+        "Average interval between blocked queries."),
+      card("Average Time Between Allowed Queries", dec("avg_time_between_allowed", 2, " s"),
+        "Average interval between successful queries.")))
+    summary + s"""<div class="cards">${info.mkString}</div>""" +
+      query + activity + dayNight + other
+  }
+
   // ---- the dashboard over the oracle-checked plot tables ----
 
   /** Render the reference dashboard's chart set from a preprocessed
-    * relation. Every collect is a bounded plot aggregate. */
-  def dashboard(prep: DataFrame, nClients: Int = 10, nDomains: Int = 10): String = {
+    * relation, headed by the per-stat card layout
+    * (`withStats = false` skips the ~70-scalar stats pass for
+    * chart-only callers). Every collect is a bounded plot aggregate. */
+  def dashboard(prep: DataFrame, nClients: Int = 10, nDomains: Int = 10,
+                withStats: Boolean = true, timezone: String = "UTC"): String = {
     val charts = Vector.newBuilder[String]
+    if (withStats)
+      charts += statCards(graft.Engine.computeStats(prep), timezone)
 
     // queries over time per status class (plot.py:182-187) — the
     // reference's headline chart and the smoke-test subject

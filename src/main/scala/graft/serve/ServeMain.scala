@@ -142,7 +142,8 @@ object ServeMain {
       rebuild = (s, e) => mkCache(s, e),
       // rendered from the CURRENT cache's relation: a reload updates the
       // static dashboard and the interactive figures together
-      dashboardHtml = c => graft.figures.Figures.dashboard(c.prep, o.nClients, o.nDomains))
+      dashboardHtml = c => graft.figures.Figures.dashboard(c.prep, o.nClients, o.nDomains,
+        timezone = o.timezone))
     println(s"serving on http://127.0.0.1:${server.boundPort}/ " +
       s"(${cache.topClients.size} top clients cached; Ctrl-C to stop)")
     Thread.currentThread().join() // serve until killed

@@ -37,6 +37,44 @@ class FiguresSpec extends SparkSpec {
     assert(Files.size(Paths.get(out.toString)) > 10000)
   }
 
+  test("dashboard heads with the reference's 27 stat cards; formats match app.py") {
+    val prep = Preprocess.preprocessEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val html = Figures.dashboard(prep)
+    // every reference card title (app.py:262-688) renders
+    Seq("Allowed Queries", "Blocked Queries", "Top Allowed Domain",
+      "Top Blocked Domain", "Total Unique Clients", "Total Queries",
+      "Highest number of queries were on", "Lowest number of queries were on",
+      "Average reply time", "Most Active Hour", "Least Active Hour",
+      "Most Active Day of the Week", "Least Active Day of the Week",
+      "Longest Blocking Streak", "Longest Allowing Streak",
+      "Total queries during the day", "Total queries during the night",
+      "Top allowed domain during the day", "Top blocked domain during the day",
+      "Top allowed domain during the night", "Top blocked domain during the night",
+      "Most Persistent Client", "Most Diverse Client", "Longest Idle Period",
+      "Slowest Responding Domain", "Average Time Between Blocked Queries",
+      "Average Time Between Allowed Queries").foreach(t => assert(html.contains(t), t))
+    Seq("Query Stats", "Activity Stats", "Day and Night Stats", "Other Stats")
+      .foreach(t => assert(html.contains(s"<summary>$t</summary>"), t))
+    // the values are the computeStats values, reference-formatted
+    val stats = Engine.computeStats(prep)
+    val total = java.text.NumberFormat.getIntegerInstance(java.util.Locale.US)
+      .format(stats("total_queries").asInstanceOf[Long])
+    assert(html.contains(total))
+    assert(html.contains(f"(${stats("allowed_pct").asInstanceOf[Double]}%.1f%%)"))
+    // chart-only form skips the stats pass entirely
+    assert(!Figures.dashboard(prep, withStats = false).contains("Most Diverse Client"))
+  }
+
+  test("statCards degrades missing/null keys to N/A instead of failing") {
+    val html = Figures.statCards(Map(
+      "total_queries" -> 1234567L, "allowed_pct" -> 98.7654,
+      "max_idle_ms" -> null, "slowest_avg_reply_time" -> 0.0))
+    assert(html.contains("1,234,567"))
+    assert(html.contains("(98.8%)"))      // the reference's :.1f rendering
+    assert(html.contains("N/A"))           // null + absent keys degrade
+    assert(!html.contains("null"))
+  }
+
   test("chart primitives cope with empty inputs") {
     assert(Figures.lineChart("t", Seq.empty).contains("no data"))
     assert(Figures.hbarChart("t", Seq.empty).contains("no data"))
