@@ -88,8 +88,15 @@ object Joins {
   /** TPC-H Q10 shape: revenue lost to returned items per customer, top n.
     * orders⋈lineitem(R-flagged) shuffle join; nation broadcast. */
   def returnedRevenue(s: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    // pre-aggregate revenue per ORDER before touching orders: the fact
+    // rows collapse map-side-combined to ≤|orders| partials, and the
+    // aggregate's exchange on l_orderkey doubles as the join's required
+    // partitioning (no extra shuffle) — the orders join then carries one
+    // row per returned order instead of one per returned line item
     val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("order_rev"))
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
@@ -97,7 +104,7 @@ object Joins {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .agg(round(sum(col("order_rev")), 4).as("revenue"))
       .orderBy(desc("revenue"), asc("c_custkey")).limit(n)
   }
 
