@@ -1137,6 +1137,36 @@ FROM allc a JOIN topc c USING(domain)"""
         |        / count(*), 6) AS rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // p17: the engine's map-side top-k heap vs the oracle's rank window —
+    // the hash compare pins the heap's (score desc, id asc) order against
+    // the declarative form; quality formula = t02's, bit-identical
+    "p17_balanced_sources" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor((least(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0) / 200.0 * 0.4
+        |      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that|it|was)\b')) AS DOUBLE)
+        |              / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |                     / greatest(len(string_split(text, ' ')), 1) * 10.0, 1.0)) * 0.3
+        |    ) * 1e6) AS DOUBLE) / 1e6 AS quality_score
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, quality_score,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY quality_score DESC, doc_id ASC) AS rank
+        |  FROM q)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, quality_score
+        |FROM r WHERE rank <= 15 ORDER BY source, rank""".stripMargin,
+
+    // p18: reproducible epoch-shuffle order — md5 over (seed ':' doc_id),
+    // shard = first hex byte mod 16; both engines render the identical
+    // hex string, so the permutation is pinned end-to-end
+    "p18_shuffled_order" ->
+      """SELECT CAST(CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 16 AS INTEGER) AS shard,
+        |  md5('0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  doc_id
+        |FROM documents ORDER BY shard, shuffle_key""".stripMargin,
+
     // sequence packing: the oracle replays the window-cumsum semantic
     // spec (Packing.packSequencesWindow); the engine runs the two-pass
     // range-partition form — equality of the two is ALSO pinned in

@@ -193,6 +193,8 @@ object SparkEntry {
     // training-data pipeline: deterministic hash sampling over documents
     "p06_hash_sample"         -> ((s, d) => Sampling.hashSample(Tables.documents(s, d))),
     "p07_stratified_summary"  -> ((s, d) => Sampling.stratifiedSummary(Tables.documents(s, d))),
+    "p17_balanced_sources"    -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d))),
+    "p18_shuffled_order"      -> ((s, d) => Sampling.shuffledOrder(Tables.documents(s, d))),
     // semi-structured extraction from the raw events' JSON props
     "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
     "p10_json_typed"          -> ((s, d) => Preprocess.jsonPropsTyped(Tables.eventsRaw(s, d))),

@@ -56,4 +56,67 @@ object Sampling {
       .withColumn("rate",
         round(col("sampled").cast("double") / col("total"), 6))
       .orderBy("lang")
+
+  /** P17: source-mix balancing — cap each source's contribution to the
+    * training corpus at `perSource` documents, keeping its
+    * HIGHEST-QUALITY ones ([[TextAnalysis.qualityScoreExpr]], ties by
+    * doc_id asc). The standard data-mix lever: one over-crawled source
+    * must not drown the mixture.
+    *
+    * Scale shape: the rank-window form shuffles every scored document on
+    * `source` and sorts each source's partition (a hot source = one huge
+    * sorted partition); this uses the native top-k heap aggregate
+    * ([[graft.functions.TopKByScore]]) instead — per-source heaps
+    * partial-aggregate MAP-SIDE, so exactly `perSource` rows per source
+    * per partition cross the shuffle regardless of how many documents a
+    * source has. Skew-immune by construction. */
+  def capPerSource(docs: DataFrame, perSource: Int = 15): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("q"))
+      .groupBy("source")
+      .agg(graft.functions.topk_by_score(col("q"), col("doc_id"), perSource).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("p.id").as("doc_id"), col("p.score").as("quality_score"))
+      .orderBy("source", "rank")
+
+  /** Deterministic per-document shuffle key: md5 over (seed, doc key) —
+    * reproducible across engines/runs (unlike rand(seed), whose stream
+    * depends on partitioning), re-seedable per epoch, and ORDER-SAFE:
+    * fixed-length hex compares lexicographically exactly as the 128-bit
+    * number it encodes. */
+  def shuffleKey(keyCol: Column, seed: Long): Column =
+    md5(concat_ws(":", lit(seed), keyCol.cast("string")))
+
+  /** P18: reproducible global shuffle for a training export — the order
+    * a dataloader should read the corpus in for epoch `seed`. Each doc
+    * gets a [[shuffleKey]] and a shard (first hex byte mod `shards`);
+    * the epoch order is (shard, shuffle_key). Pure projection — no
+    * shuffle, no global sort, no per-row state: at 100 TB the key
+    * assignment rides the scan, and [[writeShuffled]] turns the order
+    * into files. */
+  def shuffledOrder(docs: DataFrame, seed: Long = 0, shards: Int = 16): DataFrame = {
+    require(shards >= 1 && shards <= 256, s"shards must be 1..256, got $shards")
+    docs.select(col("doc_id"), shuffleKey(col("doc_id"), seed).as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int") % shards).cast("int"))
+      .select(col("shard"), col("shuffle_key"), col("doc_id"))
+      .orderBy("shard", "shuffle_key")
+  }
+
+  /** Materialize the epoch order: range-partition on (shard, key) so
+    * each output file holds a CONTIGUOUS slice of the global shuffle
+    * order and files read in partition order replay it exactly — the
+    * scale form of "shuffle then write": no single-task sort, the range
+    * exchange is the only wide stage, and a 100 TB export parallelizes
+    * across as many writers as partitions. */
+  def writeShuffled(docs: DataFrame, path: String, seed: Long = 0,
+                    shards: Int = 16, filesPerExport: Int = 0): Unit = {
+    val ordered = shuffledOrder(docs, seed, shards)
+    val nFiles = if (filesPerExport > 0) filesPerExport else shards
+    ordered
+      .repartitionByRange(nFiles, col("shard"), col("shuffle_key"))
+      .sortWithinPartitions("shard", "shuffle_key")
+      .write.mode("overwrite").parquet(path)
+  }
 }

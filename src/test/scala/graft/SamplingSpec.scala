@@ -36,6 +36,55 @@ class SamplingSpec extends SparkSpec {
       "per-stratum sampled counts must sum to the flat sample size")
   }
 
+  test("capPerSource keeps each source's top-quality docs, heap ≡ rank window") {
+    // src_big: 6 docs of stepped quality; src_small: 2 docs — the cap
+    // bites only where it should
+    val rows = (0 until 6).map(i =>
+      Row(i.toLong, ("quality words " * (i + 1)).trim + ".", "src_big")) ++
+      Seq(Row(10L, "tiny.", "src_small"), Row(11L, "also tiny.", "src_small"))
+    val d = df("doc_id BIGINT, text STRING, source STRING", rows)
+    val out = Sampling.capPerSource(d, perSource = 3).collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    assert(bySrc("src_big").size == 3 && bySrc("src_small").size == 2)
+    // equal to the declarative rank-window form (score desc, doc_id asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("q"), asc("doc_id"))
+    val window = d.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("q"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("doc_id"), col("q").as("quality_score"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val heap = out.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(heap == window)
+  }
+
+  test("writeShuffled: files hold contiguous slices of the epoch order; seeds permute") {
+    val d = df("doc_id BIGINT, text STRING",
+      (0 until 200).map(i => Row(i.toLong, s"doc $i")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuffle").toString
+    Sampling.writeShuffled(d, s"$dir/epoch0", seed = 0, shards = 8, filesPerExport = 4)
+    val back = spark.read.parquet(s"$dir/epoch0")
+    // same multiset of docs, and each FILE's (shard, key) range is
+    // disjoint from every other file's — reading files in range order
+    // replays the global shuffle order without any further sort
+    assert(back.count() == 200)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(concat(col("shard"), col("shuffle_key"))).as("lo"),
+        max(concat(col("shard"), col("shuffle_key"))).as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "file ranges must not overlap")
+      case _ =>
+    }
+    // the order is reproducible per seed and different across seeds
+    val e0 = Sampling.shuffledOrder(d, seed = 0).collect().map(_.getLong(2)).toSeq
+    val e0b = Sampling.shuffledOrder(d, seed = 0).collect().map(_.getLong(2)).toSeq
+    val e1 = Sampling.shuffledOrder(d, seed = 1).collect().map(_.getLong(2)).toSeq
+    assert(e0 == e0b && e0 != e1 && e0.sorted == e1.sorted)
+    // and it is a real shuffle, not identity order
+    assert(e0 != e0.sorted)
+  }
+
   test("tfidf ranks rarer terms above ubiquitous ones at equal tf") {
     // 4 docs all share 'common'; each has a unique term with the same tf
     val d = df(
