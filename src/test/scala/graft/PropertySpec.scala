@@ -246,4 +246,53 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  /** Random key sequences with few distinct values and colliding run
+    * lengths — the regime where the round-9 boundary-stitching streak
+    * machinery (interior-only pass 2, driver-stitched spanning runs,
+    * pass-1 argmax) must agree with the naive RLE at every partition
+    * width, including partitions that hold a single run or are empty. */
+  private val keySeqGen: Gen[List[String]] =
+    Gen.choose(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("Allowed", "Blocked", "Other")))
+
+  test("stitched parallel runs equal the naive RLE at random partition widths") {
+    import graft.operators.Streaks
+    for (seed <- 1L to 10L) {
+      val keys = sample(keySeqGen, seed)
+      val prep = df("ts TIMESTAMP, id BIGINT, status_type STRING",
+        keys.zipWithIndex.map { case (k, i) =>
+          Row(new java.sql.Timestamp(i * 1000L), i.toLong, k) })
+      // naive RLE over the ordered keys: (grp from 1, key, len, startIdx)
+      val naive = keys.zipWithIndex.foldLeft(List.empty[(Long, String, Long, Int)]) {
+        case (acc, (k, i)) => acc match {
+          case (g, `k`, len, s) :: t => (g, k, len + 1, s) :: t
+          case (g, _, _, _) :: _    => (g + 1, k, 1L, i) :: acc
+          case Nil                   => List((1L, k, 1L, i))
+        }
+      }.reverse
+      for (parts <- Seq(1, 2, 3, 7, 32)) {
+        val got = Streaks.parallelRunsBy(prep, col("status_type"),
+            org.apache.spark.sql.types.StringType, parts)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getTimestamp(3).getTime / 1000L)).toSet
+        val want = naive.map { case (g, k, l, s) => (g, k, l, s.toLong) }.toSet
+        assert(got == want, s"seed=$seed parts=$parts")
+        // the single-pass argmax agrees with the naive per-class best
+        // (len desc, start asc)
+        val streaks = Streaks.longestStreaks(prep).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getTimestamp(2).getTime / 1000L))).toMap
+        for (cls <- Seq("Allowed", "Blocked")) {
+          val cand = naive.filter(_._2 == cls)
+          if (cand.isEmpty) assert(!streaks.contains(cls), s"seed=$seed")
+          else {
+            val best = cand.map { case (_, _, l, s) => (l, s.toLong) }
+              .minBy { case (l, s) => (-l, s) }
+            assert(streaks(cls) == best, s"seed=$seed cls=$cls")
+          }
+        }
+      }
+    }
+  }
 }
