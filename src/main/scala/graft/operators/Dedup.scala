@@ -75,6 +75,10 @@ object Dedup {
       pairsMemo.valuesIterator.foreach(_.unpersist(blocking = false))
       pairsMemo.clear()
     }
+    labelsMemo.synchronized {
+      labelsMemo.valuesIterator.foreach(_.unpersist(blocking = false))
+      labelsMemo.clear()
+    }
     simMemo.synchronized {
       simMemo.valuesIterator.foreach(c =>
         Seq(c.sig, c.cands).foreach(_.unpersist(blocking = false)))
@@ -525,11 +529,56 @@ object Dedup {
     * clustering only verified pairs cannot. */
   def verifiedClusters(docs: DataFrame, threshold: Double,
                        k: Int = 16, bands: Int = 4,
-                       maxIter: Int = 20): DataFrame =
-    // the pairs relation is the memoized/persisted shared sliver — within
-    // one session d07's clustering and p09's curation both read the same
-    // materialization instead of re-running the LSH+verify chain
-    clustersOfPairs(verifiedPairs(docs, threshold, k, bands), maxIter)
+                       maxIter: Int = 20): DataFrame = {
+    // the pairs relation AND the resolved labels are memoized/persisted
+    // shared slivers — within one session d07's clustering and p09/p16's
+    // curation read the same materializations instead of re-running the
+    // LSH+verify chain or replaying the CC driver loop
+    val labels = verifiedLabels(docs, threshold, k, bands, maxIter)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    labels.join(sizes, Seq("label")).filter(col("n_docs") > 1)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("n_docs"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Memoized min-label relation over the verified pairs. The CC
+    * iteration is a DRIVER-LOOPED multi-job computation that runs during
+    * plan CONSTRUCTION (each round localCheckpoints), so memoizing only
+    * the pairs still replayed ~2·diameter small jobs on every warm
+    * consumer execution — measured as most of d07/p09's warm cost at
+    * sf0.1. Keyed, persisted, LRU-bounded and released exactly like
+    * [[pairsMemo]]; the labels relation is O(docs-in-pairs) rows — the
+    * same sliver scale as the pairs themselves. Non-file-backed inputs
+    * skip memoization (no stable identity), like every other memo. */
+  private def verifiedLabels(docs: DataFrame, threshold: Double, k: Int,
+                             bands: Int, maxIter: Int): DataFrame =
+    labelsMemo.synchronized {
+      fileBackedKey(docs) match {
+        case None =>
+          shared(ConnectedComponents.minLabelOverEndpoints(
+            verifiedPairs(docs, threshold, k, bands), maxIter))
+        case Some(srcKey) =>
+          val key = (srcKey, threshold, k, bands, maxIter)
+          labelsMemo.get(key) match {
+            case Some(l) if l.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+              labelsMemo.remove(key); labelsMemo(key) = l // LRU touch
+              l
+            case _ =>
+              val l = ConnectedComponents.minLabelOverEndpoints(
+                verifiedPairs(docs, threshold, k, bands), maxIter)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              labelsMemo(key) = l
+              while (labelsMemo.size > PairsMemoMax) {
+                val oldKey = labelsMemo.head._1
+                labelsMemo.remove(oldKey).foreach(_.unpersist(blocking = false))
+              }
+              l
+          }
+      }
+    }
+
+  private val labelsMemo =
+    new scala.collection.mutable.LinkedHashMap[(String, Double, Int, Int, Int), DataFrame]
 
   /** Cluster resolution over an ALREADY-COMPUTED pairs relation —
     * composes with [[verifiedPairs]] in-process or with
