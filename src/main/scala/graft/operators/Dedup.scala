@@ -622,6 +622,69 @@ object Dedup {
     incrementalVerifiedPairs(allDocs, newDocIds, threshold, k, bands)
       .select("i", "j").write.mode("append").parquet(path)
 
+  /** The persistent banded-signature INDEX of the incremental story:
+    * (doc_id, band_idx, band_key) — O(docs × bands) rows, microscopic
+    * next to the corpus. At 100 TB this table lives in storage, each
+    * ingest batch APPENDS its own rows, and incremental dedup probes it
+    * instead of re-shingling/re-signing the whole corpus
+    * ([[incrementalVerifiedPairsIndexed]]). */
+  def bandedSignatures(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame =
+    bandedFromSig(signaturesFrom(wordShingles(docs), k), k, bands)
+
+  def writeBandedSignatures(docs: DataFrame, path: String,
+                            k: Int = 16, bands: Int = 4): Unit =
+    bandedSignatures(docs, k, bands).write.mode("overwrite").parquet(path)
+
+  def readBandedSignatures(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    spark.read.parquet(path).select("doc_id", "band_idx", "band_key")
+
+  /** INCREMENTAL near-dup verification against a STORED banded index —
+    * the per-batch cost model a 100 TB continuous ingest needs:
+    * [[incrementalVerifiedPairs]] still re-builds the FULL corpus chain
+    * (shingle + sign every document) before its cheap probe, which is
+    * fine for a daily batch job over a memoized chain but wrong for a
+    * stream. This form touches the corpus only where candidates demand
+    * it:
+    *
+    *   - shingle/sign the NEW docs only (O(batch));
+    *   - band-probe the stored index (plus the batch's own bands, so
+    *     new×new pairs are found; a replayed batch whose bands were
+    *     already appended dedups through the `distinct`);
+    *   - re-shingle ONLY the old docs that appear in candidate pairs —
+    *     fetched from the corpus table by a broadcast semi-join on the
+    *     candidate ids (map-only; with the corpus bucketed/Z-ordered on
+    *     doc_id the fetch prunes instead of scanning).
+    *
+    * Equal to [[incrementalVerifiedPairs]] on the same inputs (pinned in
+    * DedupSpec), and the d11 union invariant carries over: batches
+    * append DISJOINT pair sets whose union is the from-scratch table.
+    * Probe BEFORE appending the batch's bands to the index (or after —
+    * self-pairs are excluded and duplicates collapse; the order only
+    * changes which relation finds new×new). */
+  def incrementalVerifiedPairsIndexed(corpus: DataFrame, bandedIndex: DataFrame,
+                                      newDocs: DataFrame, threshold: Double,
+                                      k: Int = 16, bands: Int = 4): DataFrame = {
+    freshPipeline()
+    val shNew = shared(wordShingles(newDocs))
+    val newBanded = shared(bandedFromSig(signaturesFrom(shNew, k), k, bands))
+    val a = newBanded.select(col("band_idx"), col("band_key"), col("doc_id").as("n"))
+    val b = bandedIndex.unionByName(newBanded)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("m"))
+    val cands = shared(a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("n") =!= col("m"))
+      .select(least(col("n"), col("m")).as("i"), greatest(col("n"), col("m")).as("j"))
+      .distinct())
+    val candDocs = cands.select(col("i").as("doc_id"))
+      .unionByName(cands.select(col("j").as("doc_id"))).distinct()
+    val newIds = newDocs.select(col("doc_id"))
+    val oldCandTexts = corpus
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
+    val shCand = wordShingles(oldCandTexts).unionByName(shNew)
+    verifyCandidates(shCand, cands, threshold).orderBy("i", "j")
+  }
+
   /** SimHash fingerprint: 64-bit bit-majority over md5(token) hashes,
     * emitted as 16 hex chars. Near-identical docs differ in few bits. */
   def simhash(docs: DataFrame): DataFrame =

@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     Dedup.writeVerifiedPairs(corpus, dir.toString, 0.5)
     Dedup.appendVerifiedPairs(grown, newIds, dir.toString, 0.5)
     assert(pairSet(Dedup.readVerifiedPairs(spark, dir.toString)) == full)
+
+    // the INDEXED incremental (shingle/sign the batch only, probe the
+    // stored banded index, candidate-fetch old texts) equals the
+    // chain-rebuild incremental on the same inputs
+    val newDocs = grown.join(newIds, Seq("doc_id"), "left_semi")
+    val index = Dedup.bandedSignatures(corpus)
+    val indexed = pairSet(
+      Dedup.incrementalVerifiedPairsIndexed(grown, index, newDocs, 0.5))
+    assert(indexed == incr, s"indexed=$indexed incr=$incr")
+    // replay regime: an index that ALREADY contains the batch's bands
+    // yields the same pairs (duplicates collapse in the candidate
+    // distinct, self-pairs are excluded)
+    val replayIndex = index.unionByName(Dedup.bandedSignatures(newDocs))
+    assert(pairSet(Dedup.incrementalVerifiedPairsIndexed(
+      grown, replayIndex, newDocs, 0.5)) == incr)
   }
 
   test("verified pairs round-trip storage: written table drives identical clusters") {

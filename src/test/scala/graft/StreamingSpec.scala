@@ -396,10 +396,11 @@ class StreamingSpec extends SparkSpec {
     val schema = "doc_id BIGINT, text STRING"
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
     val threshold = 0.5
-    StreamingNearDup.seed(df(schema, seedRows), s"$dir/corpus", s"$dir/pairs", threshold)
+    StreamingNearDup.seed(df(schema, seedRows), s"$dir/corpus", s"$dir/index",
+      s"$dir/pairs", threshold)
     val input = MemoryStream[(Long, String)]
     val q = StreamingNearDup.start(input.toDS().toDF("doc_id", "text"),
-      s"$dir/corpus", s"$dir/pairs", s"$dir/ckpt", threshold,
+      s"$dir/corpus", s"$dir/index", s"$dir/pairs", s"$dir/ckpt", threshold,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     try {
       input.addData(b1.map(r => (r.getLong(0), r.getString(1))))
@@ -419,10 +420,16 @@ class StreamingSpec extends SparkSpec {
     // the split discovered pairs in every regime: seed-only, seed×batch,
     // and cross-batch (3 arrived in batch 1, its near-dup 4 in batch 2)
     assert(streamed.contains((0L, 1L)) && streamed.contains((3L, 4L)), streamed)
-    // replay idempotence: re-running a batch body under its batchId
+    // replay idempotence: re-running a batch body under its batchId —
+    // including against an index that ALREADY holds the batch's bands —
     // leaves the pairs table unchanged (foreachBatch is at-least-once)
     val before = StreamingNearDup.pairsTable(spark, s"$dir/pairs").count()
-    StreamingNearDup.ingestBatch(df(schema, b2), 1L, s"$dir/corpus", s"$dir/pairs", threshold)
+    StreamingNearDup.ingestBatch(df(schema, b2), 1L, s"$dir/corpus", s"$dir/index",
+      s"$dir/pairs", threshold)
     assert(StreamingNearDup.pairsTable(spark, s"$dir/pairs").count() == before)
+    // the index accumulated exactly one row set per (doc, band): seed +
+    // both batches, no replay duplicates
+    val idx = graft.operators.Dedup.readBandedSignatures(spark, s"$dir/index")
+    assert(idx.count() == (seedRows.size + b1.size + b2.size) * 4L)
   }
 }
