@@ -293,22 +293,45 @@ object Similarity {
   def knnIvfTrained(emb: DataFrame, nQueries: Int, k: Int,
                     nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
     val cents = kmeansCentroids(emb, nCells, iterations).select(col("cell"), col("centv"))
-    // dot_product widens float×double element-wise, so the raw float
-    // embedding serves both the centroid distances and the exact scoring
+    searchIvf(assignCells(emb, cents), cents,
+      emb.filter(col("vec_id") < nQueries), k, nProbe)
+  }
+
+  /** Squared Euclidean distance to the broadcast `centv` — dot_product
+    * widens float×double element-wise, so raw float embeddings serve the
+    * centroid distances directly. */
+  private def dist2(v: org.apache.spark.sql.Column) =
+    dot(v, v) - lit(2.0) * dot(v, col("centv")) + dot(col("centv"), col("centv"))
+
+  /** Nearest-centroid cell per vector WITH the search payload
+    * (embedding + norm) carried through: broadcast × argmin — map-heavy,
+    * no corpus shuffle. This is BOTH the write-time assignment job of
+    * [[writeIvfIndex]] and the per-batch body of
+    * [[appendIvfAssignments]]: new vectors join an existing index by
+    * running exactly this against the STORED centroids, no retraining.
+    * ([[assignToCells]] is the label-only light form — diagnostics like
+    * the SSE probe shouldn't drag 64 floats through the argmin window.) */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("embedding"),
-      col("embedding").as("dv"),
-      norm(col("embedding")).as("vn"))
-    def dist2(v: org.apache.spark.sql.Column) =
-      dot(v, v) - lit(2.0) * dot(v, col("centv")) + dot(col("centv"), col("centv"))
+      col("embedding").as("dv"), norm(col("embedding")).as("vn"))
     val wAssign = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
-    val assigned = vecs.join(broadcast(cents), expr("true"))
+    vecs.join(broadcast(cents), expr("true"))
       .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
         dist2(col("dv")).as("dist2"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select("vec_id", "embedding", "vn", "cell")
-    val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("dv").as("qdv"), col("vn").as("qn"))
+  }
+
+  /** IVF search over an ALREADY-ASSIGNED corpus: probe the `nProbe`
+    * nearest cells per query, exact-score inside probed cells only.
+    * Shared by the in-process path ([[knnIvfTrained]]) and the stored
+    * index ([[knnIvfStored]]) — equality across the two is therefore
+    * structural, pinned in StorageSpec. */
+  def searchIvf(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+                k: Int, nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("embedding").as("qdv"),
+      norm(col("embedding")).as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(asc("dist2"), asc("cell"))
     val probes = q.join(broadcast(cents), expr("true"))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"),
@@ -323,6 +346,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** Persist the IVF index: the driver-trained centroid table and the
+    * cell assignments, the assignments PARTITIONED BY CELL so a probed
+    * search reads only the probed cells' files (partition pruning — at
+    * 10⁹ vectors a 4-of-64-cell probe touches ~6% of the index bytes).
+    * Training runs once at write time; growth is [[appendIvfAssignments]]
+    * (assignment only — the standard IVF maintenance trade: centroids
+    * drift as the distribution shifts, so re-train on a cadence, not per
+    * batch). */
+  def writeIvfIndex(emb: DataFrame, dir: String, nCells: Int = 16,
+                    iterations: Int = 2): Unit = {
+    val cents = kmeansCentroids(emb, nCells, iterations).select(col("cell"), col("centv"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignCells(emb, cents).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids").select("cell", "centv")
+
+  def readIvfAssignments(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/assigned").select("vec_id", "embedding", "vn", "cell")
+
+  /** Incremental index growth: assign ONLY the new vectors against the
+    * stored centroids and append — O(batch × nCells) work, the ANN
+    * sibling of the dedup banded-signature append. */
+  def appendIvfAssignments(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    assignCells(newVecs, readIvfCentroids(spark, dir))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+    spark.catalog.refreshByPath(s"$dir/assigned")
+  }
+
+  /** Search the STORED index. */
+  def knnIvfStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
+    searchIvf(readIvfAssignments(spark, dir), readIvfCentroids(spark, dir),
+      queries, k, nProbe)
 
   /** IVF-style ANN, the learned-partition scale path: vectors are
     * assigned to their nearest "centroid" cell once (a write-time batch
