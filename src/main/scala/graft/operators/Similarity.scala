@@ -576,10 +576,24 @@ object Similarity {
         }
       }
     }
+    searchPq(codesDf, books, emb.filter(col("vec_id") < nQueries), emb,
+      k, m, shortlist)
+  }
+
+  /** PQ-ADC search over an ALREADY-ENCODED corpus: broadcast per-query
+    * distance tables, map-side partial sums over the codes relation,
+    * heap-aggregate shortlist, exact cosine re-rank fetching only the
+    * shortlist's embeddings from `corpus`. Shared by the in-process path
+    * ([[knnPq]]) and the stored index ([[knnPqStored]]) — equality is
+    * structural, pinned in StorageSpec. */
+  def searchPq(codesDf: DataFrame, books: DataFrame, queries: DataFrame,
+               corpus: DataFrame, k: Int, m: Int = 4,
+               shortlist: Int = 50): DataFrame = {
+    val sub = embeddingDim(queries) / m
     // per-query ADC lookup table: ||q_s - c||^2 for every (subspace, code)
     val qsubs = array((0 until m).map(i => struct(lit(i).as("subspace"),
       slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
-    val qTable = emb.filter(col("vec_id") < nQueries)
+    val qTable = queries
       .select(col("vec_id").as("query_id"), explode(qsubs).as("s"))
       .select(col("query_id"), col("s.subspace").as("subspace"),
         col("s.sv").as("qdv"))
@@ -595,9 +609,9 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("p"))
       .select(col("query_id"), col("p.id").as("neighbor_id"))
     // exact re-rank of the shortlist
-    val vecs = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vn"))
-    val q = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("vn").as("qn"))
+    val vecs = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vn"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     val wRank = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     short
       .join(vecs, col("neighbor_id") === col("vec_id"))
@@ -607,6 +621,43 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** Persist the PQ index: the jointly-trained codebooks (m·codes rows)
+    * and the encoded corpus (m codes per vector — the 64× compression
+    * that lets a 10⁹-vector index fit executor memory). Training +
+    * encoding run once at write time; growth is [[appendPqCodes]]
+    * (encode the batch against the STORED codebooks — like IVF
+    * centroids, codebooks re-train on a cadence, not per batch). */
+  def writePqIndex(emb: DataFrame, dir: String, m: Int = 4,
+                   codes: Int = 16, iterations: Int = 2): Unit = {
+    val books = pqCodebooks(emb, m, codes, iterations)
+    books.write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncode(emb, books, m).write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codebooks").select("subspace", "cell", "centv")
+
+  def readPqCodes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes").select("vec_id", "subspace", "code")
+
+  /** Incremental index growth: encode ONLY the new vectors against the
+    * stored codebooks and append — O(batch × m × codes) work. */
+  def appendPqCodes(newVecs: DataFrame, dir: String, m: Int = 4): Unit = {
+    val spark = newVecs.sparkSession
+    pqEncode(newVecs, readPqCodebooks(spark, dir), m)
+      .write.mode("append").parquet(s"$dir/codes")
+    spark.catalog.refreshByPath(s"$dir/codes")
+  }
+
+  /** Search the STORED PQ index; `corpus` supplies the shortlist's
+    * embeddings for the exact re-rank (fetched by vec_id join — with
+    * the corpus bucketed on vec_id the fetch prunes). */
+  def knnPqStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, corpus: DataFrame, k: Int,
+                  m: Int = 4, shortlist: Int = 50): DataFrame =
+    searchPq(readPqCodes(spark, dir), readPqCodebooks(spark, dir),
+      queries, corpus, k, m, shortlist)
 
   /** Pairwise cosine above `threshold` within label blocks — embedding
     * near-duplicate detection with an explicit blocking key, the standard

@@ -189,6 +189,29 @@ class StorageSpec extends SparkSpec {
       "cell filter must prune partitions")
   }
 
+  test("stored PQ index: search ≡ in-process, append encodes against stored codebooks") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seed = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.writePqIndex(seed, dir, m = 4, codes = 8, iterations = 2)
+    Similarity.appendPqCodes(batch, dir, m = 4)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val stored = rows(Similarity.knnPqStored(spark, dir, queries, emb, k = 10))
+    val inProc = rows(Similarity.searchPq(
+      Similarity.pqEncode(emb, Similarity.readPqCodebooks(spark, dir), 4),
+      Similarity.readPqCodebooks(spark, dir), queries, emb, k = 10))
+    assert(stored == inProc && stored.nonEmpty)
+    // every vector carries exactly m codes after the append
+    val codes = Similarity.readPqCodes(spark, dir)
+    assert(codes.count() == emb.count() * 4)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+
   test("IVF ANN: recall vs brute force is high on probed cells and scores agree") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = graft.operators.Similarity.knnBrute(emb, 5, 10)
