@@ -1,11 +1,8 @@
 package graft.operators
 
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Sequence packing — the "concatenate the corpus, cut it into fixed-size
   * context windows" step an LLM training pipeline runs between curation
@@ -72,14 +69,18 @@ object Packing {
                     numPartitions: Int = 0): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(col("doc_id"), wsTokens(col("text")).as("n_tokens"))
     val nParts =
       if (numPartitions > 0) numPartitions
       else math.max(32, base.queryExecution.toRdd.getNumPartitions)
+    // physical InternalRows, not Dataset.rdd: no per-row external
+    // conversion (GenericRow per corpus row) in either pass — the Streaks
+    // round-9 treatment applied to the prefix-sum scan
     val rdd = base
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .rdd
+      .queryExecution.toRdd
     // pass 1: one token subtotal per partition — O(partitions) driver data
     val subtotals = rdd.mapPartitionsWithIndex { (pid, rows) =>
       var s = 0L
@@ -92,21 +93,22 @@ object Packing {
     subtotals.foreach { case (pid, s) => bases += pid -> total; total += s }
     val bc = spark.sparkContext.broadcast(bases.result())
     // pass 2: running offset within each partition from its broadcast
-    // base; reuses pass 1's shuffle files (same lineage)
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_tokens", LongType, nullable = false),
-      StructField("_cum_before", LongType, nullable = false)))
+    // base; reuses pass 1's shuffle files (same lineage). LAZY map, not a
+    // buffered collection: the output is row-scale, so materializing the
+    // partition here would hold |partition| rows on heap for no reason.
+    // The tuple Dataset re-enters SQL through the codegen'd product
+    // encoder (primitive field writes, no boxing converter per field).
     val cumRdd = rdd.mapPartitionsWithIndex { (pid, rows) =>
       var cum = bc.value.getOrElse(pid, 0L)
-      val out = ArrayBuffer.empty[Row]
-      rows.foreach { r =>
-        out += Row(r.getLong(0), r.getLong(1), cum)
+      rows.map { r =>
+        val before = cum
         cum += r.getLong(1)
+        (r.getLong(0), r.getLong(1), before)
       }
-      out.iterator
     }
-    withBinColumns(spark.createDataFrame(cumRdd, outSchema), capacity)
+    val cum = spark.createDataset(cumRdd)
+      .toDF("doc_id", "n_tokens", "_cum_before")
+    withBinColumns(cum, capacity)
   }
 
   /** The consumer view: per-bin manifest — how many documents start in
