@@ -1396,6 +1396,31 @@ FROM allc a JOIN topc c USING(domain)"""
         |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac
         |FROM agg WHERE n_overlap >= 2 ORDER BY doc_id""".stripMargin,
 
+    // Bloom-filter decontamination, checked via the sketch-contract
+    // pattern (the a11 treatment): the exact row set and counts are
+    // reproduced here; the Bloom side's no-false-negative guarantee and
+    // its hygiene-safety corollary are Spark-computed booleans this SQL
+    // asserts TRUE on every exactly-contaminated doc
+    "d13_decontam_bloom" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+        |       unnest(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE len(w) >= 3),
+        |ev AS (
+        |  SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+        |  WHERE source = 'src0'),
+        |agg AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles, count(ev.s) AS n_overlap
+        |  FROM sh JOIN documents d USING (doc_id)
+        |  LEFT JOIN ev ON ev.s = sh.s
+        |  WHERE d.source <> 'src0'
+        |  GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  TRUE AS bloom_no_false_neg, TRUE AS bloom_flagged
+        |FROM agg WHERE n_overlap >= 2 ORDER BY doc_id""".stripMargin,
+
     "d02_minhash_cands" -> (minhashCtes + "\nSELECT i, j FROM cands ORDER BY i, j"),
 
     // Connected components as a recursive CTE: reach(node, lab) holds

@@ -208,6 +208,7 @@ object SparkEntry {
     "p15_chunk_stats"         -> ((s, d) => Packing.chunkStats(Tables.documents(s, d))),
     // eval-set decontamination: src0 docs play the held-out benchmark
     "d12_decontaminated"      -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
+    "d13_decontam_bloom"      -> ((s, d) => Dedup.decontaminateBloomChecked(Tables.documents(s, d))),
     // training-data pipeline: multimodal binary-column plumbing
     "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),

@@ -906,4 +906,88 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
+
+  // ───────────────────────── Bloom-filter decontamination ─────────────────────
+
+  /** Bloom filter over the eval side's distinct shingles — the
+    * decontamination form for when the eval set OUTGROWS an exact
+    * broadcast: a broadcast hash relation costs ~50-100 bytes per entry
+    * (string + map overhead) while the filter costs ~`1.44·log2(1/fpp)`
+    * BITS per item (~1.8 bytes at fpp 1e-3) — ~40× smaller, so an eval
+    * suite of hundreds of millions of shingles still fits executor
+    * memory. The price is a bounded false-positive rate, which for
+    * hygiene errs in the SAFE direction: a false positive can only
+    * over-quarantine a clean doc, never leak a contaminated one
+    * (Bloom filters have NO false negatives).
+    *
+    * Built once per benchmark set (two jobs over the MB-scale eval side:
+    * an exact distinct count to size the filter, then the build
+    * aggregate); every corpus batch then probes the same broadcast
+    * value. At production scale size with `approx_count_distinct`
+    * instead of the exact count. Deterministic: Spark's sketch uses
+    * seedless Murmur3 over the UTF-8 bytes, so the same eval set always
+    * builds the same filter. */
+  def evalShingleBloom(evalDocs: DataFrame, fpp: Double = 0.001)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val set = evalShingleSet(evalDocs)
+    val n = math.max(1L, set.count())
+    set.stat.bloomFilter("s", n, fpp)
+  }
+
+  /** Decontamination probe against a prebuilt [[evalShingleBloom]] —
+    * MAP-ONLY over the corpus: each doc's distinct-shingle array is
+    * probed in place (init-once broadcast deserialization per
+    * partition), so unlike [[decontaminateAgainst]] the corpus never
+    * explodes into a (doc, shingle) relation and there is no join and
+    * no per-doc aggregate shuffle at all — one row in, one row out,
+    * the plan is a projection. `n_bloom_overlap` over-counts the exact
+    * overlap by the filter's false positives only (≥ exact, never <). */
+  def decontaminateBloom(corpus: DataFrame,
+                         bf: org.apache.spark.util.sketch.BloomFilter,
+                         minOverlap: Long = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bf)
+    corpus
+      .select(col("doc_id"),
+        graft.functions.distinct_shingles(split(col("text"), " "), 3).as("ss"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val f = bc.value
+        it.map { case (id, ss) =>
+          var hits = 0L
+          ss.foreach(s => if (f.mightContainString(s)) hits += 1L)
+          (id, ss.size.toLong, hits)
+        }
+      }
+      .toDF("doc_id", "n_shingles", "n_bloom_overlap")
+      .filter(col("n_bloom_overlap") >= minOverlap)
+  }
+
+  /** The oracle-checkable composition (d13): run the EXACT d12 path for
+    * the row set and counts (DuckDB reproduces those), probe the Bloom
+    * filter alongside, and emit the filter's two contracts as booleans
+    * the oracle asserts TRUE on every row — `bloom_no_false_neg`
+    * (bloom count ≥ exact count, the no-false-negative guarantee) and
+    * `bloom_flagged` (every exactly-contaminated doc is also
+    * Bloom-flagged, the hygiene-safety corollary). Same shape as the
+    * checked HLL/CMS/quantile queries: the sketch's contract, not its
+    * internal bits, is what crosses the engine boundary. */
+  def decontaminateBloomChecked(docs: DataFrame, evalSource: String = "src0",
+                                minOverlap: Long = 2,
+                                fpp: Double = 0.001): DataFrame = {
+    val corpus = docs.filter(col("source") =!= evalSource)
+    val bf = evalShingleBloom(docs.filter(col("source") === evalSource), fpp)
+    val exact = decontaminateAgainst(
+      corpus, evalShingleSet(docs.filter(col("source") === evalSource)), minOverlap)
+    val bloom = decontaminateBloom(corpus, bf, minOverlap)
+      .select(col("doc_id"), col("n_bloom_overlap"))
+    exact
+      .join(bloom, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (coalesce(col("n_bloom_overlap"), lit(0L)) >= col("n_overlap"))
+          .as("bloom_no_false_neg"),
+        col("n_bloom_overlap").isNotNull.as("bloom_flagged"))
+      .orderBy("doc_id")
+  }
 }

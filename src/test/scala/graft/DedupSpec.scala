@@ -312,4 +312,43 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "a sort-merge join would shuffle the corpus shingle relation")
   }
+
+  // ---- Bloom-filter decontamination (d13) ----
+
+  test("bloom decontamination: flags are a superset of exact flags, counts never undercount") {
+    val evalDocs = contamCorpus.filter("source = 'src0'")
+    val corpus = contamCorpus.filter("source <> 'src0'")
+    val bf = Dedup.evalShingleBloom(evalDocs, fpp = 0.001)
+    for (minOv <- Seq(1L, 2L)) {
+      val exact = Dedup.decontaminateAgainst(
+        corpus, Dedup.evalShingleSet(evalDocs), minOv).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val bloom = Dedup.decontaminateBloom(corpus, bf, minOv).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // no false negatives: every exactly-flagged doc is bloom-flagged,
+      // and its bloom count is at least its exact count
+      exact.foreach { case (id, n) =>
+        assert(bloom.contains(id), s"doc $id lost at minOverlap=$minOv")
+        assert(bloom(id) >= n, s"doc $id bloom ${bloom(id)} < exact $n")
+      }
+    }
+    // the zero-shingle doc (4L) can never be flagged even at minOverlap=0-ish
+    assert(!Dedup.decontaminateBloom(corpus, bf, 1L).collect()
+      .exists(_.getLong(0) == 4L))
+  }
+
+  test("bloom decontamination plan is map-only: no join, no aggregate, no exchange") {
+    val bf = Dedup.evalShingleBloom(contamCorpus.filter("source = 'src0'"))
+    val plan = Dedup.decontaminateBloom(contamCorpus.filter("source <> 'src0'"), bf)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("Join", "Exchange", "HashAggregate"))
+      assert(!plan.contains(bad), s"bloom probe must ride the scan — found $bad in:\n$plan")
+  }
+
+  test("d13 checked form: both contract booleans true on the exact row set") {
+    val out = Dedup.decontaminateBloomChecked(contamCorpus, "src0", minOverlap = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+  }
 }
