@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * fully codegen'd, deterministic, and engine-portable. Keys are first
   * rank-normalized to [0, 2^bits) percentiles so skewed domains spread
   * evenly across the curve (raw values would collapse the curve onto a
-  * few prefixes when one dimension is dense).
+  * few prefixes when one dimension is dense) — via driver-side quantile
+  * cuts, NOT a global window: the whole path is map-side projection +
+  * one range exchange, nothing serializes through a single task.
   */
 object ZOrder {
 
@@ -28,34 +30,68 @@ object ZOrder {
         (shiftright(y, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * b + 1)))
     }.reduce(_ + _)
 
-  /** Rank-normalize a column to [0, 2^bits) via ntile — even spread
-    * regardless of the value distribution. One window pass; the rank
-    * relation is the write batch, already being rewritten. */
-  private def normalized(df: DataFrame, c: String, bits: Int): Column =
-    (ntile(1 << bits).over(
-      org.apache.spark.sql.expressions.Window.orderBy(col(c))) - 1).as(s"_n_$c")
+  /** Rank-equalizing bucket cuts for a column: `2^bits - 1` interior
+    * quantile boundaries from ONE driver-side `approxQuantile` pass
+    * (Greenwald-Khanna sketch — a sampling aggregate, the same machinery
+    * `repartitionByRange` trusts for its bounds). The earlier form
+    * rank-normalized with a GLOBAL `ntile` window, which serializes the
+    * whole write batch through one task — the W1-class plan this repo
+    * eliminates everywhere else; the quantile cuts keep the even-spread
+    * property at O(sketch) driver bytes with no global sort anywhere. */
+  private def quantileCuts(df: DataFrame, cols: Seq[String], bits: Int): Seq[Array[Double]] = {
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    df.stat.approxQuantile(cols.toArray, probs, 0.001).toSeq
+  }
 
-  /** Write `df` z-ordered on (xCol, yCol): rank-normalize both keys,
-    * interleave, and partition by the CURVE QUADRANT (the top 4
-    * interleaved bits = a 4×4 grid cell), z-sorting within each file.
-    * Partitioning must align to quadrant boundaries: equal-count range
-    * splits of the raw z value land mid-quadrant, and a Morton segment
-    * that crosses a quadrant jump has a bounding box spanning both —
-    * measured: unaligned 16-way splits left single-dimension slices
-    * touching 11/16 files vs ≤ 6 with aligned cells. Layout quality is
-    * asserted in `StorageSpec` (slices on EITHER dim prune files; a
-    * linear sort prunes only its own). */
+  /** Bucket id in [0, cuts.length] via a BALANCED `when` tree over the
+    * broadcast cut array — log2(n) comparisons per row, fully codegen'd
+    * (no per-row array walk, no window). Nulls fall to bucket 0, where
+    * the ascending sort would have put them. */
+  private[sources] def bucketOf(v: Column, cuts: Array[Double]): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(v >= cuts(mid - 1), go(mid, hi)).otherwise(go(lo, mid - 1))
+      }
+    go(0, cuts.length)
+  }
+
+  /** Write `df` z-ordered on (xCol, yCol): rank-normalize both keys to
+    * [0, 2^bits) through the quantile cuts, interleave, and partition by
+    * the CURVE QUADRANT (the top 4 interleaved bits = a 4×4 grid cell),
+    * z-sorting within each file. Partitioning must align to quadrant
+    * boundaries: equal-count range splits of the raw z value land
+    * mid-quadrant, and a Morton segment that crosses a quadrant jump has
+    * a bounding box spanning both — measured: unaligned 16-way splits
+    * left single-dimension slices touching 11/16 files vs ≤ 6 with
+    * aligned cells. Layout quality is asserted in `StorageSpec` (slices
+    * on EITHER dim prune files; a linear sort prunes only its own). */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    bits: Int = 7): Unit = {
+                    bits: Int = 7): Unit =
+    zLayout(df, xCol, yCol, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The layout plan [[writeZOrdered]] writes — exposed so `StorageSpec`
+    * can pin its shape (quantile-cut projection + range exchange; NO
+    * Window operator — the ntile form this replaced serialized the whole
+    * write batch through one task). */
+  private[graft] def zLayout(df: DataFrame, xCol: String, yCol: String,
+                             bits: Int = 7): DataFrame = {
     require(bits >= 2, "need at least the 2 quadrant bits per dimension")
-    val nx = normalized(df, xCol, bits)
-    val ny = normalized(df, yCol, bits)
+    // 2^bits-leaf when-tree per dimension: cap where generated code stays
+    // comfortably under JVM method limits (file-level skipping needs few
+    // ranks — files per write ≪ 2^8 cells along one dimension)
+    require(bits <= 8, s"bits=$bits: the bucket tree is 2^bits-wide; use <= 8")
+    val Seq(xCuts, yCuts) = quantileCuts(df, Seq(xCol, yCol), bits)
+    val nx = bucketOf(col(xCol).cast("double"), xCuts)
+    val ny = bucketOf(col(yCol).cast("double"), yCuts)
     df.withColumn("_nx", nx).withColumn("_ny", ny)
       .withColumn("_z", zValue(col("_nx"), col("_ny"), bits))
       .withColumn("_zq", shiftright(col("_z"), 2 * bits - 4))
       .repartitionByRange(16, col("_zq"), col("_z"))
       .sortWithinPartitions("_z")
       .drop("_nx", "_ny", "_z", "_zq")
-      .write.mode("overwrite").parquet(path)
   }
 }

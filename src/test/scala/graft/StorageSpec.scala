@@ -253,6 +253,32 @@ class StorageSpec extends SparkSpec {
     assert(zx <= 8 && zy <= 8, s"z-order prunes BOTH dims: x=$zx y=$zy")
     // and the data survives the round trip
     assert(spark.read.parquet(s"$dir/z").count() == 20000)
+    // no global sort anywhere in the write plan: the rank normalization
+    // is quantile-cut buckets (driver sketch), not an ntile window —
+    // a Window over an empty partition spec would serialize the batch
+    val plan = graft.sources.ZOrder.zLayout(d, "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("z-order under heavy skew: quantile cuts keep the files balanced") {
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft_zskew").toString
+    // x is zipf-ish (80% of rows in 1% of the domain): linear min/max
+    // bucketization would collapse most rows onto one curve prefix;
+    // rank-equalizing cuts must keep per-file row counts comparable
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { _ =>
+      val x = if (rnd.nextDouble() < 0.8) rnd.nextInt(1000).toLong
+              else rnd.nextInt(100000).toLong
+      org.apache.spark.sql.Row(x, rnd.nextInt(100000).toLong)
+    }
+    ZOrder.writeZOrdered(df("x BIGINT, y BIGINT", rows), s"$dir/z", "x", "y")
+    val perFile = spark.read.parquet(s"$dir/z")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.sum == 20000L)
+    assert(perFile.max <= 8L * perFile.min,
+      s"skewed dim must not collapse the curve: ${perFile.sorted.mkString(",")}")
   }
 
   test("PQ-ADC: codes compress to [0, K), re-ranked scores are exact, recall usable") {
