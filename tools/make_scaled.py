@@ -33,7 +33,42 @@ TABLES = {
                           "embedding, label"),
 }
 
+def make_tpch(mult, sf_dir="/root/testdata/sf0.1"):
+    """Scaled TPC-H join-layer replica: lineitem + orders replicated with
+    shifted order keys (per-order line structure preserved within each
+    replica; customers/suppliers unchanged, so per-entity volumes scale
+    by N — the "same business, N x the history" shape). Every other
+    table is copied as-is, so the standard SparkEntry h* queries run
+    against the output dir directly:
+        python3 tools/make_scaled.py tpch 30   -> /tmp/tpch_x30
+    """
+    out = f"/tmp/tpch_x{mult}"
+    os.makedirs(out, exist_ok=True)
+    shift = 100_000_000
+    reps = f"(SELECT unnest(generate_series(0, {mult - 1})) AS i) r"
+    duckdb.sql(f"""
+      COPY (SELECT o_orderkey + r.i * {shift} AS o_orderkey,
+                   COLUMNS(c -> c <> 'o_orderkey')
+            FROM '{sf_dir}/orders.parquet', {reps})
+      TO '{out}/orders.parquet' (FORMAT parquet)""")
+    duckdb.sql(f"""
+      COPY (SELECT l_orderkey + r.i * {shift} AS l_orderkey,
+                   COLUMNS(c -> c <> 'l_orderkey')
+            FROM '{sf_dir}/lineitem.parquet', {reps})
+      TO '{out}/lineitem.parquet' (FORMAT parquet)""")
+    import shutil, glob
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(f)
+        if name not in ("orders.parquet", "lineitem.parquet"):
+            shutil.copy(f, f"{out}/{name}")
+    for t in ("orders", "lineitem"):
+        n = duckdb.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{out}/{t}.parquet rows={n}")
+
+
 def main(table, mult, sf_dir="/root/testdata/sf0.1"):
+    if table == "tpch":
+        return make_tpch(mult, sf_dir)
     prefix, select = TABLES[table]
     src = table.split("-")[0]  # documents-mutated reads documents.parquet
     out = f"/tmp/{prefix}_x{mult}"
