@@ -58,6 +58,17 @@ object ShingleProbe {
         .filter(col("n_overlap") >= 2)
         .count()
     }
+    // Bloom probe twin (d13's engine path): map-only per-doc array probe
+    // against the broadcast filter — no explode-to-join, no aggregate
+    // exchange. Build time reported separately (amortized once per
+    // benchmark set in production).
+    val tB0 = System.nanoTime()
+    val bf = graft.operators.Dedup.evalShingleBloom(
+      docs.filter(col("source") === "src0"))
+    println(f"[probe] bloom build (once/eval set) ${(System.nanoTime() - tB0) / 1e9}%8.3f s  bits=${bf.bitSize()}")
+    time("decontaminate (bloom probe)") {
+      graft.operators.Dedup.decontaminateBloom(corpus, bf).count()
+    }
     // embedding-side twin: interpreted transform(cast) vs direct mixed-
     // width dot_product through the bucket stage (pass an embeddings dir
     // as a second arg to run it)
