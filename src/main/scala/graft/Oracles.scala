@@ -771,6 +771,20 @@ FROM allc a JOIN topc c USING(domain)"""
         |  ON l.client = r.client AND r.ts <= l.ts
         |GROUP BY l.client ORDER BY l.client""".stripMargin),
 
+    // merge_asof tolerance semantics: DuckDB's ASOF finds the nearest
+    // prior match; the 600 s bound is a post-CASE, exactly as the engine
+    // applies it (a nearer in-tolerance row cannot exist by definition)
+    "j14_asof_gap_stats_tol" -> p(
+      """SELECT l.client, count(*) AS n_blocked,
+        |       count(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 600000000
+        |             THEN 1 END) AS n_matched,
+        |       round(sum(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 600000000
+        |             THEN round((epoch_us(l.ts) - epoch_us(r.ts)) / 1e6, 6) END), 3) AS sum_gap_s
+        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') l
+        |ASOF LEFT JOIN (SELECT client, ts FROM prep WHERE status_type = 'Allowed') r
+        |  ON l.client = r.client AND r.ts <= l.ts
+        |GROUP BY l.client ORDER BY l.client""".stripMargin),
+
     // the broadcast (zero-left-shuffle) as-of form against a dim-sized
     // hourly rollup timeline; DuckDB's native ASOF is again the oracle
     "j09_asof_hourly_bcast" -> p(

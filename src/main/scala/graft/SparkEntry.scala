@@ -118,6 +118,7 @@ object SparkEntry {
     "j08_asof_blocked_allowed_native" -> ((s, d) => AsofJoin.blockedAfterAllowedNative(prep(s, d))),
     "j12_asof_gap_stats"        -> ((s, d) => AsofJoin.asofGapStatsUnion(prep(s, d))),
     "j13_asof_gap_stats_native" -> ((s, d) => AsofJoin.asofGapStatsNative(prep(s, d))),
+    "j14_asof_gap_stats_tol"  -> ((s, d) => AsofJoin.asofGapStatsWithin(prep(s, d))),
     "j09_asof_hourly_bcast" -> ((s, d) => AsofJoin.blockedVsHourlyAllowed(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),

@@ -79,6 +79,48 @@ object AsofJoin {
       .drop("_is_left").drop(payloadCols.map(c => s"_r_$c"): _*)
   }
 
+  /** Tolerance-bounded as-of — pandas `merge_asof(tolerance=...)`
+    * parity: the [[asof]] match is kept only when it lies at most
+    * `toleranceSeconds` behind the left row; a staler match nulls the
+    * payloads. A post-filter IS the exact semantics (not an
+    * approximation): the as-of match is the NEAREST prior right row, so
+    * when it falls outside the tolerance no other right row can fall
+    * inside. Costs one extra projection over [[asof]]'s plan — the
+    * tolerance never touches the shuffle or the window. */
+  def asofWithin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                 payloadCols: Seq[String], toleranceSeconds: Double): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val mt = "__match_ts"
+    val joined = asof(left, right.withColumn(mt, col(tsCol)),
+      keyCol, tsCol, payloadCols :+ mt)
+    // appending the match-ts AFTER the caller's payloads leaves the
+    // equal-(key, ts) tie-break order unchanged (it is equal across the
+    // tied rows anyway)
+    val inTol = col(s"asof_$mt").isNotNull &&
+      unix_micros(col(tsCol)) - unix_micros(col(s"asof_$mt")) <=
+        math.round(toleranceSeconds * 1e6)
+    payloadCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(inTol, col(s"asof_$c")))
+    }.drop(s"asof_$mt")
+  }
+
+  /** Forward twin of [[asofWithin]]: the [[asofForward]] match survives
+    * only when it lies at most `toleranceSeconds` AHEAD of the left
+    * row — "next event, but only if it comes soon enough". */
+  def asofForwardWithin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                        payloadCols: Seq[String], toleranceSeconds: Double): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val mt = "__match_ts"
+    val joined = asofForward(left, right.withColumn(mt, col(tsCol)),
+      keyCol, tsCol, payloadCols :+ mt)
+    val inTol = col(s"asof_$mt").isNotNull &&
+      unix_micros(col(s"asof_$mt")) - unix_micros(col(tsCol)) <=
+        math.round(toleranceSeconds * 1e6)
+    payloadCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(inTol, col(s"asof_$c")))
+    }.drop(s"asof_$mt")
+  }
+
   /** Broadcast as-of — the zero-left-shuffle form for dim-sized right
     * sides. The union+window and native forms both shuffle the LEFT side
     * on the key; at the 100 TB design point the left is the fact table,
@@ -183,6 +225,13 @@ object AsofJoin {
   def asofGapStatsUnion(prep: DataFrame): DataFrame = asofGapStats(prep, asof)
   def asofGapStatsNative(prep: DataFrame): DataFrame =
     asofGapStats(prep, graft.plans.NativeAsof.asof)
+
+  /** j14: the j12 analytic under a match tolerance — a Blocked event
+    * only counts as "matched" if its latest prior Allowed event came
+    * within `tolSeconds` (merge_asof-tolerance semantics end-to-end:
+    * staler matches contribute to n_blocked but not n_matched/gap). */
+  def asofGapStatsWithin(prep: DataFrame, tolSeconds: Double = 600): DataFrame =
+    asofGapStats(prep, (l, r, k, t, p) => asofWithin(l, r, k, t, p, tolSeconds))
 
   private def asofFrames(
       prep: DataFrame,

@@ -53,6 +53,43 @@ class AsofNativeSpec extends SparkSpec {
     assert(out == Seq(1 -> Some("a"), 2 -> Some("a"), 3 -> None, 4 -> None))
   }
 
+  test("tolerance asof: staler-than-tolerance matches null out, in-window survive") {
+    val left = df("client STRING, ts TIMESTAMP, id INT", Seq(
+      Row("c1", ts("2024-01-01 00:00:05"), 1),   // match at :03 — 2 s back
+      Row("c1", ts("2024-01-01 00:01:30"), 2),   // match at :03 — 87 s back
+      Row("c2", ts("2024-01-01 00:00:01"), 3)))  // no prior match at all
+    val right = df("client STRING, ts TIMESTAMP, v STRING", Seq(
+      Row("c1", ts("2024-01-01 00:00:03"), "a"),
+      Row("c2", ts("2024-01-01 00:00:09"), "late")))
+    def run(tol: Double) =
+      AsofJoin.asofWithin(left, right, "client", "ts", Seq("v"), tol)
+        .orderBy("id").select("id", "asof_v").collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq
+    assert(run(10) == Seq(1 -> Some("a"), 2 -> None, 3 -> None))
+    // a huge tolerance degenerates to the plain asof
+    assert(run(1e6) == Seq(1 -> Some("a"), 2 -> Some("a"), 3 -> None))
+    // tolerance 0 keeps only exact-tie matches (<= semantics: gap == 0)
+    val tied = df("client STRING, ts TIMESTAMP, v STRING",
+      Seq(Row("c1", ts("2024-01-01 00:00:05"), "tie")))
+    val zero = AsofJoin.asofWithin(left, tied, "client", "ts", Seq("v"), 0)
+      .orderBy("id").select("id", "asof_v").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq
+    assert(zero == Seq(1 -> Some("tie"), 2 -> None, 3 -> None))
+  }
+
+  test("forward tolerance asof: only soon-enough next events survive") {
+    val left = df("client STRING, ts TIMESTAMP, id INT", Seq(
+      Row("c1", ts("2024-01-01 00:00:05"), 1),   // next at :07 — 2 s ahead
+      Row("c1", ts("2024-01-01 00:00:20"), 2)))  // next at :10:00 — 580 s ahead
+    val right = df("client STRING, ts TIMESTAMP, v STRING", Seq(
+      Row("c1", ts("2024-01-01 00:00:07"), "soon"),
+      Row("c1", ts("2024-01-01 00:10:00"), "far")))
+    val out = AsofJoin.asofForwardWithin(left, right, "client", "ts", Seq("v"), 10)
+      .orderBy("id").select("id", "asof_v").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq
+    assert(out == Seq(1 -> Some("soon"), 2 -> None))
+  }
+
   test("native asof tie-break: several right rows on one (key, ts) attach the greatest payload") {
     val left = df("client STRING, ts TIMESTAMP, id INT",
       Seq(Row("c1", ts("2024-01-01 00:00:10"), 1)))
