@@ -930,8 +930,12 @@ object Dedup {
   def evalShingleBloom(evalDocs: DataFrame, fpp: Double = 0.001)
       : org.apache.spark.util.sketch.BloomFilter = {
     val set = evalShingleSet(evalDocs)
-    val n = math.max(1L, set.count())
-    set.stat.bloomFilter("s", n, fpp)
+    val n = set.count()
+    // zero-row build: stat.bloomFilter's aggregate has no buffer to
+    // merge on an empty relation — return the matches-nothing filter
+    // directly (same verdicts: no shingle can hit an empty eval set)
+    if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    else set.stat.bloomFilter("s", n, fpp)
   }
 
   /** Decontamination probe against a prebuilt [[evalShingleBloom]] —
