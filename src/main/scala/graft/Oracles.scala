@@ -1982,6 +1982,31 @@ FROM allc a JOIN topc c USING(domain)"""
         |FROM ws LEFT JOIN bg ON ws.doc_id = bg.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
 
+    // C4-style span dedup: keep the globally first occurrence of each
+    // 8-word span ((doc_id, pos) argmin as a packed-long min), scrub
+    // repeats, reassemble in span order. string_agg skips the NULL
+    // (scrubbed) spans exactly as collect_list does; a fully-scrubbed
+    // doc hashes NULL on both sides. DuckDB list slices are 1-based
+    // inclusive and clamp at the end, mirroring Spark's slice().
+    "t11_span_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+        |         array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+        |       unnest(generate_series(0, greatest(0, (len(w) - 1) // 8))) t(i)),
+        |keep AS (
+        |  SELECT seg, min(doc_id * 1000000 + chunk_no) AS keep_key,
+        |         count(*) AS n_occ
+        |  FROM segs GROUP BY seg),
+        |marked AS (
+        |  SELECT s.doc_id, s.chunk_no, s.seg,
+        |         (k.n_occ = 1 OR s.doc_id * 1000000 + s.chunk_no = k.keep_key) AS keep
+        |  FROM segs s JOIN keep k USING (seg))
+        |SELECT doc_id, count(*) AS n_segs,
+        |       count(CASE WHEN keep THEN 1 END) AS n_kept,
+        |       md5(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY chunk_no)) AS clean_hash
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // patterns interpolated from TextAnalysis so the two sides can never
     // drift; RE2 (DuckDB) and Java agree on these conservative classes.
     // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all

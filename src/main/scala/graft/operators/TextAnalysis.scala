@@ -287,4 +287,52 @@ object TextAnalysis {
         md5(afterPhone).as("scrub_hash"))
       .orderBy("doc_id")
   }
+
+  /** C4-style cross-document span dedup (t11): segment every document
+    * into fixed non-overlapping `window`-word spans, keep only the
+    * globally FIRST occurrence of each span (smallest (doc_id, pos)),
+    * scrub every repeat, and reassemble each document from its kept
+    * spans — the "remove repeated boilerplate spans, keep one" pass an
+    * LLM pretraining pipeline runs corpus-wide (C4 did it with
+    * three-sentence spans; the span unit here is word windows because
+    * the corpus is flat word text).
+    *
+    * Scale shape: segmentation is projection + explode (rides the scan,
+    * spans stay co-partitioned with their doc); keeper resolution is a
+    * `groupBy(seg)` min/count — map-side combined and SKEW-NEUTRAL,
+    * where the tempting `row_number over (partition by seg)` would
+    * buffer a universal boilerplate span's millions of occurrences in
+    * one window partition; the keeper verdict joins back on the span (a
+    * shuffle join AQE can skew-split); reassembly is one `groupBy
+    * (doc_id)` with an in-row sort of the kept spans. The occurrence
+    * key packs (doc_id, pos) into one long (`pos < 10^6` — a >10^6-span
+    * document cannot exist under the token caps) so the argmin is a
+    * plain `min`, portable to the oracle. A fully-scrubbed duplicate
+    * document hashes NULL, not md5("") — the empty reassembly is "no
+    * content", matching the oracle's null-skipping string_agg. */
+  def spanDedup(docs: DataFrame, window: Int = 8): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("chunk_no", explode(sequence(lit(0),
+        greatest(lit(0), expr(s"(size(w) - 1) div $window")))))
+      .select(col("doc_id"), col("chunk_no"),
+        concat_ws(" ", slice(col("w"), col("chunk_no") * window + 1, lit(window))).as("seg"))
+      .withColumn("occ_key", col("doc_id") * lit(1000000L) + col("chunk_no"))
+    val keeper = segs.groupBy("seg")
+      .agg(min("occ_key").as("keep_key"), count(lit(1)).as("n_occ"))
+    segs.join(keeper, Seq("seg"))
+      .withColumn("keep", col("n_occ") === 1 || col("occ_key") === col("keep_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("chunk_no"), col("seg"))))),
+          x => x.getField("seg")), " ")).as("_h"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        when(col("n_kept") > 0, col("_h")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -101,4 +101,27 @@ class SamplingSpec extends SparkSpec {
     assert(restricted.filter(_.getAs[String]("term") == "common")
       .forall(_.getAs[Long]("df") == 4L))
   }
+
+  test("span dedup: first occurrence kept, repeats scrubbed, duplicate doc empties") {
+    // window=2 spans; doc 0 and doc 2 are exact duplicates; doc 1 shares
+    // doc 0's first span but has its own tail (and a short final span)
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "a b c d"),      // spans: "a b", "c d"
+      Row(1L, "a b x y z"),    // spans: "a b" (repeat), "x y", "z"
+      Row(2L, "a b c d")))     // exact dup of doc 0 → fully scrubbed
+    val out = TextAnalysis.spanDedup(d, window = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(out(0L)._1 == 2 && out(0L)._2 == 2) // keeper doc keeps everything
+    assert(out(1L)._1 == 3 && out(1L)._2 == 2) // "a b" scrubbed, tail kept
+    assert(out(2L)._1 == 2 && out(2L)._2 == 0 && out(2L)._3.isEmpty,
+      "the duplicate doc must scrub fully and hash NULL")
+    // doc 1's reassembly is its kept spans in order: "x y z"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y z".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._3.contains(h))
+    // keeper resolution is aggregate+join, never a per-span window (a
+    // universal boilerplate span would serialize a window partition)
+    val plan = TextAnalysis.spanDedup(d, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
