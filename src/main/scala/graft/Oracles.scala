@@ -1821,7 +1821,32 @@ FROM allc a JOIN topc c USING(domain)"""
          |       round(list_cosine_similarity(a.v, c.v), 6) AS cos
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE round(list_cosine_similarity(a.v, c.v), 6) > 0.4
-         |ORDER BY a.bucket, i, j""".stripMargin
+         |ORDER BY a.bucket, i, j""".stripMargin,
+
+    // SemDeDup clusters: s09's pair relation under the d06 recursive-CTE
+    // min-label fixpoint, endpoint-only (the CTE seeds from pair
+    // endpoints, mirroring minLabelOverEndpoints); keep = min-id member
+    "s10_semantic_clusters" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e),
+         |cands AS (
+         |  SELECT a.vec_id AS i, c.vec_id AS j
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, c.v), 6) > 0.4),
+         |edges AS (SELECT i AS src, j AS dst FROM cands
+         |          UNION ALL SELECT j, i FROM cands),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lab) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT c.node AS vec_id, c.cluster_id, n.n_vecs,
+         |       (c.node = c.cluster_id) AS keep
+         |FROM comp c JOIN (SELECT cluster_id, count(*) AS n_vecs
+         |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+         |ORDER BY c.cluster_id, vec_id""".stripMargin
   )
 
   // ---- text-analysis oracles (documents table) ----

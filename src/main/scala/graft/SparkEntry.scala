@@ -177,6 +177,7 @@ object SparkEntry {
     "s05_knn_ivf_trained"     -> ((s, d) => Similarity.knnIvfTrained(Tables.embeddings(s, d), 5, 10)),
     "s03_embedding_near_dups" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)),
     "s09_near_dups_lsh"       -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d), 0.4)),
+    "s10_semantic_clusters"   -> ((s, d) => Similarity.semanticClusters(Tables.embeddings(s, d), 0.4)),
     "s07_knn_topk_agg"        -> ((s, d) => Similarity.knnBruteAgg(Tables.embeddings(s, d), 5, 10)),
     "s08_knn_pq"              -> ((s, d) => Similarity.knnPq(Tables.embeddings(s, d), 5, 10)),
     // training-data pipeline: text analysis over documents

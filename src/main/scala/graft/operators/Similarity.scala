@@ -697,4 +697,28 @@ object Similarity {
       .filter(col("cos") > threshold)
       .orderBy("bucket", "i", "j")
   }
+
+  /** SemDeDup-style semantic clusters (s10): connected components over
+    * the bucket-blocked cosine near-dup pairs ([[nearDupPairsLsh]]),
+    * each cluster's min-id member marked `keep` as its canonical
+    * representative — the keep/drop verdict embedding-level dedup feeds
+    * the curation pipeline (prune all but one of a semantic duplicate
+    * group). The label iteration is ENDPOINT-ONLY
+    * ([[ConnectedComponents.minLabelOverEndpoints]]): it runs over the
+    * near-dup sliver, never the corpus, with checkpointed lineage per
+    * round; non-endpoint vectors are semantic singletons and simply
+    * keep themselves (no row here — callers anti-join the drop set,
+    * `keep = false`, which is exactly `vec_id != cluster_id`). Every
+    * emitted cluster has ≥ 2 members by construction (an endpoint
+    * always shares its cluster with its pair partner). */
+  def semanticClusters(emb: DataFrame, threshold: Double = 0.4,
+                       planes: Int = 4, maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairsLsh(emb, threshold, planes).select("i", "j")
+    val labels = ConnectedComponents.minLabelOverEndpoints(pairs, maxIter)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"),
+        col("n_vecs"), (col("node") === col("label")).as("keep"))
+      .orderBy("cluster_id", "vec_id")
+  }
 }

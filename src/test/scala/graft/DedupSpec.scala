@@ -214,6 +214,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet.subsetOf(brute))
   }
 
+  test("s10 semantic clusters: transitive closure over near-dup pairs, min-id keeper") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // two extra exact copies of one vector → with the original they form
+    // (at least) a 3-member semantic cluster whose min id is canonical
+    val base = emb.limit(1)
+    val withDups = emb
+      .unionByName(base.select(lit(90001L).as("vec_id"), col("embedding"), col("label")))
+      .unionByName(base.select(lit(90002L).as("vec_id"), col("embedding"), col("label")))
+    val out = Similarity.semanticClusters(withDups, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val origId = base.select("vec_id").head.getLong(0)
+    val mine = out.filter(t => Set(origId, 90001L, 90002L).contains(t._1))
+    assert(mine.length == 3, s"all three copies must cluster: ${mine.toSeq}")
+    assert(mine.map(_._2).distinct.length == 1, "one transitive cluster")
+    assert(mine.forall(_._3 >= 3), "cluster size counts every member")
+    // keep marks exactly the min-id member of each cluster, everywhere
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1 && members.filter(_._4).head._1 == cid
+        && cid == members.map(_._1).min, s"cluster $cid keeper broken")
+    }
+    // every pair's endpoints land in the same cluster
+    val label = out.map(t => t._1 -> t._2).toMap
+    Similarity.nearDupPairsLsh(withDups, 0.4).select("i", "j").collect()
+      .foreach(r => assert(label(r.getLong(0)) == label(r.getLong(1))))
+  }
+
   test("t09 PII scrub: staged redaction with exact per-stage counts") {
     import org.apache.spark.sql.functions._
     val d = docs(
