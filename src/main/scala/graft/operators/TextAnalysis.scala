@@ -311,18 +311,33 @@ object TextAnalysis {
     * document hashes NULL, not md5("") — the empty reassembly is "no
     * content", matching the oracle's null-skipping string_agg. */
   def spanDedup(docs: DataFrame, window: Int = 8): DataFrame = {
+    val segs = spanRel(docs, window)
+    val keeper = segs.groupBy("seg").agg(min("occ_key").as("keep_key"))
+    assembleSpans(segs.join(keeper, Seq("seg"))
+      // occ == keeper covers the unique-span case too (its only
+      // occurrence IS the min), so no occurrence-count column is needed
+      .withColumn("keep", col("occ_key") === col("keep_key")))
+  }
+
+  /** The span relation [[spanDedup]] and its streaming twin share:
+    * (doc_id, chunk_no, seg, occ_key) — occ_key packs (doc_id, pos)
+    * into one portable long. Projection + explode, no shuffle. */
+  private[graft] def spanRel(docs: DataFrame, window: Int): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    val segs = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("chunk_no", explode(sequence(lit(0),
         greatest(lit(0), expr(s"(size(w) - 1) div $window")))))
       .select(col("doc_id"), col("chunk_no"),
         concat_ws(" ", slice(col("w"), col("chunk_no") * window + 1, lit(window))).as("seg"))
       .withColumn("occ_key", col("doc_id") * lit(1000000L) + col("chunk_no"))
-    val keeper = segs.groupBy("seg")
-      .agg(min("occ_key").as("keep_key"), count(lit(1)).as("n_occ"))
-    segs.join(keeper, Seq("seg"))
-      .withColumn("keep", col("n_occ") === 1 || col("occ_key") === col("keep_key"))
+  }
+
+  /** Reassemble marked spans (doc_id, chunk_no, seg, keep) into the
+    * per-doc verdict relation: one `groupBy(doc_id)` with an in-row
+    * sort of the kept spans. */
+  private[graft] def assembleSpans(marked: DataFrame): DataFrame =
+    marked
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),
@@ -334,5 +349,4 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_segs"), col("n_kept"),
         when(col("n_kept") > 0, col("_h")).as("clean_hash"))
       .orderBy("doc_id")
-  }
 }

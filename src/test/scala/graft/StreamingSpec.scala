@@ -432,4 +432,47 @@ class StreamingSpec extends SparkSpec {
     val idx = graft.operators.Dedup.readBandedSignatures(spark, s"$dir/index")
     assert(idx.count() == (seedRows.size + b1.size + b2.size) * 4L)
   }
+
+  test("streaming span dedup: drained verdicts equal the batch operator, incl. cross-batch repeats") {
+    import graft.streaming.StreamingSpanDedup
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (id: Long, text: String) => org.apache.spark.sql.Row(id, text)
+    // window=2 spans; doc 2 repeats doc 0's opening span ACROSS the
+    // batch split; doc 3 is an exact cross-batch duplicate of doc 1
+    val b1 = Seq(
+      mk(0L, "a b c d"),
+      mk(1L, "p q r s"))
+    val b2 = Seq(
+      mk(2L, "a b x y"),   // "a b" seen in batch 1 → scrubbed here
+      mk(3L, "p q r s"))   // fully scrubbed duplicate
+    val schema = "doc_id BIGINT, text STRING"
+    val dir = java.nio.file.Files.createTempDirectory("graft_spandedup").toString
+    StreamingSpanDedup.seed(spark, s"$dir/spans")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSpanDedup.start(input.toDS().toDF("doc_id", "text"),
+      s"$dir/spans", s"$dir/out", s"$dir/ckpt", window = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(b1.map(r => (r.getLong(0), r.getString(1))))
+      q.processAllAvailable()
+      input.addData(b2.map(r => (r.getLong(0), r.getString(1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    val streamed = asMap(StreamingSpanDedup.cleanedTable(spark, s"$dir/out"))
+    val batch = asMap(TextAnalysis.spanDedup(df(schema, b1 ++ b2), window = 2))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the cross-batch regimes actually fired: partial scrub + full scrub
+    assert(streamed(2L)._2 == 1L, "doc 2 must lose its batch-1-seen span")
+    assert(streamed(3L)._2 == 0L && streamed(3L)._3.isEmpty,
+      "the cross-batch duplicate must scrub fully")
+    // replay idempotence: re-running batch 1's body under its batchId —
+    // against a span table that already holds those spans — leaves the
+    // verdicts table unchanged (foreachBatch is at-least-once)
+    StreamingSpanDedup.ingestBatch(df(schema, b2), 1L, s"$dir/spans", s"$dir/out", 2)
+    assert(asMap(StreamingSpanDedup.cleanedTable(spark, s"$dir/out")) == streamed)
+  }
 }
