@@ -938,6 +938,30 @@ object Dedup {
     else set.stat.bloomFilter("s", n, fpp)
   }
 
+  /** Persist the eval-set filter — the build-once production shape (the
+    * [[evalShingleBloom]] build costs two jobs over the eval side;
+    * every later corpus batch, or another cluster entirely, loads the
+    * bits instead). Hadoop FS API so the same call addresses local
+    * disk, HDFS, or S3; the sketch's stream format is version-tagged
+    * and engine-portable across Spark versions. */
+  def writeEvalBloom(spark: org.apache.spark.sql.SparkSession,
+                     bf: org.apache.spark.util.sketch.BloomFilter,
+                     path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Load a stored [[writeEvalBloom]] filter for [[decontaminateBloom]]. */
+  def readEvalBloom(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
   /** Decontamination probe against a prebuilt [[evalShingleBloom]] —
     * MAP-ONLY over the corpus: each doc's distinct-shingle array is
     * probed in place (init-once broadcast deserialization per

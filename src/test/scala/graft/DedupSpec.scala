@@ -372,6 +372,21 @@ class DedupSpec extends SparkSpec {
       assert(!plan.contains(bad), s"bloom probe must ride the scan — found $bad in:\n$plan")
   }
 
+  test("stored bloom filter: round-trip produces identical verdicts") {
+    val evalDocs = contamCorpus.filter("source = 'src0'")
+    val corpus = contamCorpus.filter("source <> 'src0'")
+    val bf = Dedup.evalShingleBloom(evalDocs)
+    val path = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/eval.bloom"
+    Dedup.writeEvalBloom(spark, bf, path)
+    val loaded = Dedup.readEvalBloom(spark, path)
+    assert(loaded.bitSize() == bf.bitSize())
+    val a = Dedup.decontaminateBloom(corpus, bf, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.decontaminateBloom(corpus, loaded, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("d13 checked form: both contract booleans true on the exact row set") {
     val out = Dedup.decontaminateBloomChecked(contamCorpus, "src0", minOverlap = 2)
       .collect()
