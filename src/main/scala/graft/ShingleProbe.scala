@@ -69,6 +69,15 @@ object ShingleProbe {
     time("decontaminate (bloom probe)") {
       graft.operators.Dedup.decontaminateBloom(corpus, bf).count()
     }
+    // span-dedup pair (t11): exact string-keyed keeper join vs the
+    // xxhash64-keyed production twin — the 8-byte-key trade measured on
+    // the same corpus
+    time("spanDedup (exact)") {
+      graft.operators.TextAnalysis.spanDedup(docs).count()
+    }
+    time("spanDedup (hashed keys)") {
+      graft.operators.TextAnalysis.spanDedupHashed(docs).count()
+    }
     // embedding-side twin: interpreted transform(cast) vs direct mixed-
     // width dot_product through the bucket stage (pass an embeddings dir
     // as a second arg to run it)

@@ -319,6 +319,21 @@ object TextAnalysis {
       .withColumn("keep", col("occ_key") === col("keep_key")))
   }
 
+  /** PRODUCTION twin of [[spanDedup]]: keeper aggregate and verdict
+    * join keyed on `xxhash64(seg)` — 8-byte keys instead of
+    * ~window·word-length strings through the two corpus-scale
+    * exchanges (the `decontaminateAgainstHashed` trade). A cross-span
+    * collision would merge two distinct spans' keepers: odds
+    * ~|spans|²/2^64 ≈ 1e-6 at a 3M-span corpus. Not DuckDB-mirrorable
+    * (no xxhash64 there) → no driver query; `SamplingSpec` pins it
+    * equal to the exact form. */
+  private[graft] def spanDedupHashed(docs: DataFrame, window: Int = 8): DataFrame = {
+    val segs = spanRel(docs, window).withColumn("_h", xxhash64(col("seg")))
+    val keeper = segs.groupBy("_h").agg(min("occ_key").as("keep_key"))
+    assembleSpans(segs.join(keeper, Seq("_h"))
+      .withColumn("keep", col("occ_key") === col("keep_key")))
+  }
+
   /** The span relation [[spanDedup]] and its streaming twin share:
     * (doc_id, chunk_no, seg, occ_key) — occ_key packs (doc_id, pos)
     * into one portable long. Projection + explode, no shuffle. */

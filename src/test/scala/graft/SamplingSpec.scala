@@ -123,5 +123,11 @@ class SamplingSpec extends SparkSpec {
     // universal boilerplate span would serialize a window partition)
     val plan = TextAnalysis.spanDedup(d, 2).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
+    // the xxhash64-keyed production twin (8-byte keys through both
+    // corpus-scale exchanges; measured 2.1x at 500k docs) returns the
+    // identical verdict relation
+    val exact = TextAnalysis.spanDedup(d, 2).collect().map(_.toSeq).toSet
+    val hashed = TextAnalysis.spanDedupHashed(d, 2).collect().map(_.toSeq).toSet
+    assert(hashed == exact)
   }
 }
