@@ -977,6 +977,10 @@ object Dedup {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(bf)
     corpus
+      // null-text docs have no shingle relation on the exact path
+      // (explode of null drops the row); mirror that here instead of
+      // handing the typed map a null Seq
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.distinct_shingles(split(col("text"), " "), 3).as("ss"))
       .as[(Long, Seq[String])]
@@ -1004,10 +1008,18 @@ object Dedup {
   def decontaminateBloomChecked(docs: DataFrame, evalSource: String = "src0",
                                 minOverlap: Long = 2,
                                 fpp: Double = 0.001): DataFrame = {
+    freshPipeline()
     val corpus = docs.filter(col("source") =!= evalSource)
-    val bf = evalShingleBloom(docs.filter(col("source") === evalSource), fpp)
-    val exact = decontaminateAgainst(
-      corpus, evalShingleSet(docs.filter(col("source") === evalSource)), minOverlap)
+    // ONE shingle relation serves the filter sizing, the filter build,
+    // and the exact join (it previously rebuilt three times); `shared`
+    // persists it and releaseCaches() reclaims it with the other
+    // pipeline slivers
+    val set = shared(evalShingleSet(docs.filter(col("source") === evalSource)))
+    val n = set.count()
+    val bf =
+      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else set.stat.bloomFilter("s", n, fpp)
+    val exact = decontaminateAgainstPrepared(corpus, set, minOverlap)
     val bloom = decontaminateBloom(corpus, bf, minOverlap)
       .select(col("doc_id"), col("n_bloom_overlap"))
     exact

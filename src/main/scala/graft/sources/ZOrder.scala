@@ -44,6 +44,25 @@ object ZOrder {
     df.stat.approxQuantile(cols.toArray, probs, 0.001).toSeq
   }
 
+  /** Order-preserving numeric view of a z-key column — what both the
+    * quantile pass and the per-row bucket expression rank on.
+    * `approxQuantile` is numeric-only, so temporal types (the natural
+    * z-keys of a log table) map through their epoch numbers; anything
+    * else must be pre-derived by the caller (an unordered string has no
+    * locality for a space-filling curve to preserve anyway). */
+  private def numericView(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"z-order key '$c' has non-rankable type $other: pre-derive a " +
+          "numeric rank column (epoch, id, score) to z-order on")
+    }
+  }
+
   /** Bucket id in [0, cuts.length] via a BALANCED `when` tree over the
     * broadcast cut array — log2(n) comparisons per row, fully codegen'd
     * (no per-row array walk, no window). Nulls fall to bucket 0, where
@@ -69,14 +88,22 @@ object ZOrder {
     * aligned cells. Layout quality is asserted in `StorageSpec` (slices
     * on EITHER dim prune files; a linear sort prunes only its own). */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    bits: Int = 7): Unit =
-    zLayout(df, xCol, yCol, bits)
+                    bits: Int = 7): Unit = {
+    // the layout makes TWO passes over the batch (the quantile sketch,
+    // then the write) — persist around them so an expensive upstream
+    // plan (a join/aggregate output being compacted) computes once
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try zLayout(cached, xCol, yCol, bits)
       .write.mode("overwrite").parquet(path)
+    finally cached.unpersist(blocking = false)
+  }
 
   /** The layout plan [[writeZOrdered]] writes — exposed so `StorageSpec`
     * can pin its shape (quantile-cut projection + range exchange; NO
     * Window operator — the ntile form this replaced serialized the whole
-    * write batch through one task). */
+    * write batch through one task). NOTE: building this plan runs the
+    * quantile job over `df` eagerly; [[writeZOrdered]] persists around
+    * the two passes. */
   private[graft] def zLayout(df: DataFrame, xCol: String, yCol: String,
                              bits: Int = 7): DataFrame = {
     require(bits >= 2, "need at least the 2 quadrant bits per dimension")
@@ -84,14 +111,16 @@ object ZOrder {
     // comfortably under JVM method limits (file-level skipping needs few
     // ranks — files per write ≪ 2^8 cells along one dimension)
     require(bits <= 8, s"bits=$bits: the bucket tree is 2^bits-wide; use <= 8")
-    val Seq(xCuts, yCuts) = quantileCuts(df, Seq(xCol, yCol), bits)
-    val nx = bucketOf(col(xCol).cast("double"), xCuts)
-    val ny = bucketOf(col(yCol).cast("double"), yCuts)
-    df.withColumn("_nx", nx).withColumn("_ny", ny)
+    val (vx, vy) = (numericView(df, xCol), numericView(df, yCol))
+    val ranked = df.withColumn("_vx", vx).withColumn("_vy", vy)
+    val Seq(xCuts, yCuts) = quantileCuts(ranked, Seq("_vx", "_vy"), bits)
+    ranked
+      .withColumn("_nx", bucketOf(col("_vx"), xCuts))
+      .withColumn("_ny", bucketOf(col("_vy"), yCuts))
       .withColumn("_z", zValue(col("_nx"), col("_ny"), bits))
       .withColumn("_zq", shiftright(col("_z"), 2 * bits - 4))
       .repartitionByRange(16, col("_zq"), col("_z"))
       .sortWithinPartitions("_z")
-      .drop("_nx", "_ny", "_z", "_zq")
+      .drop("_vx", "_vy", "_nx", "_ny", "_z", "_zq")
   }
 }

@@ -344,7 +344,10 @@ class DedupSpec extends SparkSpec {
 
   test("bloom decontamination: flags are a superset of exact flags, counts never undercount") {
     val evalDocs = contamCorpus.filter("source = 'src0'")
+    // a null-text doc must be dropped like the exact path drops it,
+    // not NPE the typed probe
     val corpus = contamCorpus.filter("source <> 'src0'")
+      .unionByName(df(contamDdl, Seq(Row(9L, null, "corpus"))))
     val bf = Dedup.evalShingleBloom(evalDocs, fpp = 0.001)
     for (minOv <- Seq(1L, 2L)) {
       val exact = Dedup.decontaminateAgainst(

@@ -261,6 +261,26 @@ class StorageSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("z-order on a timestamp key: temporal columns rank via their epoch view") {
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft_zts").toString
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 4000).map { _ =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000000)),
+        rnd.nextInt(100000).toLong)
+    }
+    ZOrder.writeZOrdered(df("ts TIMESTAMP, x BIGINT", rows), s"$dir/z", "ts", "x")
+    assert(spark.read.parquet(s"$dir/z").count() == 4000)
+    // a string key has no curve locality → loud analysis error, not a
+    // silent bad layout
+    val err = intercept[IllegalArgumentException] {
+      ZOrder.zLayout(df("s STRING, x BIGINT",
+        Seq(org.apache.spark.sql.Row("a", 1L))), "s", "x")
+    }
+    assert(err.getMessage.contains("non-rankable"))
+  }
+
   test("z-order under heavy skew: quantile cuts keep the files balanced") {
     import graft.sources.ZOrder
     val dir = Files.createTempDirectory("graft_zskew").toString

@@ -44,7 +44,12 @@ def make_tpch(mult, sf_dir="/root/testdata/sf0.1"):
     """
     out = f"/tmp/tpch_x{mult}"
     os.makedirs(out, exist_ok=True)
-    shift = 100_000_000
+    # shift derived from the data, not a constant: a fixed stride would
+    # silently overlap replica key ranges at larger source SFs (sparse
+    # TPC-H orderkeys run to SF*6M), fanning joins out with no error
+    shift = duckdb.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
     reps = f"(SELECT unnest(generate_series(0, {mult - 1})) AS i) r"
     duckdb.sql(f"""
       COPY (SELECT o_orderkey + r.i * {shift} AS o_orderkey,
