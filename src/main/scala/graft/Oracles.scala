@@ -710,6 +710,29 @@ FROM allc a JOIN topc c USING(domain)"""
         |  GROUP BY client, session_no)
         |GROUP BY client ORDER BY client""".stripMargin),
 
+    // range join (point-in-interval): the binned equi-join's result is
+    // checked against the plain range predicate — sessions of a client
+    // are time-disjoint, so each Blocked event lands in exactly one
+    "j15_range_join_sessions" -> (Prep +
+      """,
+        |sess AS (
+        |  SELECT client, CAST(session_no AS BIGINT) AS session_no,
+        |         min(ts) AS session_start, max(ts) AS session_end FROM (
+        |    SELECT client, ts,
+        |           sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM (
+        |      SELECT client, ts, id,
+        |             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
+        |        SELECT client, ts, id,
+        |               (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
+        |        FROM prep)))
+        |  GROUP BY client, session_no)
+        |SELECT b.client, b.id, b.ts, s.session_no
+        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') b
+        |JOIN sess s ON s.client = b.client
+        |           AND b.ts BETWEEN s.session_start AND s.session_end
+        |ORDER BY b.client, b.id""".stripMargin),
+
     "a24_rollup_daily" -> p(
       """SELECT coalesce(CAST(date AS VARCHAR), 'ALL') AS date_k,
         |       coalesce(status_type, 'ALL') AS status_k,

@@ -119,6 +119,22 @@ object SparkEntry {
     "j12_asof_gap_stats"        -> ((s, d) => AsofJoin.asofGapStatsUnion(prep(s, d))),
     "j13_asof_gap_stats_native" -> ((s, d) => AsofJoin.asofGapStatsNative(prep(s, d))),
     "j14_asof_gap_stats_tol"  -> ((s, d) => AsofJoin.asofGapStatsWithin(prep(s, d))),
+    // the bin-bucketed range join graduated to an oracle query: every
+    // Blocked event located in its containing session interval — an
+    // equi-join on (client, time-bin) + exact containment re-check,
+    // never a range-predicate nested loop
+    "j15_range_join_sessions" -> ((s, d) => {
+      val p = prep(s, d)
+      val sessions = Streaks.sessionize(p, 1800)
+        .select(col("client"), col("session_no"),
+          col("session_start"), col("session_end"))
+      val blocked = p.filter(col("status_type") === "Blocked")
+        .select("client", "ts", "id")
+      RangeJoin.binned(blocked, sessions, "client", "ts",
+          "session_start", "session_end", binSeconds = 3600)
+        .select(col("client"), col("id"), col("ts"), col("session_no"))
+        .orderBy("client", "id")
+    }),
     "j09_asof_hourly_bcast" -> ((s, d) => AsofJoin.blockedVsHourlyAllowed(prep(s, d))),
     // star-schema equi-joins (SURVEY.md §2.3 engine-build layer)
     "h01_pricing_summary"     -> ((s, d) => Joins.pricingSummary(s, d)),
