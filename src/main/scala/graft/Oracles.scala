@@ -1290,6 +1290,17 @@ FROM allc a JOIN topc c USING(domain)"""
 
     // the corpus -> training-chunks handoff: p09's keep set, texts
     // re-attached by semi-join, then the p14 chunker over the survivors
+    // leakage-safe split: the md5 bucket is taken on each doc's
+    // verified-cluster min-label REPRESENTATIVE (comp covers every doc;
+    // singletons represent themselves), so a near-dup cluster moves as
+    // one unit — test = first 32/256 of hash space, val the next 32
+    "p20_leakage_safe_split" -> (CurationCtes + """
+      |SELECT c.doc_id, c.cluster_id AS rep_id,
+      |  CASE WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 2) < '20' THEN 'test'
+      |       WHEN substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 2) < '40' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM comp c ORDER BY c.doc_id""".stripMargin),
+
     "p16_curated_chunks" -> (CurationCtes + """,
       |kept AS (
       |  SELECT e.doc_id FROM exact_kept e JOIN qual q USING (doc_id)

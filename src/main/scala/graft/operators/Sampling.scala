@@ -45,6 +45,36 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** P20: leakage-safe train/val/test split — near-duplicate documents
+    * must land in the SAME split, or eval scores silently measure
+    * memorized training near-copies. Each doc is assigned its verified
+    * near-dup cluster's min-label representative ([[Dedup
+    * .verifiedClusters]] — memoized, so d07/p09 and this query share
+    * one LSH+verify+CC materialization); singletons represent
+    * themselves; the deterministic md5 bucket is then taken on the
+    * REPRESENTATIVE, so a whole cluster moves as one unit. Split
+    * fractions are hash-space prefixes (test = first `testBuckets`/256,
+    * val the next `valBuckets`/256) — reproducible, engine-portable,
+    * and composable with [[hashBucketPred]]'s guarantees. Map-only past
+    * the cluster join: the cluster sliver broadcasts (near-dup docs are
+    * a sliver of any real corpus). */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.8,
+                       testBuckets: Int = 32, valBuckets: Int = 32): DataFrame = {
+    require(testBuckets >= 0 && valBuckets >= 0 && testBuckets + valBuckets < 256,
+      s"test+val buckets must fit below 256, got $testBuckets + $valBuckets")
+    val clusters = Dedup.verifiedClusters(docs, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val rep = docs.select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+    val h = substring(md5(col("rep_id").cast("string")), 1, 2)
+    rep.select(col("doc_id"), col("rep_id"),
+        when(h < lit(f"$testBuckets%02x"), "test")
+          .when(h < lit(f"${testBuckets + valBuckets}%02x"), "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** P7: stratified sampling ACCOUNTING — per-stratum totals, sampled
     * counts, and realized rates for the same hash predicate. One scan,
     * one tiny aggregate; the conditional count is map-side combined. */

@@ -102,6 +102,36 @@ class SamplingSpec extends SparkSpec {
       .forall(_.getAs[Long]("df") == 4L))
   }
 
+  test("leakage-safe split: near-dup cluster members always share a split") {
+    import graft.operators.{Dedup, Sampling}
+    Dedup.releaseCaches()
+    // docs 1/2/3 are near-dups (one cluster); 10/11 another; rest singletons
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, base), Row(2L, base + "!"), Row(3L, base + "?!"),
+      Row(10L, "completely different text about spark streaming micro batches"),
+      Row(11L, "completely different text about spark streaming micro batches"),
+      Row(20L, "unrelated corpus noise with no shingle overlap whatsoever here"),
+      Row(21L, "another standalone document with its very own word population")))
+    val out = Sampling.leakageSafeSplit(d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 7)
+    val byId = out.map(t => t._1 -> t).toMap
+    // cluster members share the min-label representative AND the split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.length == 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.length == 1)
+    // singletons represent themselves
+    assert(byId(20L)._2 == 20L && byId(21L)._2 == 21L)
+    // the split of a clustered doc equals the split its representative
+    // would get alone — the bucket is taken on rep_id, nothing else
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("1".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    val expected = if (h < "20") "test" else if (h < "40") "val" else "train"
+    assert(byId(3L)._3 == expected)
+  }
+
   test("span dedup: first occurrence kept, repeats scrubbed, duplicate doc empties") {
     // window=2 spans; doc 0 and doc 2 are exact duplicates; doc 1 shares
     // doc 0's first span but has its own tail (and a short final span)
