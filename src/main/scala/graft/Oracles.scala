@@ -680,58 +680,35 @@ FROM allc a JOIN topc c USING(domain)"""
 
   /** Star-schema join queries ([[graft.operators.Joins]]). These read the
     * TPC-H-ish tables directly (no prep CTE). */
+  /** The sessionized-events subquery (client, ts, session_no) shared by
+    * the w05 pair and j15 — ONE definition of the gap>1800 session rule
+    * mirroring `Streaks.sessionize`, so the three oracles cannot drift
+    * from each other. */
+  private val SessionizedEvents: String =
+    """SELECT client, ts,
+      |       sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_no FROM (
+      |  SELECT client, ts, id,
+      |         CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
+      |    SELECT client, ts, id,
+      |           (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
+      |    FROM prep))""".stripMargin
+
   val sessions: Map[String, String] = Map(
     "w05_sessionize" -> p(
-      """SELECT client, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
-        |       min(ts) AS session_start, max(ts) AS session_end FROM (
-        |  SELECT client, ts,
-        |         sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
-        |                             ROWS UNBOUNDED PRECEDING) AS session_no FROM (
-        |    SELECT client, ts, id,
-        |           CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
-        |      SELECT client, ts, id,
-        |             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
-        |      FROM prep)))
-        |GROUP BY client, session_no ORDER BY client, session_no""".stripMargin),
+      s"""SELECT client, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+         |       min(ts) AS session_start, max(ts) AS session_end FROM (
+         |$SessionizedEvents)
+         |GROUP BY client, session_no ORDER BY client, session_no""".stripMargin),
 
     "w05_session_summary" -> p(
-      """SELECT client, count(*) AS n_sessions,
-        |       round(avg(n_events), 4) AS avg_session_events,
-        |       CAST(max(n_events) AS BIGINT) AS max_session_events FROM (
-        |  SELECT client, session_no, count(*) AS n_events FROM (
-        |    SELECT client, ts,
-        |           sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
-        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM (
-        |      SELECT client, ts, id,
-        |             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
-        |        SELECT client, ts, id,
-        |               (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
-        |        FROM prep)))
-        |  GROUP BY client, session_no)
-        |GROUP BY client ORDER BY client""".stripMargin),
-
-    // range join (point-in-interval): the binned equi-join's result is
-    // checked against the plain range predicate — sessions of a client
-    // are time-disjoint, so each Blocked event lands in exactly one
-    "j15_range_join_sessions" -> (Prep +
-      """,
-        |sess AS (
-        |  SELECT client, CAST(session_no AS BIGINT) AS session_no,
-        |         min(ts) AS session_start, max(ts) AS session_end FROM (
-        |    SELECT client, ts,
-        |           sum(new_sess) OVER (PARTITION BY client ORDER BY ts, id
-        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM (
-        |      SELECT client, ts, id,
-        |             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_sess FROM (
-        |        SELECT client, ts, id,
-        |               (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY client ORDER BY ts, id)) / 1e6 AS gap_s
-        |        FROM prep)))
-        |  GROUP BY client, session_no)
-        |SELECT b.client, b.id, b.ts, s.session_no
-        |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') b
-        |JOIN sess s ON s.client = b.client
-        |           AND b.ts BETWEEN s.session_start AND s.session_end
-        |ORDER BY b.client, b.id""".stripMargin),
+      s"""SELECT client, count(*) AS n_sessions,
+         |       round(avg(n_events), 4) AS avg_session_events,
+         |       CAST(max(n_events) AS BIGINT) AS max_session_events FROM (
+         |  SELECT client, session_no, count(*) AS n_events FROM (
+         |$SessionizedEvents)
+         |  GROUP BY client, session_no)
+         |GROUP BY client ORDER BY client""".stripMargin),
 
     "a24_rollup_daily" -> p(
       """SELECT coalesce(CAST(date AS VARCHAR), 'ALL') AS date_k,
@@ -755,6 +732,22 @@ FROM allc a JOIN topc c USING(domain)"""
   )
 
   val joins: Map[String, String] = Map(
+    // range join (point-in-interval): the binned equi-join's result is
+    // checked against the plain range predicate — sessions of a client
+    // are time-disjoint, so each Blocked event lands in exactly one
+    "j15_range_join_sessions" -> (Prep +
+      s""",
+         |sess AS (
+         |  SELECT client, CAST(session_no AS BIGINT) AS session_no,
+         |         min(ts) AS session_start, max(ts) AS session_end FROM (
+         |$SessionizedEvents)
+         |  GROUP BY client, session_no)
+         |SELECT b.client, b.id, b.ts, s.session_no
+         |FROM (SELECT client, ts, id FROM prep WHERE status_type = 'Blocked') b
+         |JOIN sess s ON s.client = b.client
+         |           AND b.ts BETWEEN s.session_start AND s.session_end
+         |ORDER BY b.client, b.id""".stripMargin),
+
     // DuckDB has native ASOF; our engine composes it from union+window —
     // the oracle checks the semantics match the canonical definition.
     "j05_asof_blocked_allowed" -> p(

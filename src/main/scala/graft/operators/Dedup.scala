@@ -928,14 +928,21 @@ object Dedup {
     * seedless Murmur3 over the UTF-8 bytes, so the same eval set always
     * builds the same filter. */
   def evalShingleBloom(evalDocs: DataFrame, fpp: Double = 0.001)
+      : org.apache.spark.util.sketch.BloomFilter =
+    evalShingleBloomOf(evalShingleSet(evalDocs), fpp)
+
+  /** Build the filter from an ALREADY-PREPARED distinct-shingle set
+    * (`s` column) — the entry for callers that hold the relation
+    * (d13's checked composition shares one set across sizing, build,
+    * and the exact join). */
+  def evalShingleBloomOf(distinctShingles: DataFrame, fpp: Double = 0.001)
       : org.apache.spark.util.sketch.BloomFilter = {
-    val set = evalShingleSet(evalDocs)
-    val n = set.count()
+    val n = distinctShingles.count()
     // zero-row build: stat.bloomFilter's aggregate has no buffer to
     // merge on an empty relation — return the matches-nothing filter
     // directly (same verdicts: no shingle can hit an empty eval set)
     if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-    else set.stat.bloomFilter("s", n, fpp)
+    else distinctShingles.stat.bloomFilter("s", n, fpp)
   }
 
   /** Persist the eval-set filter — the build-once production shape (the
@@ -1015,10 +1022,7 @@ object Dedup {
     // persists it and releaseCaches() reclaims it with the other
     // pipeline slivers
     val set = shared(evalShingleSet(docs.filter(col("source") === evalSource)))
-    val n = set.count()
-    val bf =
-      if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      else set.stat.bloomFilter("s", n, fpp)
+    val bf = evalShingleBloomOf(set, fpp)
     val exact = decontaminateAgainstPrepared(corpus, set, minOverlap)
     val bloom = decontaminateBloom(corpus, bf, minOverlap)
       .select(col("doc_id"), col("n_bloom_overlap"))

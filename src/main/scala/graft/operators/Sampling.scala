@@ -67,10 +67,13 @@ object Sampling {
     val rep = docs.select(col("doc_id"))
       .join(broadcast(clusters), Seq("doc_id"), "left")
       .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
-    val h = substring(md5(col("rep_id").cast("string")), 1, 2)
+    // the bucket predicate IS hashBucketPred on the representative —
+    // one definition of the hash-space prefix, shared with p06/p07
+    def below(n: Int): Column =
+      if (n == 0) lit(false) else hashBucketPred(col("rep_id"), n)
     rep.select(col("doc_id"), col("rep_id"),
-        when(h < lit(f"$testBuckets%02x"), "test")
-          .when(h < lit(f"${testBuckets + valBuckets}%02x"), "val")
+        when(below(testBuckets), "test")
+          .when(below(testBuckets + valBuckets), "val")
           .otherwise("train").as("split"))
       .orderBy("doc_id")
   }

@@ -91,11 +91,16 @@ object ZOrder {
                     bits: Int = 7): Unit = {
     // the layout makes TWO passes over the batch (the quantile sketch,
     // then the write) — persist around them so an expensive upstream
-    // plan (a join/aggregate output being compacted) computes once
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plan (a join/aggregate output being compacted) computes once.
+    // Only cache what WE cached: unpersisting a frame the caller
+    // persisted would silently evict their cache-manager entry.
+    val own = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (own) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     try zLayout(cached, xCol, yCol, bits)
       .write.mode("overwrite").parquet(path)
-    finally cached.unpersist(blocking = false)
+    finally if (own) cached.unpersist(blocking = false)
   }
 
   /** The layout plan [[writeZOrdered]] writes — exposed so `StorageSpec`

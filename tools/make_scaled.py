@@ -16,7 +16,7 @@ TABLES = {
     # LSH self-joins (every doc gains >= N exact duplicates, so the
     # candidate relation grows quadratically in N — by construction,
     # not as a property of the operator)
-    "documents": ("docs", "SELECT doc_id + r.i * 1000000 AS doc_id, "
+    "documents": ("docs", "SELECT doc_id + r.i * {shift} AS doc_id, "
                           "text, lang, source, n_chars"),
     # mutated replication: every token (after the first) carries a
     # replica-unique tag, so EVERY trigram is replica-local — a single
@@ -26,10 +26,10 @@ TABLES = {
     # Intra-replica duplicate structure is preserved: exact/near dup
     # relations of the original corpus survive within each replica.
     "documents-mutated": ("docsm",
-                          "SELECT doc_id + r.i * 1000000 AS doc_id, "
+                          "SELECT doc_id + r.i * {shift} AS doc_id, "
                           "replace(text, ' ', ' r' || r.i || '_') AS text, "
                           "lang, source, n_chars"),
-    "embeddings": ("emb", "SELECT vec_id + r.i * 1000000 AS vec_id, "
+    "embeddings": ("emb", "SELECT vec_id + r.i * {shift} AS vec_id, "
                           "embedding, label"),
 }
 
@@ -78,6 +78,13 @@ def main(table, mult, sf_dir="/root/testdata/sf0.1"):
     src = table.split("-")[0]  # documents-mutated reads documents.parquet
     out = f"/tmp/{prefix}_x{mult}"
     os.makedirs(out, exist_ok=True)
+    # data-derived id shift (same rationale as make_tpch): a fixed stride
+    # silently overlaps replica id ranges when the source ids outgrow it
+    id_col = "vec_id" if src == "embeddings" else "doc_id"
+    shift = duckdb.sql(
+        f"SELECT max({id_col}) + 1 FROM '{sf_dir}/{src}.parquet'"
+    ).fetchone()[0]
+    select = select.format(shift=shift)
     duckdb.sql(f"""
       COPY ({select}
             FROM '{sf_dir}/{src}.parquet',
