@@ -25,10 +25,21 @@ object ZOrder {
     * and y (odd positions). x and y must already be non-negative ints
     * in [0, 2^bits). */
   def zValue(x: Column, y: Column, bits: Int = 16): Column =
-    (0 until bits).map { b =>
-      (shiftright(x, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * b))) +
-        (shiftright(y, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * b + 1)))
-    }.reduce(_ + _)
+    zValueN(Seq(x, y), bits)
+
+  /** k-ary Morton code: bit j of column i lands at interleaved position
+    * `j*k + i` — the general form behind Delta/Iceberg's multi-column
+    * ZORDER BY lists. All inputs must be non-negative ints in
+    * [0, 2^bits); `k·bits ≤ 63` keeps the key in one signed long. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.size
+    require(k >= 2 && k * bits <= 63,
+      s"need 2+ columns and k*bits <= 63, got k=$k bits=$bits")
+    (for (b <- 0 until bits; i <- 0 until k) yield
+      shiftright(cols(i), b).bitwiseAND(lit(1)).cast("long") *
+        lit(1L << (b * k + i))
+    ).reduce(_ + _)
+  }
 
   /** Rank-equalizing bucket cuts for a column: `2^bits - 1` interior
     * quantile boundaries from ONE driver-side `approxQuantile` pass
@@ -88,7 +99,15 @@ object ZOrder {
     * aligned cells. Layout quality is asserted in `StorageSpec` (slices
     * on EITHER dim prune files; a linear sort prunes only its own). */
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    bits: Int = 7): Unit = {
+                    bits: Int = 7): Unit =
+    writeZOrderedN(df, path, Seq(xCol, yCol), bits)
+
+  /** The k-column form — ZORDER BY (c1, c2, ..., ck). Locality per
+    * dimension dilutes as k grows (each file's bounding hyper-rectangle
+    * spans 2^(bits - prefixBits/k) ranks per dimension), which is why
+    * real deployments z-order on 2-4 hot columns, not every column. */
+  def writeZOrderedN(df: DataFrame, path: String, zCols: Seq[String],
+                     bits: Int = 7): Unit = {
     // the layout makes TWO passes over the batch (the quantile sketch,
     // then the write) — persist around them so an expensive upstream
     // plan (a join/aggregate output being compacted) computes once.
@@ -98,34 +117,52 @@ object ZOrder {
     val cached =
       if (own) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    try zLayout(cached, xCol, yCol, bits)
+    try zLayoutN(cached, zCols, bits)
       .write.mode("overwrite").parquet(path)
     finally if (own) cached.unpersist(blocking = false)
   }
 
-  /** The layout plan [[writeZOrdered]] writes — exposed so `StorageSpec`
-    * can pin its shape (quantile-cut projection + range exchange; NO
-    * Window operator — the ntile form this replaced serialized the whole
-    * write batch through one task). NOTE: building this plan runs the
-    * quantile job over `df` eagerly; [[writeZOrdered]] persists around
-    * the two passes. */
   private[graft] def zLayout(df: DataFrame, xCol: String, yCol: String,
-                             bits: Int = 7): DataFrame = {
-    require(bits >= 2, "need at least the 2 quadrant bits per dimension")
+                             bits: Int = 7): DataFrame =
+    zLayoutN(df, Seq(xCol, yCol), bits)
+
+  /** The layout plan the writers write — exposed so `StorageSpec` can
+    * pin its shape (quantile-cut projection + range exchange; NO Window
+    * operator — the ntile form this replaced serialized the whole write
+    * batch through one task). Files align to complete CURVE CELLS: the
+    * partition key is the top `prefixBits` of z rounded to a MULTIPLE OF
+    * k, so every cell is a full hyper-cube of the rank space —
+    * equal-count range splits of raw z land mid-cell, and a Morton
+    * segment crossing a cell jump has a bounding box spanning both
+    * (measured: unaligned 16-way splits left single-dimension slices
+    * touching 11/16 files vs ≤ 6 aligned). NOTE: building this plan runs
+    * the quantile job over `df` eagerly; the writers persist around the
+    * two passes. */
+  private[graft] def zLayoutN(df: DataFrame, zCols: Seq[String],
+                              bits: Int = 7): DataFrame = {
+    val k = zCols.size
+    require(bits >= 2, "need at least 2 bits per dimension")
     // 2^bits-leaf when-tree per dimension: cap where generated code stays
     // comfortably under JVM method limits (file-level skipping needs few
     // ranks — files per write ≪ 2^8 cells along one dimension)
     require(bits <= 8, s"bits=$bits: the bucket tree is 2^bits-wide; use <= 8")
-    val (vx, vy) = (numericView(df, xCol), numericView(df, yCol))
-    val ranked = df.withColumn("_vx", vx).withColumn("_vy", vy)
-    val Seq(xCuts, yCuts) = quantileCuts(ranked, Seq("_vx", "_vy"), bits)
+    require(k >= 2 && k * bits <= 63,
+      s"need 2+ z-columns and k*bits <= 63, got k=$k bits=$bits")
+    val views = zCols.map(c => numericView(df, c))
+    val ranked = views.zipWithIndex.foldLeft(df) { case (d, (v, i)) =>
+      d.withColumn(s"_v$i", v)
+    }
+    val cuts = quantileCuts(ranked, zCols.indices.map(i => s"_v$i"), bits)
+    val buckets = zCols.indices.map(i => bucketOf(col(s"_v$i"), cuts(i)))
+    // top ~log2(16) bits of z, rounded UP to a multiple of k so every
+    // partition cell is a complete hyper-cube of the rank space
+    val prefixBits = k * math.ceil(4.0 / k).toInt
+    val tmp = zCols.indices.map(i => s"_v$i") ++ Seq("_z", "_zq")
     ranked
-      .withColumn("_nx", bucketOf(col("_vx"), xCuts))
-      .withColumn("_ny", bucketOf(col("_vy"), yCuts))
-      .withColumn("_z", zValue(col("_nx"), col("_ny"), bits))
-      .withColumn("_zq", shiftright(col("_z"), 2 * bits - 4))
+      .withColumn("_z", zValueN(buckets, bits))
+      .withColumn("_zq", shiftright(col("_z"), k * bits - prefixBits))
       .repartitionByRange(16, col("_zq"), col("_z"))
       .sortWithinPartitions("_z")
-      .drop("_vx", "_vy", "_nx", "_ny", "_z", "_zq")
+      .drop(tmp: _*)
   }
 }

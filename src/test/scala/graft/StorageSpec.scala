@@ -281,6 +281,32 @@ class StorageSpec extends SparkSpec {
     assert(err.getMessage.contains("non-rankable"))
   }
 
+  test("3-column z-order: a slice on ANY of the three dims prunes files") {
+    import graft.sources.ZOrder
+    val dir = Files.createTempDirectory("graft_z3").toString
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 24000).map(_ => org.apache.spark.sql.Row(
+      rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong,
+      rnd.nextInt(100000).toLong))
+    val d = df("x BIGINT, y BIGINT, z BIGINT", rows)
+    ZOrder.writeZOrderedN(d, s"$dir/z3", Seq("x", "y", "z"))
+    d.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).withColumn("f", input_file_name())
+        .filter(pred).select("f").distinct().count()
+    // per-dim locality dilutes at k=3 (each file spans more ranks per
+    // dimension than at k=2), so the bar is "prunes meaningfully on
+    // every dim", not the k=2 bound
+    for (c <- Seq("x", "y", "z")) {
+      val t = filesTouched(s"$dir/z3", col(c).between(40000, 45000))
+      assert(t <= 12, s"dim $c touched $t of 16 files")
+    }
+    // the linear layout cannot prune its non-sort dims at all
+    assert(filesTouched(s"$dir/linear", col("y").between(40000, 45000)) >= 14)
+    assert(spark.read.parquet(s"$dir/z3").count() == 24000)
+  }
+
   test("z-order under heavy skew: quantile cuts keep the files balanced") {
     import graft.sources.ZOrder
     val dir = Files.createTempDirectory("graft_zskew").toString
