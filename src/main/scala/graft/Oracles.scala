@@ -1646,12 +1646,25 @@ FROM allc a JOIN topc c USING(domain)"""
     s"sqrt(list_reduce(list_transform($v, x->CAST(x*x AS DOUBLE)),(a,b)->a+b))"
 
   /** Σ_j [dot(v, plane_j) ≥ 0]·2^j over md5-parity ±1 planes; DuckDB
-    * lambda indexes are 1-based, Spark's sequence is 0-based → (i-1). */
-  private def lshBucket(planes: Int): String =
+    * lambda indexes are 1-based, Spark's sequence is 0-based → (i-1).
+    * `offset` selects hash table t's plane set (global plane id =
+    * offset + j, bit position stays the table-local j) — mirrors
+    * Similarity.bucketId's planeOffset. */
+  private def lshBucket(planes: Int, offset: Int = 0): String =
     (0 until planes).map { j =>
-      val pc = s"(CASE WHEN ascii(substr(md5('$j:' || (i-1)),1,1))%2=1 THEN 1.0 ELSE -1.0 END)"
+      val pc = s"(CASE WHEN ascii(substr(md5('${offset + j}:' || (i-1)),1,1))%2=1 THEN 1.0 ELSE -1.0 END)"
       s"(CASE WHEN list_reduce(list_transform(v,(x,i)->x*$pc),(a,b)->a+b) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("\n         + ")
+
+  /** The banded-LSH signature CTE fragment: one bucket column per hash
+    * table (b0..b{tables-1}, table t's planes at offset t·planes), and
+    * the ANY-table-matches pair predicate — the OR join is set-equal to
+    * Spark's per-table union + distinct. */
+  private def bandedBuckets(planes: Int, tables: Int): String =
+    (0 until tables).map(t => s"${lshBucket(planes, t * planes)} AS b$t")
+      .mkString(",\n       ")
+  private def bandedMatch(tables: Int): String =
+    (0 until tables).map(t => s"a.b$t = c.b$t").mkString(" OR ")
 
   /** One IVF Lloyd iteration over the 64-dim double vectors. */
   private def lloydCte(prev: String, out: String): String =
@@ -1701,13 +1714,19 @@ FROM allc a JOIN topc c USING(domain)"""
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   val similarity: Map[String, String] = Map(
+    // s02's front door defaulted to Hamming-1 multiprobe in round 10
+    // (single-probe recall@10 was 0.12 — not a usable default), so its
+    // mirror is the s06 multiprobe SQL: each query probes its own bucket
+    // plus every one-plane flip
     "s02_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e)
+         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e),
+         |q AS (SELECT vec_id, v,
+         |             unnest([bucket, xor(bucket,1), xor(bucket,2), xor(bucket,4), xor(bucket,8)]) AS bucket
+         |      FROM b WHERE vec_id < 5)
          |${rankSelect(
         """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
-          |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-          |  WHERE q.vec_id < 5""".stripMargin, 10)}""".stripMargin,
+          |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id""".stripMargin, 10)}""".stripMargin,
 
     "s06_knn_lsh_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1839,27 +1858,37 @@ FROM allc a JOIN topc c USING(domain)"""
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
         |ORDER BY a.label, i, j""".stripMargin,
 
-    // the LSH-blocked near-dup twin: same md5-parity bucket expression
-    // as s02/s06, bucket as the blocking key instead of the label
+    // the banded-LSH near-dup twin (round 10): 4 independent 4-plane
+    // hash tables (plane offsets 0/4/8/12 of the same md5 stream as
+    // s02/s06), candidate = same bucket in ANY table — the OR predicate
+    // is set-equal to Spark's per-table union + distinct — then exact
+    // cosine verify on the candidate sliver
     "s09_near_dups_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e)
-         |SELECT a.bucket, a.vec_id AS i, c.vec_id AS j,
+         |b AS (SELECT vec_id, v,
+         |       ${bandedBuckets(4, 4)}
+         |       FROM e)
+         |SELECT a.vec_id AS i, c.vec_id AS j,
          |       round(list_cosine_similarity(a.v, c.v), 6) AS cos
-         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id
+         |  AND (${bandedMatch(4)})
          |WHERE round(list_cosine_similarity(a.v, c.v), 6) > 0.4
-         |ORDER BY a.bucket, i, j""".stripMargin,
+         |ORDER BY i, j""".stripMargin,
 
-    // SemDeDup clusters: s09's pair relation under the d06 recursive-CTE
-    // min-label fixpoint, endpoint-only (the CTE seeds from pair
-    // endpoints, mirroring minLabelOverEndpoints); keep = min-id member
+    // SemDeDup clusters: s09's BANDED pair relation under the d06
+    // recursive-CTE min-label fixpoint, endpoint-only (the CTE seeds
+    // from pair endpoints, mirroring minLabelOverEndpoints); keep =
+    // min-id member
     "s10_semantic_clusters" ->
       s"""WITH RECURSIVE
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucket(4)} AS bucket FROM e),
+         |b AS (SELECT vec_id, v,
+         |       ${bandedBuckets(4, 4)}
+         |       FROM e),
          |cands AS (
          |  SELECT a.vec_id AS i, c.vec_id AS j
-         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  FROM b a JOIN b c ON a.vec_id < c.vec_id
+         |    AND (${bandedMatch(4)})
          |  WHERE round(list_cosine_similarity(a.v, c.v), 6) > 0.4),
          |edges AS (SELECT i AS src, j AS dst FROM cands
          |          UNION ALL SELECT j, i FROM cands),

@@ -23,16 +23,28 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val variants = Seq("s02_knn_lsh", "s06_knn_lsh_multiprobe",
-      "s04_knn_ivf", "s05_knn_ivf_trained", "s08_knn_pq")
-    def neighbors(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("query_id", "neighbor_id").collect()
+    import org.apache.spark.sql.DataFrame
+    def query(name: String): () => DataFrame =
+      () => SparkEntry.queries(name)(spark, sfDir)
+    // s02's front door defaulted to multiprobe in round 10; the
+    // single-probe floor stays on the record via a direct call so the
+    // recall table still shows both sides of the default change
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "s02_knn_lsh" -> query("s02_knn_lsh"),
+      "knn_lsh_single_probe_floor" -> (() =>
+        graft.operators.Similarity.knnLshSingleProbe(
+          Tables.embeddings(spark, sfDir), 5, 10, planes = 4)),
+      "s06_knn_lsh_multiprobe" -> query("s06_knn_lsh_multiprobe"),
+      "s04_knn_ivf" -> query("s04_knn_ivf"),
+      "s05_knn_ivf_trained" -> query("s05_knn_ivf_trained"),
+      "s08_knn_pq" -> query("s08_knn_pq"))
+    def neighborsOf(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val truth = neighbors("s01_knn_brute")
+    val truth = neighborsOf(SparkEntry.queries("s01_knn_brute")(spark, sfDir))
     val k = truth.values.map(_.size).max
-    for (name <- variants) {
-      val approx = neighbors(name)
+    for ((name, mk) <- variants) {
+      val approx = neighborsOf(mk())
       // recall@k averaged over queries; a query missing from the approx
       // result (empty bucket) counts 0, not skipped
       val recall = truth.map { case (q, t) =>
@@ -40,7 +52,7 @@ object RecallProbe {
       }.sum / truth.size
       val secs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        mk().count()
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"probe":"recall","variant":"$name","recall_at_$k":${math.round(recall * 10000) / 10000.0},"sec":${math.round(secs * 1000) / 1000.0},"sf":"$sfDir"}""")

@@ -109,23 +109,36 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket id from `planes` hyperplanes: bit j = sign of
-    * dot(v, p_j). Buckets corpus vectors for corpus×corpus candidate
-    * generation without the O(n²) join. `dv` may be float or double —
-    * DotProduct widens each side element-wise against the double plane
-    * literal, bit-equal to pre-casting (float→double is exact), so
-    * callers pass the raw embedding with no interpreted transform(cast)
-    * projection. */
-  def bucketId(dv: Column, planes: Int, dim: Int): Column =
+    * dot(v, p_j), plane j drawn from the md5 stream at global index
+    * `planeOffset + j` — so `planeOffset = t·planes` yields hash table
+    * t's independent plane set for the banded forms. Buckets corpus
+    * vectors for corpus×corpus candidate generation without the O(n²)
+    * join. `dv` may be float or double — DotProduct widens each side
+    * element-wise against the double plane literal, bit-equal to
+    * pre-casting (float→double is exact), so callers pass the raw
+    * embedding with no interpreted transform(cast) projection. */
+  def bucketId(dv: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { j =>
-      when(dot(dv, lit(planeVector(j, dim))) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(dv, lit(planeVector(planeOffset + j, dim))) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN via hyperplane-LSH buckets: same-bucket pairs scored exactly,
+  /** ANN via hyperplane-LSH buckets — the default front door, which IS
+    * the Hamming-1 multiprobe form ([[knnLshMultiprobe]]): single-probe
+    * recall@10 measured 0.12 at sf0.1 (the i.i.d.-gaussian floor,
+    * SCALE.md recall table) is not a usable default, and multiprobe
+    * costs only planes extra PROBES on the broadcast query side — the
+    * candidate scan is unchanged. The single-probe floor stays
+    * reachable as [[knnLshSingleProbe]] for the recall table. */
+  def knnLsh(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame =
+    knnLshMultiprobe(emb, nQueries, k, planes)
+
+  /** The single-probe floor: same-bucket pairs only, scored exactly,
     * then top-k per query among candidates. Recall < 1 by construction
     * (asserted vs brute in ScalaTest); the output itself is
     * deterministic and oracle-checked — the md5-parity planes and
     * fold-order dot products reproduce bit-identically in DuckDB. */
-  def knnLsh(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame = {
+  def knnLshSingleProbe(emb: DataFrame, nQueries: Int, k: Int, planes: Int = 8): DataFrame = {
     val withB = emb.select(col("vec_id"), col("embedding"),
       bucketId(col("embedding"), planes, embeddingDim(emb)).as("bucket"))
     val q = withB.filter(col("vec_id") < nQueries)
@@ -677,14 +690,73 @@ object Similarity {
   }
 
   /** [[nearDupPairs]]' corpus-scale twin — the 100 TB path its doc
-    * promises: when no curated label exists, the blocking key is a
-    * hyperplane-LSH bucket (md5-parity planes, so the whole pipeline
-    * stays oracle-checkable). Identical join shape — a self-join
-    * shuffled on the block key — with 2^planes buckets bounding skew;
-    * near-identical vectors agree on every plane's sign with high
-    * probability, and EXACT duplicates agree always (recall 1 on them,
-    * pinned in DedupSpec). */
-  def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 4): DataFrame = {
+    * promises: when no curated label exists, the blocking is BANDED
+    * multi-table hyperplane LSH (the MinHash banding trick applied to
+    * the embedding side — `Dedup.lshCandidates`' band join is the
+    * sibling shape): `tables` independent `planes`-plane sign
+    * signatures per vector (plane sets drawn from disjoint ranges of
+    * the md5 plane stream, so the whole pipeline stays
+    * oracle-checkable), a candidate pair = same bucket in ANY table,
+    * union + distinct, then exact cosine verify on the candidate
+    * sliver only.
+    *
+    * Why banded and not one bucket column: a SINGLE `planes`-plane
+    * table is a precision/recall deadlock — few planes (round 9's
+    * 16-bucket form) keeps recall but makes each bucket n/2^planes
+    * vectors, an O(n²/2^planes) within-bucket self-join that goes
+    * quadratic at corpus scale; many planes bounds the buckets but a
+    * near-dup pair then splits on SOME plane with probability ≈
+    * planes·θ/π and recall collapses. Banding decouples the two
+    * knobs: per-table precision comes from `planes` (size buckets
+    * O(1) by setting planes ≈ log₂ n — 2^planes scales WITH the
+    * corpus, so candidates stay O(tables·n), measured linear-vs-
+    * quadratic in SCALE.md's BandedGrowthProbe table), recall from
+    * `tables` (a true pair is missed only if it splits in EVERY
+    * table: miss ≈ (1-(1-θ/π)^planes)^tables). Candidates from table
+    * 0's planes are exactly the round-9 single-table candidates, so
+    * recall ≥ the previous form BY CONSTRUCTION (pinned in DedupSpec);
+    * the old blocking remains as [[nearDupPairsSingleTable]] for the
+    * growth probe's quadratic baseline.
+    *
+    * Plan shape: the signature relation is (vec_id, tbl, bucket) —
+    * 3 narrow columns, projection-only off the scan (explode of
+    * `tables` in-row bucket ids); the self-join shuffles only ids on
+    * the (tbl, bucket) composite key; `distinct` collapses pairs
+    * caught by several tables BEFORE the embedding fetch, so each
+    * surviving pair is verified exactly once. EXACT duplicates agree
+    * on every plane of every table (recall 1 on them, pinned). */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 4,
+                      tables: Int = 4): DataFrame = {
+    val dim = embeddingDim(emb)
+    val sigs = emb.select(col("vec_id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          bucketId(col("embedding"), planes, dim, t * planes).as("bucket"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.tbl").as("tbl"), col("s.bucket").as("bucket"))
+    val cands = sigs.as("l").join(sigs.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("i"), col("r.vec_id").as("j"))
+      .distinct()
+    val v = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"))
+    cands
+      .join(v.select(col("vec_id").as("i"), col("embedding").as("va"),
+        col("n").as("na")), Seq("i"))
+      .join(v.select(col("vec_id").as("j"), col("embedding").as("vb"),
+        col("n").as("nb")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(pairCos(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") > threshold)
+      .orderBy("i", "j")
+  }
+
+  /** Round-9's single-table blocking, retained ONLY as the quadratic
+    * baseline for the BandedGrowthProbe (SCALE.md) and the DedupSpec
+    * recall-dominance pin — production callers use [[nearDupPairsLsh]].
+    * One `planes`-plane bucket per vector; the within-bucket self-join
+    * is O(n²/2^planes) with a FIXED bucket count, the shape that goes
+    * quadratic at corpus scale. */
+  private[graft] def nearDupPairsSingleTable(emb: DataFrame, threshold: Double,
+                                             planes: Int = 4): DataFrame = {
     val b = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"),
       bucketId(col("embedding"), planes, embeddingDim(emb)).as("bucket"))
     val l = b.select(col("bucket"), col("vec_id").as("i"),
@@ -692,14 +764,15 @@ object Similarity {
     val r = b.select(col("bucket"), col("vec_id").as("j"),
       col("embedding").as("vb"), col("n").as("nb"))
     l.join(r, Seq("bucket")).filter(col("i") < col("j"))
-      .select(col("bucket"), col("i"), col("j"),
+      .select(col("i"), col("j"),
         round(pairCos(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") > threshold)
-      .orderBy("bucket", "i", "j")
+      .orderBy("i", "j")
   }
 
   /** SemDeDup-style semantic clusters (s10): connected components over
-    * the bucket-blocked cosine near-dup pairs ([[nearDupPairsLsh]]),
+    * the BANDED-LSH cosine near-dup pairs ([[nearDupPairsLsh]] — so the
+    * pair stage inherits the linear-not-quadratic candidate growth),
     * each cluster's min-id member marked `keep` as its canonical
     * representative — the keep/drop verdict embedding-level dedup feeds
     * the curation pipeline (prune all but one of a semantic duplicate
@@ -712,8 +785,9 @@ object Similarity {
     * emitted cluster has ≥ 2 members by construction (an endpoint
     * always shares its cluster with its pair partner). */
   def semanticClusters(emb: DataFrame, threshold: Double = 0.4,
-                       planes: Int = 4, maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairsLsh(emb, threshold, planes).select("i", "j")
+                       planes: Int = 4, tables: Int = 4,
+                       maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairsLsh(emb, threshold, planes, tables).select("i", "j")
     val labels = ConnectedComponents.minLabelOverEndpoints(pairs, maxIter)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_vecs"))
     labels.join(sizes, Seq("label"))

@@ -214,6 +214,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet.subsetOf(brute))
   }
 
+  test("s09 banded blocking dominates round-9's single-table form (recall never drops)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the exact-dup fixture the verdict names: an exact copy must pair
+    // under BOTH blockings (it agrees on every plane of every table)
+    val dup = emb.limit(1).select(lit(90001L).as("vec_id"),
+      col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairsOf(Similarity.nearDupPairsLsh(withDup, 0.4))
+    val single = pairsOf(Similarity.nearDupPairsSingleTable(withDup, 0.4))
+    // table 0's planes ARE the single-table planes, so the banded
+    // candidate set is a superset by construction — verified pairs too
+    assert(single.subsetOf(banded),
+      s"banded must dominate: missing ${(single -- banded).take(5)}")
+    val origId = emb.limit(1).select("vec_id").head.getLong(0)
+    assert(banded.contains((origId, 90001L)) && single.contains((origId, 90001L)))
+  }
+
   test("s10 semantic clusters: transitive closure over near-dup pairs, min-id keeper") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

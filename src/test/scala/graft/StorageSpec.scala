@@ -363,9 +363,12 @@ class StorageSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (brute & s).size.toDouble / brute.size
     }
-    val single = recallOf(Similarity.knnLsh(emb, 5, 10, planes = 4))
+    val single = recallOf(Similarity.knnLshSingleProbe(emb, 5, 10, planes = 4))
     val multi = recallOf(Similarity.knnLshMultiprobe(emb, 5, 10, planes = 4))
     assert(multi >= single, s"multi=$multi single=$single")
+    // round 10: the knnLsh front door IS the multiprobe path
+    val front = recallOf(Similarity.knnLsh(emb, 5, 10, planes = 4))
+    assert(front == multi, s"knnLsh default must be the multiprobe path: front=$front multi=$multi")
     // 5 of 16 buckets probed (planes=4, Hamming ≤ 1)
     assert(multi > 0.3, s"multi-probe recall too low: $multi")
     // no duplicate (query, neighbor) pairs from the probe explosion
