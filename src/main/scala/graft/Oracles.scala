@@ -1294,6 +1294,34 @@ FROM allc a JOIN topc c USING(domain)"""
       |       ELSE 'train' END AS split
       |FROM comp c ORDER BY c.doc_id""".stripMargin),
 
+    // span-aware leakage split: the p20 component graph UNIONED with
+    // span-sharing star edges (each doc links to its shared t11 span's
+    // min-doc_id owner — same components as the clique, linear edges);
+    // reach2 re-runs the min-label fixpoint over the combined graph
+    "p21_leakage_safe_split_spans" -> (CurationCtes + """,
+      |segs2 AS (
+      |  SELECT doc_id,
+      |         array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ') AS seg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |       unnest(generate_series(0, greatest(0, (len(w) - 1) // 8))) t(i)),
+      |span_owner AS (SELECT seg, min(doc_id) AS owner FROM segs2 GROUP BY seg),
+      |span_edges AS (
+      |  SELECT DISTINCT o.owner AS i, s.doc_id AS j
+      |  FROM segs2 s JOIN span_owner o ON o.seg = s.seg AND s.doc_id <> o.owner),
+      |all_edges AS (
+      |  SELECT src, dst FROM edges
+      |  UNION SELECT i, j FROM span_edges
+      |  UNION SELECT j, i FROM span_edges),
+      |reach2(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach2 r JOIN all_edges e ON e.src = r.node)
+      |SELECT node AS doc_id, min(lab) AS rep_id,
+      |  CASE WHEN substr(md5(CAST(min(lab) AS VARCHAR)), 1, 2) < '20' THEN 'test'
+      |       WHEN substr(md5(CAST(min(lab) AS VARCHAR)), 1, 2) < '40' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM reach2 GROUP BY node ORDER BY doc_id""".stripMargin),
+
     "p16_curated_chunks" -> (CurationCtes + """,
       |kept AS (
       |  SELECT e.doc_id FROM exact_kept e JOIN qual q USING (doc_id)

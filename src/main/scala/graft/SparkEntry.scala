@@ -215,6 +215,7 @@ object SparkEntry {
     "p17_balanced_sources"    -> ((s, d) => Sampling.capPerSource(Tables.documents(s, d))),
     "p18_shuffled_order"      -> ((s, d) => Sampling.shuffledOrder(Tables.documents(s, d))),
     "p20_leakage_safe_split"  -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
+    "p21_leakage_safe_split_spans" -> ((s, d) => Sampling.leakageSafeSplitSpans(Tables.documents(s, d))),
     // semi-structured extraction from the raw events' JSON props
     "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
     "p10_json_typed"          -> ((s, d) => Preprocess.jsonPropsTyped(Tables.eventsRaw(s, d))),

@@ -78,6 +78,58 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** P21: [[leakageSafeSplit]] extended to SPAN-level leakage —
+    * round 9's form moves near-dup *clusters* as one unit, but two
+    * documents sharing only a repeated boilerplate *span* (the t11
+    * relation) are far below any Jaccard threshold and could still
+    * straddle train/test, leaking the shared span verbatim into eval.
+    * Here the split graph is the UNION of two edge sets:
+    *
+    *   - the verified near-dup pairs ([[Dedup.verifiedPairs]] — the
+    *     memoized sliver d07/p09/p20 already share), and
+    *   - span-sharing edges from the t11 span relation
+    *     ([[TextAnalysis.spanRel]]): docs sharing any `window`-word
+    *     span connect. The edge set is the STAR form — each doc links
+    *     to its shared span's min-doc_id owner, not to every co-holder
+    *     — which has the same connected components as the clique but
+    *     O(span occurrences) edges instead of O(occurrences²) per
+    *     boilerplate span: a universal footer shared by 10⁶ docs emits
+    *     10⁶ edges, not 10¹². Owner resolution is a `groupBy(seg)` min
+    *     — map-side combined, skew-neutral, the t11 keeper shape.
+    *
+    * Connected components over the union ([[ConnectedComponents
+    * .minLabelOverEndpoints]] — endpoint-only, runs on the sliver), the
+    * md5 bucket taken on the component representative: any two docs
+    * connected through ANY chain of near-dups or shared spans land in
+    * the same split. Oracle p21 (recursive CTE over the union graph);
+    * span-cohesion + dominance-over-p20 pinned in SamplingSpec. */
+  def leakageSafeSplitSpans(docs: DataFrame, threshold: Double = 0.8,
+                            window: Int = 8,
+                            testBuckets: Int = 32, valBuckets: Int = 32): DataFrame = {
+    require(testBuckets >= 0 && valBuckets >= 0 && testBuckets + valBuckets < 256,
+      s"test+val buckets must fit below 256, got $testBuckets + $valBuckets")
+    val dupEdges = Dedup.verifiedPairs(docs, threshold).select("i", "j")
+    val segs = TextAnalysis.spanRel(docs, window).select("doc_id", "seg")
+    val owner = segs.groupBy("seg").agg(min("doc_id").as("i"))
+    val spanEdges = segs.join(owner, Seq("seg"))
+      .filter(col("doc_id") =!= col("i"))
+      .select(col("i"), col("doc_id").as("j"))
+      .distinct()
+    val labels = ConnectedComponents
+      .minLabelOverEndpoints(dupEdges.unionByName(spanEdges))
+      .select(col("node").as("doc_id"), col("label"))
+    val rep = docs.select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("label"), col("doc_id")))
+    def below(n: Int): Column =
+      if (n == 0) lit(false) else hashBucketPred(col("rep_id"), n)
+    rep.select(col("doc_id"), col("rep_id"),
+        when(below(testBuckets), "test")
+          .when(below(testBuckets + valBuckets), "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** P7: stratified sampling ACCOUNTING — per-stratum totals, sampled
     * counts, and realized rates for the same hash predicate. One scan,
     * one tiny aggregate; the conditional count is map-side combined. */

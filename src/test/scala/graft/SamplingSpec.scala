@@ -132,6 +132,40 @@ class SamplingSpec extends SparkSpec {
     assert(byId(3L)._3 == expected)
   }
 
+  test("span-aware leakage split: span-sharing docs cohere; near-dup cohesion kept") {
+    import graft.operators.{Dedup, Sampling}
+    Dedup.releaseCaches()
+    val boiler = "all rights reserved contact us at example dot com thanks"
+    // 1/2: near-dups (cluster edge). 30/31: NOT near-dups (entirely
+    // different bodies) but both carry the same 8-word boilerplate span
+    // → must share a split under the span-aware form (p20 would split
+    // them independently). 20: singleton.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, base), Row(2L, base + "!"),
+      Row(30L, boiler + " first body talks about streaming joins and watermarks entirely"),
+      Row(31L, boiler + " second body covers parquet row groups and bloom filter pruning"),
+      Row(20L, "unrelated corpus noise with no shingle overlap whatsoever here")))
+    val out = Sampling.leakageSafeSplitSpans(d, threshold = 0.5, window = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 5)
+    val byId = out.map(t => t._1 -> t).toMap
+    // near-dup cluster still moves as one unit
+    assert(Seq(1L, 2L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L).map(byId(_)._3).distinct.length == 1)
+    // the span-sharing pair coheres: same representative, same split
+    assert(Seq(30L, 31L).map(byId(_)._2).distinct == Seq(30L),
+      s"span-sharing docs must share a representative: ${byId(30L)} ${byId(31L)}")
+    assert(byId(30L)._3 == byId(31L)._3)
+    // p20 (cluster-only) does NOT connect 30/31 — the pin that this
+    // operator closes a real gap, not a restatement
+    val p20 = Sampling.leakageSafeSplit(d, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p20(30L) == 30L && p20(31L) == 31L)
+    // singleton unaffected
+    assert(byId(20L)._2 == 20L)
+  }
+
   test("span dedup: first occurrence kept, repeats scrubbed, duplicate doc empties") {
     // window=2 spans; doc 0 and doc 2 are exact duplicates; doc 1 shares
     // doc 0's first span but has its own tail (and a short final span)

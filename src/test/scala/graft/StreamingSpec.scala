@@ -475,4 +475,63 @@ class StreamingSpec extends SparkSpec {
     StreamingSpanDedup.ingestBatch(df(schema, b2), 1L, s"$dir/spans", s"$dir/out", 2)
     assert(asMap(StreamingSpanDedup.cleanedTable(spark, s"$dir/out")) == streamed)
   }
+
+  test("streaming ANN index: drained IVF/PQ indexes equal append-without-retrain batch, replay-idempotent") {
+    import graft.streaming.StreamingAnnIndex
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Similarity.releaseCaches()
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // seed = first 40 vectors (trains centroids + codebooks there);
+    // vectors 40.. stream in across a 2-batch split
+    val seed = emb.filter(col("vec_id") < 40)
+    val arriving = emb.filter(col("vec_id") >= 40)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val (a1, a2) = arriving.partition(_._1 < 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    StreamingAnnIndex.seedIvf(seed, s"$dir/ivf", nCells = 8)
+    StreamingAnnIndex.seedPq(seed, s"$dir/pq", m = 4, codes = 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDS().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val qIvf = StreamingAnnIndex.startIvf(vecs, s"$dir/ivf", s"$dir/ckpt_ivf",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val qPq = StreamingAnnIndex.startPq(vecs, s"$dir/pq", s"$dir/ckpt_pq", m = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(a1.toSeq); qIvf.processAllAvailable(); qPq.processAllAvailable()
+      input.addData(a2.toSeq); qIvf.processAllAvailable(); qPq.processAllAvailable()
+    } finally { qIvf.stop(); qPq.stop() }
+    // IVF: streamed assignments ≡ one batch assignment of the WHOLE
+    // corpus against the stored (seed-trained) centroids — the
+    // append-without-retrain contract, vector for vector
+    val cents = Similarity.readIvfCentroids(spark, s"$dir/ivf")
+    def cellsOf(d: org.apache.spark.sql.DataFrame) = d.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamedIvf = cellsOf(StreamingAnnIndex.ivfAssignments(spark, s"$dir/ivf"))
+    val batchIvf = cellsOf(Similarity.assignCells(emb, cents))
+    assert(streamedIvf == batchIvf, s"IVF stream≠batch: ${(streamedIvf diff batchIvf).take(3)}")
+    // a search over the streamed index is plan-identical machinery and
+    // must return rows for queries whose neighbors arrived by stream
+    val hits = StreamingAnnIndex.knnIvf(spark, s"$dir/ivf",
+      emb.filter(col("vec_id") < 3), k = 5)
+    assert(hits.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // PQ: streamed codes ≡ whole-corpus encode against stored codebooks
+    def codesOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val books = Similarity.readPqCodebooks(spark, s"$dir/pq")
+    val streamedPq = codesOf(StreamingAnnIndex.pqCodes(spark, s"$dir/pq"))
+    val batchPq = codesOf(Similarity.pqEncode(emb, books, 4))
+    assert(streamedPq == batchPq, "PQ stream≠batch")
+    // replay idempotence: re-ingesting batch 0 under its batchId (an
+    // at-least-once crash replay) leaves both index tables unchanged
+    val b0 = df("vec_id BIGINT, embedding ARRAY<FLOAT>",
+      a1.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)))
+    StreamingAnnIndex.ingestIvfBatch(b0, 0L, s"$dir/ivf")
+    StreamingAnnIndex.ingestPqBatch(b0, 0L, s"$dir/pq", m = 4)
+    assert(cellsOf(StreamingAnnIndex.ivfAssignments(spark, s"$dir/ivf")) == streamedIvf)
+    assert(codesOf(StreamingAnnIndex.pqCodes(spark, s"$dir/pq")) == streamedPq)
+  }
 }
