@@ -76,6 +76,44 @@ object PlotData {
       .groupBy("ts_hour", "client").agg(sum("cnt").as("cnt"))
       .orderBy("ts_hour", "client")
 
+  /** Bound a time-bucketed series relation to ≤ `maxPoints` buckets per
+    * series BEFORE any driver collect — the serving-tier scale guard
+    * (VERDICT r9 item 2): a span-proportional collect is O(hours) rows
+    * per series, which at a 100 TB / multi-year deployment is tens of
+    * millions of driver rows for a chart whose screen has ~2k pixels.
+    * The fix is IN-PLAN: the series' time bucket rolls up to the
+    * coarsest calendar unit (hour → day → week → month → quarter →
+    * year) that keeps the span under `maxPoints` buckets, counts
+    * SUMMED into the coarser bucket (the faithful downsample for a
+    * volume series), so the collect is O(maxPoints · |series|) forever.
+    *
+    * The span scalar comes from a 1-row min/max aggregate broadcast
+    * back into the plan (the repo's tiny-crossJoin idiom) — the whole
+    * operator stays lazy, no driver action; below the threshold the
+    * bucket is unchanged (hour in = hour out), pinned in ServeSpec.
+    * `df` must carry (`tsCol` timestamp, `seriesCols`…, `cntCol`). */
+  def capSeries(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+                cntCol: String = "cnt", maxPoints: Int = 2048): DataFrame = {
+    require(maxPoints > 0, s"maxPoints must be positive, got $maxPoints")
+    val bounds = df.agg(min(col(tsCol)).as("_t0"), max(col(tsCol)).as("_t1"))
+    val spanH = (unix_timestamp(col("_t1")) - unix_timestamp(col("_t0"))).cast("double") / 3600.0
+    // first unit whose bucket count fits wins; YEAR is the fallback
+    // (maxPoints years ≈ two millennia at the default cap). Hours per
+    // unit use the MINIMUM calendar length (28-day month, 90-day
+    // quarter) so the bucket-count bound holds for every alignment.
+    val units = Seq("HOUR" -> 1.0, "DAY" -> 24.0, "WEEK" -> 168.0,
+      "MONTH" -> 672.0, "QUARTER" -> 2160.0)
+    val bucket = units.foldRight(date_trunc("YEAR", col(tsCol))) {
+      case ((u, hours), coarser) =>
+        when(spanH <= lit(maxPoints) * hours, date_trunc(u, col(tsCol)))
+          .otherwise(coarser)
+    }
+    df.crossJoin(broadcast(bounds))
+      .groupBy(bucket.as(tsCol) +: seriesCols.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol))
+      .orderBy(tsCol, seriesCols: _*)
+  }
+
   /** J3: dense hourly grid × the three status classes LEFT JOIN the A17
     * aggregate, missing buckets → 0 (reference: plot.py:212-225).
     * The grid is generated from the 1-row min/max aggregate via

@@ -45,20 +45,28 @@ final class ServingCache(val prep: DataFrame, nClients: Int = 10) extends AutoCl
   /** Queries-over-time slice (plot.py:175-187): per-client when a filter
     * is set, summed over all clients otherwise. Both branches read ONLY
     * [[hourly]] (pinned in ServeSpec: the plan scans the in-memory
-    * relation, no file source). */
+    * relation, no file source). Since round 10 the slice is BOUNDED:
+    * [[graft.operators.PlotData.capSeries]] rolls the time bucket up
+    * to whatever calendar unit keeps each series ≤ ~2k points, so the
+    * figure collect is O(pixels), not O(span) — below the threshold
+    * the hourly buckets pass through unchanged (ServeSpec pins both
+    * the bound at a 10-year span and hour-equality below it). */
   def queriesOverTime(client: Option[String]): DataFrame = {
     val base = client.fold(hourly)(c => hourly.filter(col("client") === c))
-    base.groupBy("ts_hour", "status_type").agg(sum("cnt").as("cnt"))
-      .orderBy("ts_hour", "status_type")
+    graft.operators.PlotData.capSeries(
+      base.groupBy("ts_hour", "status_type").agg(sum("cnt").as("cnt")),
+      "ts_hour", Seq("status_type"))
   }
 
   /** Client-activity slice (plot.py:282-294): the filtered client, or the
-    * cached top-`nClients` list when no filter is set. */
+    * cached top-`nClients` list when no filter is set. Bounded like
+    * [[queriesOverTime]]. */
   def clientActivity(client: Option[String]): DataFrame = {
     val base = client.fold(hourly.filter(col("client").isin(topClients: _*)))(
       c => hourly.filter(col("client") === c))
-    base.groupBy("ts_hour", "client").agg(sum("cnt").as("cnt"))
-      .orderBy("ts_hour", "client")
+    graft.operators.PlotData.capSeries(
+      base.groupBy("ts_hour", "client").agg(sum("cnt").as("cnt")),
+      "ts_hour", Seq("client"))
   }
 
   /** SVG figure for the queries-over-time callback (app.py:1107-1117). */
