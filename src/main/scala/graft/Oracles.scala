@@ -544,6 +544,41 @@ FROM allc a JOIN topc c USING(domain)"""
       """SELECT date_trunc('hour', ts) AS ts_hour, status_type, count(*) AS cnt
         |FROM prep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // capSeries mirror: the same hour→day→week→month→quarter→year unit
+    // ladder (MINIMUM calendar lengths: 28-day month, 90-day quarter)
+    // over the hourly view's span, maxPoints=48
+    "a35_capped_series" -> (Prep + """,
+      |view AS (SELECT date_trunc('hour', ts) AS ts_hour, status_type, count(*) AS cnt
+      |         FROM prep GROUP BY 1, 2),
+      |b AS (SELECT (epoch(max(ts_hour)) - epoch(min(ts_hour))) / 3600.0 AS span_h FROM view)
+      |SELECT CASE WHEN span_h <= 48 * 1    THEN date_trunc('hour', ts_hour)
+      |            WHEN span_h <= 48 * 24   THEN date_trunc('day', ts_hour)
+      |            WHEN span_h <= 48 * 168  THEN date_trunc('week', ts_hour)
+      |            WHEN span_h <= 48 * 672  THEN date_trunc('month', ts_hour)
+      |            WHEN span_h <= 48 * 2160 THEN date_trunc('quarter', ts_hour)
+      |            ELSE date_trunc('year', ts_hour) END AS ts_hour,
+      |       status_type, sum(cnt)::BIGINT AS cnt
+      |FROM view, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // capSeriesEnvelope mirror: same unit ladder over the daily
+    // reply-time series, avg/min/max kept per coarser bucket
+    "a36_capped_envelope" -> (Prep + """,
+      |daily AS (SELECT date::TIMESTAMP AS ts_day, status_type,
+      |                 round(avg(reply_time)*1000, 3) AS reply_ms
+      |          FROM prep GROUP BY 1, 2),
+      |b AS (SELECT (epoch(max(ts_day)) - epoch(min(ts_day))) / 3600.0 AS span_h FROM daily)
+      |SELECT CASE WHEN span_h <= 10 * 1    THEN date_trunc('hour', ts_day)
+      |            WHEN span_h <= 10 * 24   THEN date_trunc('day', ts_day)
+      |            WHEN span_h <= 10 * 168  THEN date_trunc('week', ts_day)
+      |            WHEN span_h <= 10 * 672  THEN date_trunc('month', ts_day)
+      |            WHEN span_h <= 10 * 2160 THEN date_trunc('quarter', ts_day)
+      |            ELSE date_trunc('year', ts_day) END AS ts_day,
+      |       status_type,
+      |       round(avg(reply_ms), 4) AS reply_ms_avg,
+      |       min(reply_ms) AS reply_ms_min,
+      |       max(reply_ms) AS reply_ms_max
+      |FROM daily, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "a17_client_activity" -> p(
       """SELECT date_trunc('hour', ts) AS ts_hour, client, count(*) AS cnt
         |FROM prep WHERE client IN (

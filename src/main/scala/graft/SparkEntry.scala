@@ -67,6 +67,24 @@ object SparkEntry {
     "a17_view_by_status"      -> ((s, d) => PlotData.viewByStatus(prep(s, d))),
     "a33_sliding_hourly"      -> ((s, d) => PlotData.slidingHourlyLoad(prep(s, d))),
     "a17_client_activity"     -> ((s, d) => PlotData.clientActivity(prep(s, d), 10)),
+    // serving-tier bound (VERDICT r9 item 2): the per-series point cap —
+    // maxPoints=48 forces the calendar rollup at every test SF (sf0.001
+    // spans ~3 months of hours → DAY buckets; sf0.01 ~13 months → MONTH),
+    // so the oracle checks the unit-selection CASE itself, not just a
+    // pass-through
+    "a35_capped_series"       -> ((s, d) =>
+      PlotData.capSeries(PlotData.viewByStatus(prep(s, d)), "ts_hour",
+        Seq("status_type"), maxPoints = 48)),
+    // the VALUE-series cap: daily reply-time line downsampled with its
+    // min/max envelope kept (a mean-only rollup hides the spikes);
+    // maxPoints=10 forces the WEEK rollup at every test SF
+    "a36_capped_envelope"     -> ((s, d) => {
+      val daily = prep(s, d)
+        .groupBy(col("date").cast("timestamp").as("ts_day"), col("status_type"))
+        .agg(round(avg(col("reply_time")) * 1000, 3).as("reply_ms"))
+      PlotData.capSeriesEnvelope(daily, "ts_day", Seq("status_type"),
+        "reply_ms", maxPoints = 10)
+    }),
     "j03_gap_filled"          -> ((s, d) => PlotData.gapFilledByStatus(prep(s, d))),
     "j04_gap_filled_client"   -> ((s, d) => PlotData.gapFilledByClient(prep(s, d), 10)),
     "j06_interpolated_hourly" -> ((s, d) => PlotData.interpolatedHourly(prep(s, d))),

@@ -378,11 +378,24 @@ object Figures {
     charts += lineChart("Daily query volume (anomalies ringed)",
       dailySeries, markers = rings)
 
-    // mean reply time by date (plot.py:162-180)
-    val reply = graft.operators.Stats.replyByDate(prep).collect()
-      .filter(!_.isNullAt(1))
-      .map(r => (r.getDate(0).getTime, r.getDouble(1))).toSeq
-    charts += lineChart("Mean reply time by date (ms)", Seq("avg_reply_ms" -> reply))
+    // mean reply time by date (plot.py:162-180) — a VALUE series, capped
+    // through the envelope form: at multi-year spans the daily points
+    // roll up to a coarser calendar unit with the min/max band kept
+    // (a mean-only rollup would hide the latency spikes this chart
+    // exists to show); below the threshold day in = day out
+    val replyDaily = {
+      import org.apache.spark.sql.functions.{avg, col, round}
+      prep.groupBy(col("date").cast("timestamp").as("ts_day"))
+        .agg(round(avg(col("reply_time")) * 1000, 3).as("reply_ms"))
+    }
+    val reply = PlotData.capSeriesEnvelope(replyDaily, "ts_day", Nil, "reply_ms")
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getTimestamp(0).getTime,
+        r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    charts += lineChart("Mean reply time by date (ms)", Seq(
+      "avg_reply_ms" -> reply.map(r => (r._1, r._2)).toSeq,
+      "min_reply_ms" -> reply.map(r => (r._1, r._3)).toSeq,
+      "max_reply_ms" -> reply.map(r => (r._1, r._4)).toSeq))
 
     // day × hour heatmaps (plot.py:104-139): all + per class
     for ((st, name) <- Seq(None -> "all queries",

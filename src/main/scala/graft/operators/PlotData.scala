@@ -93,7 +93,32 @@ object PlotData {
     * bucket is unchanged (hour in = hour out), pinned in ServeSpec.
     * `df` must carry (`tsCol` timestamp, `seriesCols`…, `cntCol`). */
   def capSeries(df: DataFrame, tsCol: String, seriesCols: Seq[String],
-                cntCol: String = "cnt", maxPoints: Int = 2048): DataFrame = {
+                cntCol: String = "cnt", maxPoints: Int = 2048): DataFrame =
+    cappedBy(df, tsCol, seriesCols, maxPoints)(sum(col(cntCol)).as(cntCol))
+
+  /** The [[capSeries]] bound for a VALUE series (a latency/score line,
+    * not a volume line): a mean-only rollup hides the spikes the chart
+    * exists to show, so the coarser bucket keeps the per-point envelope
+    * — avg, min, and max of the finer-grained points it swallows
+    * (`v_avg`/`v_min`/`v_max` for `valCol` v; avg rounded to 4dp so the
+    * figure is reproducible across partition orders). Same calendar
+    * ladder, same O(maxPoints · |series|) collect bound. */
+  def capSeriesEnvelope(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+                        valCol: String, maxPoints: Int = 2048): DataFrame =
+    cappedBy(df, tsCol, seriesCols, maxPoints)(
+      round(avg(col(valCol)), 4).as(s"${valCol}_avg"),
+      min(col(valCol)).as(s"${valCol}_min"),
+      max(col(valCol)).as(s"${valCol}_max"))
+
+  /** Shared cap machinery: roll `tsCol` up to the coarsest calendar unit
+    * (hour → day → week → month → quarter → year) that keeps the span
+    * under `maxPoints` buckets, re-aggregating with `aggs`. The span
+    * scalar comes from a 1-row min/max aggregate broadcast back into
+    * the plan (the repo's tiny-crossJoin idiom) — the whole operator
+    * stays lazy; below the threshold the bucket passes through
+    * unchanged (hour in = hour out), pinned in ServeSpec. */
+  private def cappedBy(df: DataFrame, tsCol: String, seriesCols: Seq[String],
+                       maxPoints: Int)(aggs: Column*): DataFrame = {
     require(maxPoints > 0, s"maxPoints must be positive, got $maxPoints")
     val bounds = df.agg(min(col(tsCol)).as("_t0"), max(col(tsCol)).as("_t1"))
     val spanH = (unix_timestamp(col("_t1")) - unix_timestamp(col("_t0"))).cast("double") / 3600.0
@@ -110,7 +135,7 @@ object PlotData {
     }
     df.crossJoin(broadcast(bounds))
       .groupBy(bucket.as(tsCol) +: seriesCols.map(col): _*)
-      .agg(sum(col(cntCol)).as(cntCol))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(tsCol, seriesCols: _*)
   }
 

@@ -72,4 +72,22 @@ class PlotDataSpec extends SparkSpec {
       .filter(col("s") =!= col("total_cnt")).count()
     assert(totals == 0) // per-client status counts sum to the client total
   }
+
+  test("capSeriesEnvelope: bounded points, min <= avg <= max, pass-through below threshold") {
+    // 400 daily points, one series — maxPoints=30 forces the month rollup
+    val daily = spark.range(400).select(
+      timestamp_seconds(lit(1700000000L) + col("id") * 86400).as("ts_day"),
+      (col("id") % 10).cast("double").as("v"))
+    val env = PlotData.capSeriesEnvelope(daily, "ts_day", Nil, "v", maxPoints = 30)
+      .collect()
+    assert(env.length <= 31 && env.length > 5, s"got ${env.length} buckets")
+    env.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3),
+        s"envelope must bracket the mean: $r")
+    }
+    // below the threshold the buckets pass through untouched
+    val thru = PlotData.capSeriesEnvelope(daily, "ts_day", Nil, "v", maxPoints = 4096)
+    assert(thru.count() == 400)
+    assert(thru.agg(max(col("v_max") - col("v_min"))).head.getDouble(0) == 0.0)
+  }
 }
