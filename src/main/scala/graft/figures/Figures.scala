@@ -374,7 +374,7 @@ object Figures {
     // daily volume with rolling z-score anomaly rings (w09 — beyond the
     // reference's chart set: the alerting extension of its daily series)
     val (dailySeries, rings) =
-      anomalySeries(graft.operators.Stats.dailyAnomalies(prep).collect())
+      boundedAnomalySeries(graft.operators.Stats.dailyAnomalies(prep))
     charts += lineChart("Daily query volume (anomalies ringed)",
       dailySeries, markers = rings)
 
@@ -410,18 +410,38 @@ object Figures {
     page("Pi-hole long-term stats", charts.result())
   }
 
-  /** w09 rows → ((status → daily series), anomaly rings with tooltip
-    * labels) — the one extraction both the static dashboard and the
-    * serve layer's interactive figure feed to [[lineChart]]. */
-  def anomalySeries(rows: Array[org.apache.spark.sql.Row])
+  /** w09 relation → ((status → volume series), anomaly rings with
+    * tooltip labels) — the one extraction both the static dashboard and
+    * the serve layer's interactive figure feed to [[lineChart]]. Takes
+    * the relation as a PLAN and splits the collect so neither leg is
+    * span-proportional. Detection stays daily in-plan (rolling the
+    * z-scores up would change what an anomaly IS); the display
+    * downsample caps each collected leg:
+    *  - volume series through [[PlotData.capSeries]] (daily counts roll
+    *    to the coarsest calendar unit that keeps ≤ ~2k points);
+    *  - rings only from `is_anomaly` rows — output ∝ anomalies, not
+    *    days — with a top-2048-by-|z| guard so even a pathological
+    *    everything-is-anomalous series cannot flood the driver. Ring
+    *    coordinates keep the anomalous DAY's (x, count) — on a
+    *    rolled-up chart the marker flags the day inside the coarser
+    *    bucket, which is exactly the zoom-in cue the chart is for. */
+  def boundedAnomalySeries(anoms: DataFrame)
       : (Seq[(String, Seq[(Long, Double)])], Seq[(Long, Double, String)]) = {
-    val series = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    import org.apache.spark.sql.functions._
+    val vol = PlotData.capSeries(
+      anoms.select(col("status_type"), col("date").cast("timestamp").as("ts_day"),
+        col("cnt")),
+      "ts_day", Seq("status_type"))
+    val series = vol.collect().groupBy(_.getString(1)).toSeq.sortBy(_._1)
       .map { case (st, rs) =>
-        st -> rs.map(r => (r.getDate(1).getTime, r.getLong(2).toDouble)).toSeq }
-    val rings = rows.filter(_.getBoolean(5)).map { r =>
-      (r.getDate(1).getTime, r.getLong(2).toDouble,
-        f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
-    }.toSeq
+        st -> rs.map(r => (r.getTimestamp(0).getTime, r.getLong(2).toDouble)).toSeq }
+    val rings = anoms.filter(col("is_anomaly"))
+      .orderBy(abs(col("z_score")).desc, col("date"), col("status_type"))
+      .limit(2048).collect()
+      .map { r =>
+        (r.getDate(1).getTime, r.getLong(2).toDouble,
+          f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
+      }.toSeq
     (series, rings)
   }
 

@@ -104,7 +104,7 @@ final class ServingCache(val prep: DataFrame, nClients: Int = 10) extends AutoCl
   /** SVG figure: daily volume with anomaly rings (the w09 chart, per
     * client filter). */
   def anomaliesFigure(client: Option[String]): String = {
-    val (series, rings) = Figures.anomalySeries(dailyAnomalies(client).collect())
+    val (series, rings) = Figures.boundedAnomalySeries(dailyAnomalies(client))
     val title = client.fold("Daily volume with anomaly flags")(c =>
       s"Daily volume with anomaly flags for $c")
     Figures.lineChart(title, series, markers = rings)

@@ -86,6 +86,16 @@ class ServeSpec extends SparkSpec {
       val a = cache.clientActivity(None).collect()
       assert(a.length <= 2049, s"activity slice must be bounded, got ${a.length}")
       assert(a.map(_.getLong(2)).sum == n)
+      // the anomaly figure's two collect legs are bounded too: volume
+      // series through capSeries (3,650 daily points -> weekly), rings
+      // only from flagged rows (none in this flat series)
+      val (series, rings) = graft.figures.Figures.boundedAnomalySeries(
+        cache.dailyAnomalies(None))
+      series.foreach { case (st, pts) =>
+        assert(pts.size <= 2049, s"series $st must be bounded, got ${pts.size}")
+      }
+      assert(series.map(_._2.map(_._2).sum).sum == n.toDouble)
+      assert(rings.isEmpty, "flat series must flag nothing")
       // below the threshold nothing changes — the sf0.001 cache slices
       // stay hourly (pinned by the "re-slices agree" test above, whose
       // direct side computes the raw hourly groupBy)
