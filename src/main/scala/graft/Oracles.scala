@@ -1357,6 +1357,46 @@ FROM allc a JOIN topc c USING(domain)"""
       |       ELSE 'train' END AS split
       |FROM reach2 GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // DSIR mirror: hashed 1/2-gram buckets (md5-prefix % 4096), Laplace-
+    // smoothed LLR vs the lang='en' target, Gumbel key from md5(seed:id),
+    // rank window = the engine's two-pass zipWithIndex rank
+    "p22_dsir_selected" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, w[CAST(i AS INTEGER)] AS gram
+        |  FROM toks, unnest(generate_series(1, len(w))) t(i)
+        |  UNION ALL
+        |  SELECT doc_id, lang, w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS gram
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+        |  WHERE len(w) >= 2),
+        |db AS (
+        |  SELECT doc_id, bool_or(lang = 'en') AS tgt,
+        |         (('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096) AS bucket,
+        |         count(*) AS c
+        |  FROM grams GROUP BY 1, 3),
+        |dist AS (SELECT bucket, sum(c) AS rawc, sum(c) FILTER (WHERE tgt) AS tgtc
+        |         FROM db GROUP BY 1),
+        |tot AS (SELECT sum(c) AS rtot, sum(c) FILTER (WHERE tgt) AS ttot FROM db),
+        |lr AS (SELECT bucket,
+        |         ln((coalesce(tgtc, 0) + 1.0) / (ttot + 4096.0))
+        |         - ln((rawc + 1.0) / (rtot + 4096.0)) AS logr
+        |       FROM dist, tot),
+        |scored AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_feats, round(sum(c * logr), 6) AS score
+        |  FROM db JOIN lr USING (bucket) GROUP BY 1),
+        |keyed AS (
+        |  SELECT *, round(score - ln(-ln(
+        |    ((('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT) + 0.5) / 4294967296.0)),
+        |    6) AS gumbel_key
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+        |  FROM keyed)
+        |SELECT doc_id, n_feats, score, gumbel_key, rank,
+        |       rank <= ceil(0.25 * (SELECT count(*) FROM documents)) AS selected
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
     "p16_curated_chunks" -> (CurationCtes + """,
       |kept AS (
       |  SELECT e.doc_id FROM exact_kept e JOIN qual q USING (doc_id)

@@ -234,6 +234,10 @@ object SparkEntry {
     "p18_shuffled_order"      -> ((s, d) => Sampling.shuffledOrder(Tables.documents(s, d))),
     "p20_leakage_safe_split"  -> ((s, d) => Sampling.leakageSafeSplit(Tables.documents(s, d))),
     "p21_leakage_safe_split_spans" -> ((s, d) => Sampling.leakageSafeSplitSpans(Tables.documents(s, d))),
+    // DSIR importance resampling toward the English subset as the target
+    // distribution (hashed 1/2-gram LLR scores, Gumbel-top-25%)
+    "p22_dsir_selected" -> ((s, d) =>
+      Sampling.dsirResample(Tables.documents(s, d), col("lang") === "en")),
     // semi-structured extraction from the raw events' JSON props
     "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
     "p10_json_typed"          -> ((s, d) => Preprocess.jsonPropsTyped(Tables.eventsRaw(s, d))),

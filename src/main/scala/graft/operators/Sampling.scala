@@ -189,6 +189,84 @@ object Sampling {
       .orderBy("shard", "shuffle_key")
   }
 
+  /** DSIR-style importance SCORING (Data Selection for Language Models
+    * via Importance Resampling, Xie et al. 2023 — the hashed-n-gram
+    * form): each document is scored by the log-likelihood ratio of its
+    * hashed unigram+bigram bag under the TARGET distribution (documents
+    * matching `targetPred`) vs the raw corpus distribution —
+    * `score(x) = Σ_f c_f(x) · [ln p̂_tgt(f) − ln p̂_raw(f)]`, with both
+    * distributions Laplace-smoothed over the fixed 4096-bucket hash
+    * space. Features are md5-prefix buckets of space-tokenized
+    * lowercase 1/2-grams, so the score is bit-reproducible across
+    * engines (no murmur seeds, no float feature vectors).
+    *
+    * Scale shape: one explode + ONE (doc_id, bucket) count aggregate
+    * over the gram stream (combiner-friendly: grams repeat within a
+    * doc); the distribution table is ≤ 4096 rows — it and the 1-row
+    * totals broadcast back, so the per-doc score join is map-side. At
+    * 100 TB nothing but the doc-keyed aggregate shuffles, and that is
+    * |doc × distinct-bucket| ≤ |tokens|. */
+  def dsirScores(docs: DataFrame, targetPred: Column): DataFrame = {
+    val B = 4096
+    val toks = split(lower(col("text")), " ")
+    val grams = docs
+      .select(col("doc_id"), targetPred.as("_tgt"),
+        explode(concat(graft.functions.word_ngrams(toks, 1),
+          graft.functions.word_ngrams(toks, 2))).as("gram"))
+    val byBucket = grams
+      .select(col("doc_id"), col("_tgt"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % B)
+          .as("bucket"))
+      .groupBy("doc_id", "_tgt", "bucket").agg(count(lit(1)).as("c"))
+    val dist = byBucket.groupBy("bucket")
+      .agg(sum("c").as("rawc"), sum(when(col("_tgt"), col("c"))).as("tgtc"))
+    val tot = byBucket.agg(sum("c").as("rtot"),
+      sum(when(col("_tgt"), col("c"))).as("ttot"))
+    val logr = dist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((coalesce(col("tgtc"), lit(0L)) + 1.0) / (col("ttot") + B.toDouble))
+          - log((col("rawc") + 1.0) / (col("rtot") + B.toDouble))).as("logr"))
+    byBucket.join(broadcast(logr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        round(sum(col("c") * col("logr")), 6).as("score"))
+  }
+
+  /** P22: DSIR importance RESAMPLING — keep the top `fraction` of the
+    * corpus by Gumbel-perturbed importance score (the Gumbel-top-k
+    * trick: adding i.i.d. Gumbel noise to log-weights and taking the
+    * top k IS sampling-without-replacement ∝ the weights, so the
+    * selection is diverse rather than a hard score cutoff; the noise is
+    * md5-derived from (seed, doc_id), fully reproducible). The global
+    * rank over the perturbed key is `zipWithIndex` over a
+    * range-partitioned sort — the Packing two-pass prefix-sum shape
+    * (O(partitions) driver bytes, no single-task Window); at 100 TB
+    * it's one range exchange, the price of any exact global top-f.
+    * Output: per-doc (n_feats, score, gumbel_key, rank, selected),
+    * doc_id-ordered; keys rounded to 6dp BEFORE ranking so the order is
+    * engine-portable, ties broken by doc_id. */
+  def dsirResample(docs: DataFrame, targetPred: Column,
+                   fraction: Double = 0.25, seed: Long = 0): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val u = (conv(substring(
+      md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    val keyed = dsirScores(docs, targetPred)
+      .withColumn("gumbel_key", round(col("score") - log(-log(u)), 6))
+    val sorted = keyed
+      .repartitionByRange(col("gumbel_key").desc, col("doc_id"))
+      .sortWithinPartitions(col("gumbel_key").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_feats"), col("score"), col("gumbel_key"))
+      .as[(Long, Long, Double, Double)]
+    val ranked = sorted.rdd.zipWithIndex
+      .map { case ((id, nf, sc, gk), idx) => (id, nf, sc, gk, idx + 1) }
+      .toDF("doc_id", "n_feats", "score", "gumbel_key", "rank")
+    val k = math.ceil(fraction * docs.count()).toLong
+    ranked.withColumn("selected", col("rank") <= k).orderBy("doc_id")
+  }
+
   /** Materialize the epoch order: range-partition on (shard, key) so
     * each output file holds a CONTIGUOUS slice of the global shuffle
     * order and files read in partition order replay it exactly — the

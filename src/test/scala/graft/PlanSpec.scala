@@ -255,4 +255,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val plan = executed(df).toString
     assert(plan.contains("LeftAnti") && plan.contains("Broadcast"), plan.take(800))
   }
+
+  test("p22 DSIR scoring: bucket table broadcasts, no Window anywhere") {
+    // the language-model side must stay a broadcast sliver (<= 4096-row
+    // distribution table) and the per-doc score a map-side join over the
+    // doc-keyed aggregate; a Window here would mean the global rank
+    // leaked into the scoring plan (the rank lives in the two-pass
+    // zipWithIndex, outside this plan)
+    val scored = graft.operators.Sampling.dsirScores(
+      Tables.documents(spark, dir),
+      org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = executed(scored).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Window"), "dsirScores must not plan a Window")
+    assert(!plan.contains("SortMergeJoin"),
+      "the distribution join must broadcast, not sort-merge")
+  }
 }

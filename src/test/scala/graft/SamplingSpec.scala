@@ -194,4 +194,32 @@ class SamplingSpec extends SparkSpec {
     val hashed = TextAnalysis.spanDedupHashed(d, 2).collect().map(_.toSeq).toSet
     assert(hashed == exact)
   }
+
+  test("DSIR: target-like docs outscore off-target; selection is exact top-fraction") {
+    // two vocabularies: en docs speak "alpha beta gamma", de docs
+    // "rot blau gruen" — the LLR toward the en target must separate them
+    val d = df(
+      "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+      (0 until 80).map { i =>
+        val t = if (i % 2 == 0) s"alpha beta gamma alpha delta${i % 5}"
+                else s"rot blau gruen rot gelb${i % 5}"
+        Row(i.toLong, t, if (i % 2 == 0) "en" else "de", t.length.toLong)
+      })
+    val r = Sampling.dsirResample(d, col("lang") === "en", fraction = 0.25)
+      .collect()
+    assert(r.length == 80)
+    val (en, de) = r.partition(_.getLong(0) % 2 == 0)
+    val enMean = en.map(_.getDouble(2)).sum / en.length
+    val deMean = de.map(_.getDouble(2)).sum / de.length
+    assert(enMean > deMean,
+      s"en-vocabulary docs must outscore de: $enMean vs $deMean")
+    // exact top-fraction: ceil(0.25*80) = 20 selected, and they are
+    // precisely the 20 best Gumbel keys
+    assert(r.count(_.getBoolean(5)) == 20)
+    val minSel = r.filter(_.getBoolean(5)).map(_.getDouble(3)).min
+    val maxUnsel = r.filterNot(_.getBoolean(5)).map(_.getDouble(3)).max
+    assert(minSel > maxUnsel, "selected set must be the top keys exactly")
+    // rank is a permutation of 1..n (the two-pass global rank is exact)
+    assert(r.map(_.getLong(4)).sorted.toSeq == (1L to 80L))
+  }
 }
