@@ -96,6 +96,23 @@ object Oracles {
         |  SELECT client FROM prep WHERE day_period = 'Night')
         |GROUP BY client ORDER BY client""".stripMargin),
 
+    "u05_union_all_dupes" -> p(
+      """SELECT status_type, count(*) AS cnt FROM (
+        |  SELECT status_type FROM prep UNION ALL SELECT status_type FROM prep)
+        |GROUP BY status_type ORDER BY status_type""".stripMargin),
+
+    // the salt must be result-invisible: the oracle is the PLAIN form
+    "u06_salted_count" -> p(
+      """SELECT client, count(*) AS cnt FROM prep
+        |GROUP BY client ORDER BY client""".stripMargin),
+
+    "u07_salted_join" -> p(
+      """SELECT p.status_type, d.status_total, count(*) AS cnt
+        |FROM prep p JOIN (SELECT status_type, count(*) AS status_total
+        |                  FROM prep GROUP BY status_type) d
+        |  ON p.status_type = d.status_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+
     "a32_argmax_single_pass" -> p(
       """SELECT status_type,
         |  arg_max(domain, lpad(CAST(cnt AS VARCHAR), 12, '0') || domain) AS top_domain,

@@ -57,6 +57,28 @@ object SparkEntry {
     "a27_client_quartiles"    -> ((s, d) => Stats.clientQuartiles(prep(s, d))),
     "u03_both_period_clients" -> ((s, d) => Stats.bothPeriodClients(prep(s, d))),
     "u04_day_minus_night_bag" -> ((s, d) => Stats.dayMinusNightBag(prep(s, d))),
+    // S3/U1 oracle-checked end-to-end: multi-source UNION ALL keeps
+    // duplicates (two reads of the same source double every count)
+    "u05_union_all_dupes" -> ((s, d) => {
+      val p = prep(s, d)
+      p.unionByName(p).groupBy("status_type")
+        .agg(count(lit(1)).as("cnt")).orderBy("status_type")
+    }),
+    // salted two-phase aggregate ≡ plain groupBy (the skew treatment
+    // must be result-invisible; spread itself is pinned in SkewSpec)
+    "u06_salted_count" -> ((s, d) =>
+      Skew.saltedCount(prep(s, d), "client", 8, Seq("id")).orderBy("client")),
+    // salted equi-join ≡ plain join: big side = prep, small side = the
+    // per-status totals dim; per-status joined-row count must equal the
+    // dim's own total (self-consistency the oracle re-derives)
+    "u07_salted_join" -> ((s, d) => {
+      val p = prep(s, d)
+      val dim = p.groupBy("status_type").agg(count(lit(1)).as("status_total"))
+      Skew.saltedJoin(p, dim, "status_type", 8, Seq("id"))
+        .groupBy("status_type", "status_total")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("status_type")
+    }),
     "a32_argmax_single_pass"  -> ((s, d) => Stats.argmaxDomainSinglePass(prep(s, d))),
     "a13_reply_stats"         -> ((s, d) => Stats.replyStats(prep(s, d))),
     "a14_slowest_domain"      -> ((s, d) => Stats.slowestDomain(prep(s, d))),

@@ -207,29 +207,64 @@ object Sampling {
     * 100 TB nothing but the doc-keyed aggregate shuffles, and that is
     * |doc × distinct-bucket| ≤ |tokens|. */
   def dsirScores(docs: DataFrame, targetPred: Column): DataFrame = {
-    val B = 4096
+    val bb = bucketCounts(docs, targetPred)
+    scoreOf(bb, distOf(bb))
+  }
+
+  /** The estimated language-model side alone: (bucket, rawc, tgtc)
+    * counts over the fixed 4096-bucket hash space — ≤ 4096 rows for ANY
+    * corpus size, the artifact a streaming ingest persists once at seed
+    * time ([[graft.streaming.StreamingDsir]]) and every later batch
+    * scores against. */
+  def dsirDistribution(docs: DataFrame, targetPred: Column): DataFrame =
+    distOf(bucketCounts(docs, targetPred))
+
+  /** Score `docs` against an ALREADY-ESTIMATED distribution table (the
+    * frozen-model form — the ANN layer's append-without-retrain story
+    * applied to DSIR: scoring new arrivals must not silently re-estimate
+    * the model, or earlier scores stop being comparable). Buckets the
+    * seed never saw take the Laplace default
+    * `ln((rtot+B)/(ttot+B))` — the smoothed LLR of a zero-count
+    * feature; in the self-scored batch form every bucket is present, so
+    * [[dsirScores]] is unchanged by this generalization. */
+  def dsirScoreAgainst(docs: DataFrame, dist: DataFrame): DataFrame =
+    scoreOf(bucketCounts(docs, lit(false)), dist)
+
+  private val DsirBuckets = 4096
+
+  /** (doc_id, _tgt, bucket, c): md5-prefix-hashed lowercase 1/2-gram
+    * counts — the one corpus-scale aggregate in the DSIR path. */
+  private def bucketCounts(docs: DataFrame, targetPred: Column): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    val grams = docs
+    docs
       .select(col("doc_id"), targetPred.as("_tgt"),
         explode(concat(graft.functions.word_ngrams(toks, 1),
           graft.functions.word_ngrams(toks, 2))).as("gram"))
-    val byBucket = grams
       .select(col("doc_id"), col("_tgt"),
-        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % B)
-          .as("bucket"))
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % DsirBuckets).as("bucket"))
       .groupBy("doc_id", "_tgt", "bucket").agg(count(lit(1)).as("c"))
-    val dist = byBucket.groupBy("bucket")
+  }
+
+  private def distOf(bb: DataFrame): DataFrame =
+    bb.groupBy("bucket")
       .agg(sum("c").as("rawc"), sum(when(col("_tgt"), col("c"))).as("tgtc"))
-    val tot = byBucket.agg(sum("c").as("rtot"),
-      sum(when(col("_tgt"), col("c"))).as("ttot"))
+
+  private def scoreOf(bb: DataFrame, dist: DataFrame): DataFrame = {
+    val B = DsirBuckets.toDouble
+    val tot = dist.agg(sum("rawc").as("rtot"),
+      coalesce(sum("tgtc"), lit(0L)).as("ttot"))
     val logr = dist.crossJoin(broadcast(tot))
       .select(col("bucket"),
-        (log((coalesce(col("tgtc"), lit(0L)) + 1.0) / (col("ttot") + B.toDouble))
-          - log((col("rawc") + 1.0) / (col("rtot") + B.toDouble))).as("logr"))
-    byBucket.join(broadcast(logr), "bucket")
+        (log((coalesce(col("tgtc"), lit(0L)) + 1.0) / (col("ttot") + B))
+          - log((col("rawc") + 1.0) / (col("rtot") + B))).as("logr"))
+    bb.join(broadcast(logr), Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_lr", coalesce(col("logr"),
+        log((col("rtot") + B) / (col("ttot") + B))))
       .groupBy("doc_id")
       .agg(sum("c").as("n_feats"),
-        round(sum(col("c") * col("logr")), 6).as("score"))
+        round(sum(col("c") * col("_lr")), 6).as("score"))
   }
 
   /** P22: DSIR importance RESAMPLING — keep the top `fraction` of the

@@ -534,4 +534,41 @@ class StreamingSpec extends SparkSpec {
     assert(cellsOf(StreamingAnnIndex.ivfAssignments(spark, s"$dir/ivf")) == streamedIvf)
     assert(codesOf(StreamingAnnIndex.pqCodes(spark, s"$dir/pq")) == streamedPq)
   }
+
+  test("streaming DSIR: drained scores against the seeded model equal batch dsirScores") {
+    import graft.streaming.StreamingDsir
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 24).map { i =>
+      val t = if (i % 2 == 0) s"alpha beta gamma delta${i % 3}"
+              else s"rot blau gruen gelb${i % 3}"
+      (i.toLong, t, if (i % 2 == 0) "en" else "de")
+    }
+    val schema = "doc_id BIGINT, text STRING, lang STRING"
+    val all = df(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    // model frozen from the eventual corpus → stream must equal batch
+    StreamingDsir.seed(all, s"$dir/dist",
+      org.apache.spark.sql.functions.col("lang") === "en")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingDsir.start(input.toDS().toDF("doc_id", "text", "lang"),
+      s"$dir/dist", s"$dir/scores", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(rows.take(10))
+      q.processAllAvailable()
+      input.addData(rows.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = key(StreamingDsir.scoresTable(spark, s"$dir/scores"))
+    val batch = key(graft.operators.Sampling.dsirScores(all,
+      org.apache.spark.sql.functions.col("lang") === "en"))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // replay idempotence: re-ingesting batch 0 under its batchId changes nothing
+    val b0 = df(schema, rows.take(10).map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)))
+    StreamingDsir.ingestBatch(b0, 0L, s"$dir/dist", s"$dir/scores")
+    assert(key(StreamingDsir.scoresTable(spark, s"$dir/scores")) == streamed)
+  }
 }
