@@ -250,18 +250,30 @@ object Sampling {
     bb.groupBy("bucket")
       .agg(sum("c").as("rawc"), sum(when(col("_tgt"), col("c"))).as("tgtc"))
 
+  /** The model side LOCALIZES: `dist` is ≤ 4096 rows by construction, so
+    * it is collected once and the log-ratio table enters the scoring
+    * plan as a broadcast LocalRelation (the ZOrder quantile-cuts idiom —
+    * an O(4096) driver sketch, not a data collect). Keeping it in-plan
+    * cost three full gram-aggregate passes over the corpus (dist, its
+    * totals, and scoring each re-derived the explode+count); localized,
+    * self-scoring is two corpus passes and a streaming batch scores in
+    * ONE. */
   private def scoreOf(bb: DataFrame, dist: DataFrame): DataFrame = {
+    val spark = bb.sparkSession
+    import spark.implicits._
     val B = DsirBuckets.toDouble
-    val tot = dist.agg(sum("rawc").as("rtot"),
-      coalesce(sum("tgtc"), lit(0L)).as("ttot"))
-    val logr = dist.crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        (log((coalesce(col("tgtc"), lit(0L)) + 1.0) / (col("ttot") + B))
-          - log((col("rawc") + 1.0) / (col("rtot") + B))).as("logr"))
+    val rows = dist.select(col("bucket").cast("long"),
+      col("rawc").cast("long"), coalesce(col("tgtc"), lit(0L)).cast("long"))
+      .collect()
+    val rtot = rows.map(_.getLong(1)).sum.toDouble
+    val ttot = rows.map(_.getLong(2)).sum.toDouble
+    val default = math.log((rtot + B) / (ttot + B))
+    val logr = rows.toSeq.map(r => (r.getLong(0),
+      math.log((r.getLong(2) + 1.0) / (ttot + B))
+        - math.log((r.getLong(1) + 1.0) / (rtot + B))))
+      .toDF("bucket", "logr")
     bb.join(broadcast(logr), Seq("bucket"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("_lr", coalesce(col("logr"),
-        log((col("rtot") + B) / (col("ttot") + B))))
+      .withColumn("_lr", coalesce(col("logr"), lit(default)))
       .groupBy("doc_id")
       .agg(sum("c").as("n_feats"),
         round(sum(col("c") * col("_lr")), 6).as("score"))
@@ -295,7 +307,7 @@ object Sampling {
       .sortWithinPartitions(col("gumbel_key").desc, col("doc_id"))
       .select(col("doc_id"), col("n_feats"), col("score"), col("gumbel_key"))
       .as[(Long, Long, Double, Double)]
-    val ranked = sorted.rdd.zipWithIndex
+    val ranked = sorted.rdd.zipWithIndex()
       .map { case ((id, nf, sc, gk), idx) => (id, nf, sc, gk, idx + 1) }
       .toDF("doc_id", "n_feats", "score", "gumbel_key", "rank")
     val k = math.ceil(fraction * docs.count()).toLong
