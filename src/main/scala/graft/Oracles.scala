@@ -1414,6 +1414,20 @@ FROM allc a JOIN topc c USING(domain)"""
         |       rank <= ceil(0.25 * (SELECT count(*) FROM documents)) AS selected
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
+    // temperature-sampling mirror: rate = (n/nmin)^(alpha-1) rounded 6dp,
+    // membership = the same md5-uniform draw the engine projects
+    "p23_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang, n, round(pow(n::DOUBLE / nmin, -0.7), 6) AS rate FROM c, m)
+        |SELECT d.lang, r.n AS total,
+        |  count(*) FILTER (WHERE
+        |    ((('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT) + 0.5) / 4294967296.0
+        |      < r.rate) AS kept,
+        |  r.rate
+        |FROM documents d JOIN r USING (lang)
+        |GROUP BY 1, 2, 4 ORDER BY 1""".stripMargin,
+
     "p16_curated_chunks" -> (CurationCtes + """,
       |kept AS (
       |  SELECT e.doc_id FROM exact_kept e JOIN qual q USING (doc_id)

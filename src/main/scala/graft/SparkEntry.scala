@@ -260,6 +260,9 @@ object SparkEntry {
     // distribution (hashed 1/2-gram LLR scores, Gumbel-top-25%)
     "p22_dsir_selected" -> ((s, d) =>
       Sampling.dsirResample(Tables.documents(s, d), col("lang") === "en")),
+    // temperature rebalancing (XLM-R-style alpha-sampling) by language
+    "p23_temperature_sample" -> ((s, d) =>
+      Sampling.temperatureSummary(Tables.documents(s, d), "lang", 0.3)),
     // semi-structured extraction from the raw events' JSON props
     "p08_json_props"          -> ((s, d) => Preprocess.jsonPropsRollup(Tables.eventsRaw(s, d))),
     "p10_json_typed"          -> ((s, d) => Preprocess.jsonPropsTyped(Tables.eventsRaw(s, d))),

@@ -165,6 +165,55 @@ object Sampling {
         col("p.id").as("doc_id"), col("p.score").as("quality_score"))
       .orderBy("source", "rank")
 
+  /** Temperature-based group rebalancing (the multilingual-pretraining
+    * α-sampling recipe — resample groups toward `share^α`, α < 1
+    * flattening the distribution so rare languages/sources stop being
+    * drowned): with group counts n_g, the keep-rate is
+    * `r_g = (n_g / n_min)^(α−1)` — the rarest group keeps everything,
+    * a group k× larger keeps k^(α−1) of itself; the kept corpus's group
+    * shares are then ∝ n_g^α, the temperature-T = 1/α softmax of the
+    * original shares. Rates round to 6dp (engine-portable pow) and
+    * membership is the md5-uniform u < r_g test — deterministic,
+    * reproducible, composable with every other md5-keyed stage.
+    *
+    * Scale: the rate table is |groups| rows (broadcast); membership is
+    * a pure projection riding the scan. One tiny aggregate, no
+    * corpus-scale shuffle. */
+  def temperatureRates(docs: DataFrame, groupCol: String = "lang",
+                       alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min("n").as("nmin"))
+    counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol), col("n"),
+        round(pow(col("n").cast("double") / col("nmin"), alpha - 1.0), 6)
+          .as("rate"))
+  }
+
+  /** P23: the rebalanced corpus — docs whose md5-uniform draw falls
+    * under their group's temperature rate. */
+  def temperatureSample(docs: DataFrame, groupCol: String = "lang",
+                        alpha: Double = 0.3): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    docs.join(broadcast(temperatureRates(docs, groupCol, alpha)), groupCol)
+      .filter(u < col("rate"))
+  }
+
+  /** Per-group audit of the α-sample: total, kept, and the rate — the
+    * oracle-checked summary relation. Computed from the PRE-filter join
+    * (conditional count), so a group the draw empties still reports its
+    * kept=0 row instead of vanishing. */
+  def temperatureSummary(docs: DataFrame, groupCol: String = "lang",
+                         alpha: Double = 0.3): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    docs.join(broadcast(temperatureRates(docs, groupCol, alpha)), groupCol)
+      .groupBy(groupCol).agg(first("n").as("total"),
+        count(when(u < col("rate"), 1)).as("kept"), first("rate").as("rate"))
+      .orderBy(groupCol)
+  }
+
   /** Deterministic per-document shuffle key: md5 over (seed, doc key) —
     * reproducible across engines/runs (unlike rand(seed), whose stream
     * depends on partitioning), re-seedable per epoch, and ORDER-SAFE:

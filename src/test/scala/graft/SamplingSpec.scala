@@ -195,6 +195,28 @@ class SamplingSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("temperature sampling: rarest group keeps all, larger groups flatten toward share^alpha") {
+    // 320 en vs 40 de (8:1): rate_de = 1, rate_en = 8^(0.3-1) ≈ 0.233
+    val d = df(
+      "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+      (0 until 360).map(i =>
+        Row(i.toLong, "t", if (i < 320) "en" else "de", 1L)))
+    val s = Sampling.temperatureSummary(d, "lang", 0.3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (deTotal, deKept, deRate) = s("de")
+    val (enTotal, enKept, enRate) = s("en")
+    assert(deRate == 1.0 && deKept == deTotal, "rarest group keeps everything")
+    assert(math.abs(enRate - math.pow(8.0, -0.7)) < 1e-6)
+    // kept share flattens: en was 8x de, must now be well under 8x
+    assert(enKept.toDouble / deKept < 0.5 * (enTotal.toDouble / deTotal),
+      s"shares must flatten: kept en=$enKept de=$deKept")
+    // md5-uniform: kept count lands near rate*total (loose 2x bounds)
+    assert(enKept > enTotal * enRate * 0.5 && enKept < enTotal * enRate * 2.0)
+    // membership relation agrees with the summary's conditional count
+    assert(Sampling.temperatureSample(d, "lang", 0.3).count() == deKept + enKept)
+  }
+
   test("DSIR: target-like docs outscore off-target; selection is exact top-fraction") {
     // two vocabularies: en docs speak "alpha beta gamma", de docs
     // "rot blau gruen" — the LLR toward the en target must separate them
