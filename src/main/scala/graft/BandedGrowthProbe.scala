@@ -43,7 +43,7 @@ object BandedGrowthProbe {
   /** Single-table candidate count via the per-bucket closed form —
     * Σ c·(c−1)/2 without generating the pairs. */
   def singleTableCandidates(emb: DataFrame, planes: Int): Long = {
-    val dim = 64
+    val dim = graft.operators.Similarity.embeddingDim(emb)
     emb.select(graft.operators.Similarity.bucketId(col("embedding"), planes, dim).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("pairs"))
@@ -53,7 +53,7 @@ object BandedGrowthProbe {
   /** Banded candidate count: the distinct union the production operator
     * verifies — same signature relation as Similarity.nearDupPairsLsh. */
   def bandedCandidates(emb: DataFrame, planes: Int, tables: Int): Long = {
-    val dim = 64
+    val dim = graft.operators.Similarity.embeddingDim(emb)
     val sigs = emb.select(col("vec_id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           graft.operators.Similarity.bucketId(col("embedding"), planes, dim, t * planes)

@@ -1355,7 +1355,8 @@ FROM allc a JOIN topc c USING(domain)"""
       |  SELECT doc_id,
       |         array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ') AS seg
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
-      |       unnest(generate_series(0, greatest(0, (len(w) - 1) // 8))) t(i)),
+      |       unnest(generate_series(0, greatest(0, (len(w) - 1) // 8))) t(i)
+      |  WHERE len(string_split(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' '), ' ')) = 8),
       |span_owner AS (SELECT seg, min(doc_id) AS owner FROM segs2 GROUP BY seg),
       |span_edges AS (
       |  SELECT DISTINCT o.owner AS i, s.doc_id AS j

@@ -428,21 +428,38 @@ object Figures {
   def boundedAnomalySeries(anoms: DataFrame)
       : (Seq[(String, Seq[(Long, Double)])], Seq[(Long, Double, String)]) = {
     import org.apache.spark.sql.functions._
-    val vol = PlotData.capSeries(
-      anoms.select(col("status_type"), col("date").cast("timestamp").as("ts_day"),
-        col("cnt")),
-      "ts_day", Seq("status_type"))
-    val series = vol.collect().groupBy(_.getString(1)).toSeq.sortBy(_._1)
-      .map { case (st, rs) =>
-        st -> rs.map(r => (r.getTimestamp(0).getTime, r.getLong(2).toDouble)).toSeq }
-    val rings = anoms.filter(col("is_anomaly"))
-      .orderBy(abs(col("z_score")).desc, col("date"), col("status_type"))
-      .limit(2048).collect()
-      .map { r =>
-        (r.getDate(1).getTime, r.getLong(2).toDouble,
-          f"${r.getString(0)} anomaly: ${r.getLong(2)} (z=${r.getDouble(4)}%.1f)")
-      }.toSeq
-    (series, rings)
+    // both collect legs re-execute this plan (a scan + groupBy + rolling
+    // window in the static path) — persist the O(days × status) relation
+    // around them so detection runs once per render. Only unpersist what
+    // WE persisted (the ZOrder writer's guard)
+    val own = anoms.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (own) anoms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else anoms
+    try {
+      val vol = PlotData.capSeries(
+        cached.select(col("status_type"), col("date").cast("timestamp").as("ts_day"),
+          col("cnt")),
+        "ts_day", Seq("status_type"))
+      val series = vol.collect().groupBy(_.getString(1)).toSeq.sortBy(_._1)
+        .map { case (st, rs) =>
+          st -> rs.map(r => (r.getTimestamp(0).getTime, r.getLong(2).toDouble)).toSeq }
+      // ring x-coordinates take the SAME date→timestamp cast as the
+      // series (session timezone): java.sql.Date.getTime renders in the
+      // JVM default zone, which would shift every marker off its line
+      // point on a non-UTC host
+      val rings = cached.filter(col("is_anomaly"))
+        .orderBy(abs(col("z_score")).desc, col("date"), col("status_type"))
+        .limit(2048)
+        .select(col("date").cast("timestamp").as("ts_day"), col("status_type"),
+          col("cnt"), col("z_score"))
+        .collect()
+        .map { r =>
+          (r.getTimestamp(0).getTime, r.getLong(2).toDouble,
+            f"${r.getString(1)} anomaly: ${r.getLong(2)} (z=${r.getDouble(3)}%.1f)")
+        }.toSeq
+      (series, rings)
+    } finally if (own) cached.unpersist(blocking = false)
   }
 
   /** Render and write; returns the path for convenience. */

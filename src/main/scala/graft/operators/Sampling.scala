@@ -109,7 +109,13 @@ object Sampling {
     require(testBuckets >= 0 && valBuckets >= 0 && testBuckets + valBuckets < 256,
       s"test+val buckets must fit below 256, got $testBuckets + $valBuckets")
     val dupEdges = Dedup.verifiedPairs(docs, threshold).select("i", "j")
+    // FULL windows only: spanRel also emits each doc's trailing partial
+    // chunk (down to one word — t11 wants that, C4 scrubs tails too),
+    // but as LEAKAGE EDGES short tails are hubs: every doc ending in
+    // "thanks" would chain into one giant split component through a
+    // 1-word "span" that leaks nothing
     val segs = TextAnalysis.spanRel(docs, window).select("doc_id", "seg")
+      .filter(size(split(col("seg"), " ")) === window)
     val owner = segs.groupBy("seg").agg(min("doc_id").as("i"))
     val spanEdges = segs.join(owner, Seq("seg"))
       .filter(col("doc_id") =!= col("i"))
@@ -118,8 +124,12 @@ object Sampling {
     val labels = ConnectedComponents
       .minLabelOverEndpoints(dupEdges.unionByName(spanEdges))
       .select(col("node").as("doc_id"), col("label"))
+    // NO broadcast hint, unlike p20: near-dup clusters are a corpus
+    // sliver, but span-sharing docs need not be — a universal footer
+    // puts most of a boilerplate-heavy corpus into `labels`. Let AQE
+    // pick broadcast when it IS small
     val rep = docs.select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .withColumn("rep_id", coalesce(col("label"), col("doc_id")))
     def below(n: Int): Column =
       if (n == 0) lit(false) else hashBucketPred(col("rep_id"), n)
@@ -356,6 +366,11 @@ object Sampling {
       .sortWithinPartitions(col("gumbel_key").desc, col("doc_id"))
       .select(col("doc_id"), col("n_feats"), col("score"), col("gumbel_key"))
       .as[(Long, Long, Double, Double)]
+    // zipWithIndex runs a per-partition count job before the result job,
+    // but both derive from this ONE RDD instance, so the scoring stages
+    // up to the range exchange compute once and the second job reads the
+    // existing shuffle files (skipped stages) — the same shuffle-reuse
+    // Packing's two-pass prefix sum leans on; no persist needed
     val ranked = sorted.rdd.zipWithIndex()
       .map { case ((id, nf, sc, gk), idx) => (id, nf, sc, gk, idx + 1) }
       .toDF("doc_id", "n_feats", "score", "gumbel_key", "rank")

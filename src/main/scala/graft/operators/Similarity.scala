@@ -518,7 +518,7 @@ object Similarity {
     * type doesn't carry its length in the schema). Empty corpus → a
     * placeholder width so downstream plans still build and return empty
     * results instead of throwing (Verify runs queries blind). */
-  private def embeddingDim(emb: DataFrame): Int =
+  private[graft] def embeddingDim(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(64)
 

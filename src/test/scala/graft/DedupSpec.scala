@@ -196,13 +196,13 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // exact duplicates share every plane sign → recall 1 on them
-    val dup = emb.limit(1).select(lit(90001L).as("vec_id"),
+    val dup = emb.orderBy("vec_id").limit(1).select(lit(90001L).as("vec_id"),
       col("embedding"), col("label"))
     val withDup = emb.unionByName(dup)
     val pairs = Similarity.nearDupPairsLsh(withDup, 0.4)
       .select("i", "j", "cos").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val origId = emb.limit(1).select("vec_id").head.getLong(0)
+    val origId = emb.orderBy("vec_id").limit(1).select("vec_id").head.getLong(0)
     assert(pairs.get((origId, 90001L)).contains(1.0))
     // blocking only ever DROPS pairs relative to the all-pairs form
     val brute = withDup.alias("a").join(withDup.alias("b"),
@@ -219,7 +219,7 @@ class DedupSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // the exact-dup fixture the verdict names: an exact copy must pair
     // under BOTH blockings (it agrees on every plane of every table)
-    val dup = emb.limit(1).select(lit(90001L).as("vec_id"),
+    val dup = emb.orderBy("vec_id").limit(1).select(lit(90001L).as("vec_id"),
       col("embedding"), col("label"))
     val withDup = emb.unionByName(dup)
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -230,7 +230,7 @@ class DedupSpec extends SparkSpec {
     // candidate set is a superset by construction — verified pairs too
     assert(single.subsetOf(banded),
       s"banded must dominate: missing ${(single -- banded).take(5)}")
-    val origId = emb.limit(1).select("vec_id").head.getLong(0)
+    val origId = emb.orderBy("vec_id").limit(1).select("vec_id").head.getLong(0)
     assert(banded.contains((origId, 90001L)) && single.contains((origId, 90001L)))
   }
 
@@ -239,7 +239,7 @@ class DedupSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // two extra exact copies of one vector → with the original they form
     // (at least) a 3-member semantic cluster whose min id is canonical
-    val base = emb.limit(1)
+    val base = emb.orderBy("vec_id").limit(1)
     val withDups = emb
       .unionByName(base.select(lit(90001L).as("vec_id"), col("embedding"), col("label")))
       .unionByName(base.select(lit(90002L).as("vec_id"), col("embedding"), col("label")))
