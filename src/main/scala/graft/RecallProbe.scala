@@ -35,6 +35,9 @@ object RecallProbe {
         graft.operators.Similarity.knnLshSingleProbe(
           Tables.embeddings(spark, sfDir), 5, 10, planes = 4)),
       "s06_knn_lsh_multiprobe" -> query("s06_knn_lsh_multiprobe"),
+      "knn_lsh_multiprobe_r2" -> (() =>
+        graft.operators.Similarity.knnLshMultiprobe(
+          Tables.embeddings(spark, sfDir), 5, 10, planes = 4, radius = 2)),
       "s04_knn_ivf" -> query("s04_knn_ivf"),
       "s05_knn_ivf_trained" -> query("s05_knn_ivf_trained"),
       "s08_knn_pq" -> query("s08_knn_pq"))

@@ -156,18 +156,26 @@ object Similarity {
   }
 
   /** Multi-probe LSH: each query probes its own bucket PLUS every bucket
-    * at Hamming distance 1 (one hyperplane flipped) — the standard recall
-    * lever for sign-pattern LSH. A near neighbor lands in a different
-    * bucket only when some hyperplane separates the pair; flipping that
-    * one bit finds it. Cost: planes+1 probes per query (queries are the
+    * within Hamming distance `radius` (hyperplanes flipped) — the
+    * standard recall lever for sign-pattern LSH. A near neighbor lands
+    * in a different bucket only when some hyperplanes separate the
+    * pair; flipping those bits finds it. Cost: 1 + planes probes per
+    * query at radius 1, + C(planes,2) at radius 2 (queries are the
     * broadcast side, so the candidate scan is unchanged); no pair can
-    * appear twice because a candidate lives in exactly one bucket. */
+    * appear twice because a candidate lives in exactly one bucket.
+    * Radius is the recall/probe-count dial — measured per radius in
+    * SCALE.md's recall table (RecallProbe). */
   def knnLshMultiprobe(emb: DataFrame, nQueries: Int, k: Int,
-                       planes: Int = 8): DataFrame = {
+                       planes: Int = 8, radius: Int = 1): DataFrame = {
+    require(radius == 1 || radius == 2, s"radius 1 or 2, got $radius")
     val withB = emb.select(col("vec_id"), col("embedding"),
       bucketId(col("embedding"), planes, embeddingDim(emb)).as("bucket"))
-    val probes = array(col("bucket") +:
-      (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val flips1 = (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val flips2 =
+      if (radius < 2) Nil
+      else for { a <- 0 until planes; b <- a + 1 until planes }
+        yield col("bucket").bitwiseXOR(lit((1L << a) | (1L << b)))
+    val probes = array(col("bucket") +: (flips1 ++ flips2): _*)
     val q = withB.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"), explode(probes).as("bucket"))

@@ -234,6 +234,24 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((origId, 90001L)) && single.contains((origId, 90001L)))
   }
 
+  test("multiprobe radius 2: recall vs brute never drops below radius 1") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = neighbors(Similarity.knnBrute(emb, 3, 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      truth.map { case (q, t) =>
+        neighbors(df).getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    val r1 = recall(Similarity.knnLshMultiprobe(emb, 3, 5, planes = 4, radius = 1))
+    val r2 = recall(Similarity.knnLshMultiprobe(emb, 3, 5, planes = 4, radius = 2))
+    // the r2 probe set is a superset of r1's, so every r1 candidate is
+    // scored again and the exact top-k can only improve
+    assert(r2 >= r1, s"radius-2 recall $r2 must dominate radius-1 $r1")
+  }
+
   test("s10 semantic clusters: transitive closure over near-dup pairs, min-id keeper") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -295,4 +295,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("capSeries conserves volume and honors the point bound at random spans") {
+    // random span (hours..decades) and cap — at every draw the in-plan
+    // rollup must (a) keep <= maxPoints+1 buckets per series, (b) sum
+    // counts exactly (a lossy downsample would quietly corrupt charts),
+    // (c) pass hour buckets through untouched below the threshold
+    val caseGen = for {
+      hours <- Gen.choose(10, 200000)
+      step <- Gen.choose(1, 48)
+      cap <- Gen.oneOf(24, 100, 2048)
+    } yield (hours, step, cap)
+    for (seed <- 1L to 6L) {
+      val (hours, step, cap) = sample(caseGen, seed)
+      val n = math.max(2, hours / step)
+      val hourly = spark.range(n).select(
+        timestamp_seconds(lit(1400000000L) + col("id") * (step * 3600L)).as("ts_hour"),
+        lit("Allowed").as("status_type"),
+        (col("id") % 7 + 1).as("cnt"))
+      val capped = graft.operators.PlotData
+        .capSeries(hourly, "ts_hour", Seq("status_type"), maxPoints = cap)
+        .collect()
+      assert(capped.length <= cap + 1,
+        s"seed=$seed hours=$hours step=$step cap=$cap got ${capped.length}")
+      val expect = hourly.agg(sum("cnt")).head.getLong(0)
+      assert(capped.map(_.getLong(2)).sum == expect, s"seed=$seed volume must conserve")
+      if ((n - 1).toLong * step <= cap) {
+        // span under the hour threshold: input passes through untouched
+        assert(capped.length == n, s"seed=$seed pass-through must keep all buckets")
+      }
+    }
+  }
 }
