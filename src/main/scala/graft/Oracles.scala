@@ -2318,10 +2318,10 @@ FROM allc a JOIN topc c USING(domain)"""
     // hash-mismatches here
     "m05_decoded_headers" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
         |  CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
         |  CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INTEGER) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS data_len
         |FROM documents ORDER BY doc_id""".stripMargin
   )

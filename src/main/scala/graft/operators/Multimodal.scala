@@ -136,6 +136,30 @@ object Multimodal {
     else Some((le32(18), le32(22), le16(28)))
   }
 
+  /** Parse a JPEG SOI + marker-segment chain to the first SOF frame
+    * header (ITU T.81 §B.2.2 — public format): returns
+    * (width, height, precision, header_end_offset). Unlike PNG's fixed
+    * IHDR offset, JPEG dimensions live behind a VARIABLE segment chain
+    * (APP0/JFIF, quantization tables, …), so this is a real marker walk:
+    * skip each FF-marker segment by its 2-byte big-endian length until a
+    * SOF0–SOF15 frame marker (excluding DHT/JPG/DAC at C4/C8/CC, which
+    * share the nibble but carry no dimensions). */
+  private[graft] def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(o: Int) = b(o) & 0xff
+    def be16(o: Int) = (u8(o) << 8) | u8(o + 1)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var o = 2
+    while (o + 3 < b.length && u8(o) == 0xFF) {
+      val m = u8(o + 1)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        if (o + 8 >= b.length) return None
+        return Some((be16(o + 7), be16(o + 5), u8(o + 4), o + 2 + be16(o + 2)))
+      }
+      o += 2 + be16(o + 2)
+    }
+    None
+  }
+
   /** Little-endian 32-bit hex of an int column (BMP's byte order):
     * byte-swap the big-endian `hex()` rendering. */
   private def leHex32(c: Column): Column = {
@@ -143,15 +167,17 @@ object Multimodal {
     concat(substring(be, 7, 2), substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
   }
 
-  /** Media payloads with REAL format headers: even doc_ids get a PNG
+  /** Media payloads with REAL format headers, cycling doc_id % 3: PNG
     * signature + IHDR (big-endian dims, depth 8, color type 2 = RGB;
-    * zero CRC — [[parsePng]] documents that it does not verify CRC), odd
-    * doc_ids a BMP file header + BITMAPINFOHEADER (little-endian dims,
-    * 24 bpp). The "pixel data" stand-in is the doc text's UTF-8. Built
-    * from pure expressions on (doc_id, text) — hex string concat +
-    * `unhex` — so the DuckDB oracle reproduces the construction and the
-    * hash compare proves the engine's byte-level PARSING returns exactly
-    * the dimensions the builder encoded. */
+    * zero CRC — [[parsePng]] documents that it does not verify CRC), a
+    * BMP file header + BITMAPINFOHEADER (little-endian dims, 24 bpp),
+    * and a JPEG SOI + APP0/JFIF + SOF0 chain (big-endian dims behind a
+    * variable segment walk — the APP0 exists precisely to exercise
+    * [[parseJpeg]]'s skip loop). The "pixel data" stand-in is the doc
+    * text's UTF-8. Built from pure expressions on (doc_id, text) — hex
+    * string concat + `unhex` — so the DuckDB oracle reproduces the
+    * construction and the hash compare proves the engine's byte-level
+    * PARSING returns exactly the dimensions the builder encoded. */
   def attachEncodedMedia(docs: DataFrame): DataFrame = {
     val w = (lit(64) + (col("doc_id") % 16) * 8).cast("int")
     val h = (lit(64) + (col("doc_id") % 9) * 8).cast("int")
@@ -163,8 +189,16 @@ object Multimodal {
       lit("424D" + "00000000" + "0000" + "0000" + "36000000" + "28000000"),
       leHex32(w), leHex32(h),
       lit("0100" + "1800" + "0" * 48))
+    // SOI; APP0 len 16 (JFIF\0, v1.1, densities); SOF0 len 17
+    // (precision 8, H, W, 3 components)
+    val jpegHex = concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "00" + "00" + "FFC0" + "0011" + "08"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03" + "011100" + "021101" + "031101"))
     docs.select(col("doc_id"),
-      concat(unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(bmpHex)),
+      concat(unhex(when(col("doc_id") % 3 === 0, pngHex)
+          .when(col("doc_id") % 3 === 1, bmpHex).otherwise(jpegHex)),
         encode(col("text"), "UTF-8")).as("media"))
   }
 
@@ -195,7 +229,11 @@ object Multimodal {
           case Some((w, h, d, _)) => Row(id, "png", w, h, d, b.length - 33)
           case None => parseBmp(b) match {
             case Some((w, h, bpp)) => Row(id, "bmp", w, h, bpp, b.length - 54)
-            case None => Row(id, "raw", null, null, null, b.length)
+            case None => parseJpeg(b) match {
+              case Some((w, h, prec, end)) =>
+                Row(id, "jpeg", w, h, prec, b.length - end)
+              case None => Row(id, "raw", null, null, null, b.length)
+            }
           }
         }
       }

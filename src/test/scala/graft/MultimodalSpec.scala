@@ -99,18 +99,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(wide).contains((513, 2, 24)))
   }
 
-  test("decodeHeaders: engine-built PNG/BMP payloads round-trip through the parsers") {
+  test("parseJpeg walks the marker chain to SOF (big-endian dims behind APP0)") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI + APP0(JFIF, len 16) + SOF0(len 17, precision 8, 2x3) + data
+    val jpeg = hx("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0001" + "0001" + "0000" + "FFC0" + "0011" + "08" + "0002" + "0003" +
+      "03" + "011100" + "021101" + "031101") ++ "data!".getBytes("UTF-8")
+    assert(Multimodal.parseJpeg(jpeg).contains((3, 2, 8, 39)))
+    // progressive SOF2 carries dims the same way
+    val prog = hx("FFD8" + "FFC2" + "0011" + "08" + "0101" + "0202" +
+      "03" + "011100" + "021101" + "031101")
+    assert(Multimodal.parseJpeg(prog).contains((0x202, 0x101, 8, 21)))
+    // DHT (C4) shares the SOF nibble but is NOT a frame header — skip it
+    val dht = hx("FFD8" + "FFC4" + "0004" + "0000" + "FFC0" + "0011" + "08" +
+      "0002" + "0003" + "03" + "011100" + "021101" + "031101")
+    assert(Multimodal.parseJpeg(dht).map(t => (t._1, t._2, t._3)).contains((3, 2, 8)))
+    // rejects: truncated mid-SOF, no SOI, no SOF before end
+    assert(Multimodal.parseJpeg(jpeg.take(24)).isEmpty)
+    assert(Multimodal.parseJpeg("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.parseJpeg(hx("FFD8FFE000100000000000000000000000000000")).isEmpty)
+  }
+
+  test("decodeHeaders: engine-built PNG/BMP/JPEG payloads round-trip through the parsers") {
     val out = Multimodal.decodeHeaders(docs).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
-    // even doc_ids → png with big-endian dims; odd → bmp little-endian
+    // doc_id % 3 cycles png (big-endian) / bmp (little-endian) / jpeg
+    // (big-endian behind the APP0 skip)
     assert(out(0L) == (("png", 64, 64, 8, "hello world".getBytes("UTF-8").length)))
     assert(out(1L) == (("bmp", 72, 72, 24, "abc".getBytes("UTF-8").length)))
-    assert(out(2L) == (("png", 80, 80, 8, 0)))
-    assert(out(5L) == (("bmp", 104, 104, 24, "video doc".getBytes("UTF-8").length)))
+    assert(out(2L) == (("jpeg", 80, 80, 8, 0)))
+    assert(out(5L) == (("jpeg", 104, 104, 8, "video doc".getBytes("UTF-8").length)))
     // the attached payloads are REAL headers: parse them directly too
     val media = Multimodal.attachEncodedMedia(docs).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     assert(Multimodal.parsePng(media(0L)).contains((64, 64, 8, 2)))
-    assert(Multimodal.parseBmp(media(5L)).contains((104, 104, 24)))
+    assert(Multimodal.parseBmp(media(1L)).contains((72, 72, 24)))
+    assert(Multimodal.parseJpeg(media(5L)).map(t => (t._1, t._2, t._3))
+      .contains((104, 104, 8)))
   }
 }
