@@ -2311,7 +2311,7 @@ FROM allc a JOIN topc c USING(domain)"""
         |WHERE ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] = 'video'
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // m05: the engine PARSES real PNG/BMP header bytes it attached
+    // m05: the engine PARSES real PNG/BMP/JPEG header bytes it attached
     // (attachEncodedMedia builds them from (doc_id, text) expressions);
     // the oracle re-derives the encoded dimensions from the same
     // arithmetic, so a byte-order or offset mistake in the parser

@@ -151,11 +151,17 @@ object Multimodal {
     var o = 2
     while (o + 3 < b.length && u8(o) == 0xFF) {
       val m = u8(o + 1)
-      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
-        if (o + 8 >= b.length) return None
-        return Some((be16(o + 7), be16(o + 5), u8(o + 4), o + 2 + be16(o + 2)))
+      if (m == 0xFF) o += 1 // fill byte (B.1.1.2): FF padding before a marker
+      else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        val end = o + 2 + be16(o + 2)
+        // the WHOLE frame segment must be in-buffer — the width check
+        // alone would accept a mid-SOF truncation and report a
+        // past-the-end header boundary (negative trailing-data length)
+        return if (o + 8 < b.length && end <= b.length)
+          Some((be16(o + 7), be16(o + 5), u8(o + 4), end))
+        else None
       }
-      o += 2 + be16(o + 2)
+      else o += 2 + be16(o + 2)
     }
     None
   }
@@ -212,11 +218,13 @@ object Multimodal {
 
   /** The header-decode stage over real format bytes: route each payload
     * by magic number, parse dimensions/depth from the actual header
-    * layout (PNG big-endian, BMP little-endian), report the trailing
-    * data length. Same init-once `mapPartitions` shape as
-    * [[extractFeatures]]; unlike it, the byte-walk here implements two
-    * PUBLIC file formats from their specs — MultimodalSpec pins the
-    * parsers against a real 1×1 PNG and a hand-assembled BMP. */
+    * layout (PNG big-endian, BMP little-endian, JPEG big-endian behind
+    * a variable marker chain), report the trailing data length. Same
+    * init-once `mapPartitions` shape as [[extractFeatures]]; unlike it,
+    * the byte-walk here implements three PUBLIC file formats from their
+    * specs — MultimodalSpec pins the parsers against a real 1×1 PNG, a
+    * hand-assembled BMP, and JPEG marker-chain cases (progressive SOF2,
+    * DHT skip, fill bytes, truncation rejects). */
   def decodeHeaders(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val src = attachEncodedMedia(docs)

@@ -241,10 +241,12 @@ class DedupSpec extends SparkSpec {
       df.select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val truth = neighbors(Similarity.knnBrute(emb, 3, 5))
-    def recall(df: org.apache.spark.sql.DataFrame): Double =
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = neighbors(df) // one job per frame, not one per truth query
       truth.map { case (q, t) =>
-        neighbors(df).getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
       }.sum / truth.size
+    }
     val r1 = recall(Similarity.knnLshMultiprobe(emb, 3, 5, planes = 4, radius = 1))
     val r2 = recall(Similarity.knnLshMultiprobe(emb, 3, 5, planes = 4, radius = 2))
     // the r2 probe set is a superset of r1's, so every r1 candidate is

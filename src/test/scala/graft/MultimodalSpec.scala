@@ -115,7 +115,14 @@ class MultimodalSpec extends SparkSpec {
     val dht = hx("FFD8" + "FFC4" + "0004" + "0000" + "FFC0" + "0011" + "08" +
       "0002" + "0003" + "03" + "011100" + "021101" + "031101")
     assert(Multimodal.parseJpeg(dht).map(t => (t._1, t._2, t._3)).contains((3, 2, 8)))
-    // rejects: truncated mid-SOF, no SOI, no SOF before end
+    // fill bytes (B.1.1.2): FF padding before the marker must be skipped
+    val filled = hx("FFD8" + "FFFF" + "FFC2" + "0011" + "08" + "0101" + "0202" +
+      "03" + "011100" + "021101" + "031101")
+    assert(Multimodal.parseJpeg(filled).map(t => (t._1, t._2)).contains((0x202, 0x101)))
+    // rejects: truncated mid-SOF (width bytes present, segment cut —
+    // must NOT report a past-the-end header boundary), earlier cut,
+    // no SOI, no SOF before end
+    assert(Multimodal.parseJpeg(jpeg.take(30)).isEmpty)
     assert(Multimodal.parseJpeg(jpeg.take(24)).isEmpty)
     assert(Multimodal.parseJpeg("not a jpeg".getBytes).isEmpty)
     assert(Multimodal.parseJpeg(hx("FFD8FFE000100000000000000000000000000000")).isEmpty)
