@@ -1412,7 +1412,7 @@ FROM allc a JOIN topc c USING(domain)"""
         |  SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
         |  FROM keyed)
         |SELECT doc_id, n_feats, score, gumbel_key, rank,
-        |       rank <= ceil(0.25 * (SELECT count(*) FROM documents)) AS selected
+        |       rank <= ceil(0.25 * (SELECT count(*) FROM scored)) AS selected
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
     // temperature-sampling mirror: rate = (n/nmin)^(alpha-1) rounded 6dp,

@@ -422,9 +422,14 @@ object Figures {
     *  - rings only from `is_anomaly` rows — output ∝ anomalies, not
     *    days — with a top-2048-by-|z| guard so even a pathological
     *    everything-is-anomalous series cannot flood the driver. Ring
-    *    coordinates keep the anomalous DAY's (x, count) — on a
-    *    rolled-up chart the marker flags the day inside the coarser
-    *    bucket, which is exactly the zoom-in cue the chart is for. */
+    *    coordinates SNAP to the containing display bucket of their
+    *    status's plotted series (x = bucket start, y = the bucket's
+    *    plotted sum) so markers land ON the line even when daily points
+    *    rolled up to weeks/months — the anomalous day's date and daily
+    *    count stay in the tooltip label (day in = day out below the
+    *    rollup threshold, where bucket == day and the snap is identity).
+    *    The snap is an O(rings · log buckets) driver-side search over
+    *    the already-collected ≤ ~2k-point legs — no extra Spark job. */
   def boundedAnomalySeries(anoms: DataFrame)
       : (Seq[(String, Seq[(Long, Double)])], Seq[(Long, Double, String)]) = {
     import org.apache.spark.sql.functions._
@@ -448,15 +453,36 @@ object Figures {
       // series (session timezone): java.sql.Date.getTime renders in the
       // JVM default zone, which would shift every marker off its line
       // point on a non-UTC host
+      // per-status ascending bucket starts for the snap's floor search
+      val legIndex: Map[String, IndexedSeq[(Long, Double)]] =
+        series.map { case (st, pts) => st -> pts.toIndexedSeq }.toMap
+      def snap(st: String, dayMs: Long, dailyY: Double): (Long, Double) =
+        legIndex.get(st) match {
+          case Some(pts) if pts.nonEmpty =>
+            // greatest bucket start <= the day (buckets are date_trunc
+            // starts, so the containing bucket is the floor neighbor)
+            var lo = 0; var hi = pts.length - 1
+            if (dayMs < pts(0)._1) pts(0)
+            else {
+              while (lo < hi) {
+                val mid = (lo + hi + 1) >>> 1
+                if (pts(mid)._1 <= dayMs) lo = mid else hi = mid - 1
+              }
+              pts(lo)
+            }
+          case _ => (dayMs, dailyY) // no plotted leg: keep daily coords
+        }
       val rings = cached.filter(col("is_anomaly"))
         .orderBy(abs(col("z_score")).desc, col("date"), col("status_type"))
         .limit(2048)
         .select(col("date").cast("timestamp").as("ts_day"), col("status_type"),
-          col("cnt"), col("z_score"))
+          col("cnt"), col("z_score"), col("date").cast("string").as("day_str"))
         .collect()
         .map { r =>
-          (r.getTimestamp(0).getTime, r.getLong(2).toDouble,
-            f"${r.getString(1)} anomaly: ${r.getLong(2)} (z=${r.getDouble(3)}%.1f)")
+          val (x, y) = snap(r.getString(1), r.getTimestamp(0).getTime,
+            r.getLong(2).toDouble)
+          (x, y,
+            f"${r.getString(1)} anomaly on ${r.getString(4)}: ${r.getLong(2)} (z=${r.getDouble(3)}%.1f)")
         }.toSeq
       (series, rings)
     } finally if (own) cached.unpersist(blocking = false)

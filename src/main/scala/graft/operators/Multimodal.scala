@@ -161,6 +161,15 @@ object Multimodal {
           Some((be16(o + 7), be16(o + 5), u8(o + 4), end))
         else None
       }
+      // SOS (DA) starts entropy-coded scan data and EOI (D9) ends the
+      // image: a compliant frame header always precedes SOS, so reaching
+      // either without an SOF means no dimensions exist — stop, don't
+      // misread scan bytes as a length-prefixed segment (B.2.3/B.2.1).
+      else if (m == 0xDA || m == 0xD9) return None
+      // standalone markers carry NO length field (B.1.1.3): TEM (01) and
+      // RST0-7 (D0-D7) are exactly 2 bytes; a length read here would
+      // desync the walk into whatever bytes follow
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) o += 2
       else o += 2 + be16(o + 2)
     }
     None

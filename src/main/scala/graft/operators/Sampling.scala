@@ -259,6 +259,14 @@ object Sampling {
     * lowercase 1/2-grams, so the score is bit-reproducible across
     * engines (no murmur seeds, no float feature vectors).
     *
+    * NOT lazy: estimating the model EXECUTES a Spark job at call time —
+    * the ≤ 4096-row (bucket, rawc, tgtc) distribution is collected to
+    * the driver so the log-ratio table enters the returned plan as a
+    * broadcast LocalRelation (see [[scoreOf]]; keeping the model
+    * in-plan cost a third full gram-aggregate pass). Callers that need
+    * deferred execution should persist [[dsirDistribution]] once and
+    * score batches with [[dsirScoreAgainst]].
+    *
     * Scale shape: one explode + ONE (doc_id, bucket) count aggregate
     * over the gram stream (combiner-friendly: grams repeat within a
     * doc); the distribution table is ≤ 4096 rows — it and the 1-row
@@ -348,6 +356,10 @@ object Sampling {
     * range-partitioned sort — the Packing two-pass prefix-sum shape
     * (O(partitions) driver bytes, no single-task Window); at 100 TB
     * it's one range exchange, the price of any exact global top-f.
+    * `fraction` is of the SCORED pool (docs with ≥ 1 hashed gram —
+    * featureless docs carry no importance weight and are absent from
+    * the output either way), so k comes from the rank pass's own
+    * per-partition counts and the corpus is never re-scanned to size it.
     * Output: per-doc (n_feats, score, gumbel_key, rank, selected),
     * doc_id-ordered; keys rounded to 6dp BEFORE ranking so the order is
     * engine-portable, ties broken by doc_id. */
@@ -366,15 +378,24 @@ object Sampling {
       .sortWithinPartitions(col("gumbel_key").desc, col("doc_id"))
       .select(col("doc_id"), col("n_feats"), col("score"), col("gumbel_key"))
       .as[(Long, Long, Double, Double)]
-    // zipWithIndex runs a per-partition count job before the result job,
-    // but both derive from this ONE RDD instance, so the scoring stages
-    // up to the range exchange compute once and the second job reads the
-    // existing shuffle files (skipped stages) — the same shuffle-reuse
-    // Packing's two-pass prefix sum leans on; no persist needed
-    val ranked = sorted.rdd.zipWithIndex()
-      .map { case ((id, nf, sc, gk), idx) => (id, nf, sc, gk, idx + 1) }
-      .toDF("doc_id", "n_feats", "score", "gumbel_key", "rank")
-    val k = math.ceil(fraction * docs.count()).toLong
+    // Hand-rolled zipWithIndex (the Packing two-pass prefix sum): the
+    // count job's per-partition sizes give BOTH the rank offsets and the
+    // scored-pool total, so k costs no extra corpus action (the old
+    // docs.count() was a third full pass). Both jobs derive from this
+    // ONE RDD instance, so the scoring stages up to the range exchange
+    // compute once and the second job reads the existing shuffle files
+    // (skipped stages); no persist needed.
+    val srdd = sorted.rdd
+    val counts = srdd.sparkContext.runJob(srdd,
+      (it: Iterator[(Long, Long, Double, Double)]) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val k = math.ceil(fraction * offsets.last).toLong
+    val ranked = srdd.mapPartitionsWithIndex { (pi, it) =>
+      var r = offsets(pi)
+      it.map { case (id, nf, sc, gk) => r += 1; (id, nf, sc, gk, r) }
+    }.toDF("doc_id", "n_feats", "score", "gumbel_key", "rank")
     ranked.withColumn("selected", col("rank") <= k).orderBy("doc_id")
   }
 

@@ -83,6 +83,32 @@ class FiguresSpec extends SparkSpec {
     assert(hm.contains("#f6f6f6")) // NaN cell renders blank, not zero
   }
 
+  test("anomaly rings snap to the rolled-up bucket's plotted point") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    import spark.implicits._
+    // 3,000 daily points force the display rollup past daily (weekly
+    // buckets); baseline varies (constant would give sd=0, z undefined)
+    // and one spiked day mid-series is the anomaly
+    val daily = (0 until 3000).map { d =>
+      ("Allowed", java.time.LocalDate.of(2015, 1, 1).plusDays(d).toString,
+        if (d == 1500) 500.0 else (10 + d % 3).toDouble)
+    }.toDF("status_type", "date", "cnt")
+      .withColumn("date", to_date(col("date")))
+    val (series, rings) = Figures.boundedAnomalySeries(
+      graft.operators.Stats.dailyAnomaliesFrom(daily))
+    val allowed = series.toMap.apply("Allowed")
+    assert(allowed.size < 3000, "series must have rolled up")
+    assert(rings.nonEmpty, "the spike must be flagged")
+    // every ring sits ON a plotted point of its leg (x AND y), with the
+    // daily detail preserved in the tooltip label
+    val pts = allowed.toSet
+    rings.foreach { case (x, y, label) =>
+      assert(pts.contains((x, y)), s"ring ($x,$y) not on the plotted line")
+      assert(label.contains("on 2019-"), s"label keeps the day: $label")
+      assert(label.contains(": 500 "), s"label keeps the daily count: $label")
+    }
+  }
+
   test("labels are XML-escaped") {
     val html = Figures.hbarChart("t", Seq("""a<b>&"c""" -> 1.0))
     assert(html.contains("a&lt;b&gt;&amp;&quot;c"))

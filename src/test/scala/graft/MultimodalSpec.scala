@@ -126,6 +126,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpeg(jpeg.take(24)).isEmpty)
     assert(Multimodal.parseJpeg("not a jpeg".getBytes).isEmpty)
     assert(Multimodal.parseJpeg(hx("FFD8FFE000100000000000000000000000000000")).isEmpty)
+    // standalone markers (B.1.1.3) carry NO length field: RST0 and TEM in
+    // the pre-SOF chain are exactly 2 bytes each — a bogus length read
+    // here desyncs the walk (RST's next 2 bytes would be misread as a
+    // segment length and the SOF skipped)
+    val rst = hx("FFD8" + "FFD0" + "FF01" + "FFC0" + "0011" + "08" +
+      "0002" + "0003" + "03" + "011100" + "021101" + "031101")
+    assert(Multimodal.parseJpeg(rst).map(t => (t._1, t._2, t._3)).contains((3, 2, 8)))
+    // SOS before any SOF means dimensions are unreachable — the walk must
+    // STOP rather than treat entropy-coded scan bytes (here FFC0-looking
+    // garbage inside the scan) as markers
+    val sos = hx("FFD8" + "FFDA" + "0008" + "01011100" + "FFC0" + "0011" + "08" +
+      "0002" + "0003" + "03" + "011100" + "021101" + "031101")
+    assert(Multimodal.parseJpeg(sos).isEmpty)
+    // premature EOI: stop, no dims
+    assert(Multimodal.parseJpeg(hx("FFD8" + "FFD9" + "FFC0" + "0011" + "08" +
+      "0002" + "0003" + "03" + "011100" + "021101" + "031101")).isEmpty)
   }
 
   test("decodeHeaders: engine-built PNG/BMP/JPEG payloads round-trip through the parsers") {
