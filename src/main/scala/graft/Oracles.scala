@@ -1801,6 +1801,32 @@ FROM allc a JOIN topc c USING(domain)"""
   private def bandedMatch(tables: Int): String =
     (0 until tables).map(t => s"a.b$t = c.b$t").mkString(" OR ")
 
+  /** The scalar CTE carrying the ADAPTIVE plane count — mirrors
+    * Similarity.adaptivePlanes (smallest p with 64·2^p ≥ n, floor 4):
+    * `greatest(4, ceil(log2(n/64.0)))` agrees with the engine's integer
+    * form exactly, including at power-of-two boundaries where log2 is
+    * exact in IEEE arithmetic. */
+  private val adaptivePlanesCte: String =
+    "pp AS (SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INTEGER)) AS planes FROM embeddings)"
+
+  /** Adaptive variant of [[lshBucket]]: bit j of table t participates
+    * only when j < pp.planes, and the global plane id t·planes + j is
+    * computed at runtime so the md5 plane stream stays aligned with
+    * Similarity.bucketId's `planeOffset = t·planes` regardless of the
+    * corpus-sized plane count. `maxPlanes` bounds the generated terms
+    * (12 covers corpora to 64·2¹² ≈ 262k vectors — far past any SF the
+    * driver verifies). */
+  private def adaptiveLshBucket(maxPlanes: Int, table: Int): String =
+    (0 until maxPlanes).map { j =>
+      val pid = s"CAST($table * pp.planes + $j AS VARCHAR)"
+      val pc = s"(CASE WHEN ascii(substr(md5($pid || ':' || (i-1)),1,1))%2=1 THEN 1.0 ELSE -1.0 END)"
+      s"(CASE WHEN $j < pp.planes AND list_reduce(list_transform(v,(x,i)->x*$pc),(a,b)->a+b) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("\n         + ")
+
+  private def adaptiveBandedBuckets(maxPlanes: Int, tables: Int): String =
+    (0 until tables).map(t => s"${adaptiveLshBucket(maxPlanes, t)} AS b$t")
+      .mkString(",\n       ")
+
   /** One IVF Lloyd iteration over the 64-dim double vectors. */
   private def lloydCte(prev: String, out: String): String =
     s"""asg_$out AS (
@@ -1993,16 +2019,20 @@ FROM allc a JOIN topc c USING(domain)"""
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.4
         |ORDER BY a.label, i, j""".stripMargin,
 
-    // the banded-LSH near-dup twin (round 10): 4 independent 4-plane
-    // hash tables (plane offsets 0/4/8/12 of the same md5 stream as
-    // s02/s06), candidate = same bucket in ANY table — the OR predicate
-    // is set-equal to Spark's per-table union + distinct — then exact
-    // cosine verify on the candidate sliver
+    // the banded-LSH near-dup twin (round 10): 4 independent hash tables
+    // over the s02/s06 md5 plane stream, candidate = same bucket in ANY
+    // table — the OR predicate is set-equal to Spark's per-table union +
+    // distinct — then exact cosine verify on the candidate sliver. Since
+    // round 11 the per-table plane count is ADAPTIVE (pp CTE, mirrors
+    // Similarity.adaptivePlanes): 4 at the ≤1024-vector oracle SFs
+    // (bit-identical to the old fixed form), growing with the corpus so
+    // bucket occupancy stays O(1).
     "s09_near_dups_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$adaptivePlanesCte,
          |b AS (SELECT vec_id, v,
-         |       ${bandedBuckets(4, 4)}
-         |       FROM e)
+         |       ${adaptiveBandedBuckets(12, 4)}
+         |       FROM e, pp)
          |SELECT a.vec_id AS i, c.vec_id AS j,
          |       round(list_cosine_similarity(a.v, c.v), 6) AS cos
          |FROM b a JOIN b c ON a.vec_id < c.vec_id
@@ -2017,9 +2047,10 @@ FROM allc a JOIN topc c USING(domain)"""
     "s10_semantic_clusters" ->
       s"""WITH RECURSIVE
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$adaptivePlanesCte,
          |b AS (SELECT vec_id, v,
-         |       ${bandedBuckets(4, 4)}
-         |       FROM e),
+         |       ${adaptiveBandedBuckets(12, 4)}
+         |       FROM e, pp),
          |cands AS (
          |  SELECT a.vec_id AS i, c.vec_id AS j
          |  FROM b a JOIN b c ON a.vec_id < c.vec_id
@@ -2323,7 +2354,37 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 24 ELSE 8 END AS INTEGER) AS bit_depth,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS data_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m06: the engine DECODES real BMP pixel arrays (stride, padding,
+    // bottom-up, BGR) that attachBmpMedia expression-built; the oracle
+    // never sees the bytes — it recomputes the per-channel stats from
+    // the pixel-value formula (doc_id*31 + y*7 + x*3 + c) % 256 over the
+    // image grid, so any byte-layout misread on the engine side (padding
+    // counted as pixels, rows not reversed, channels swapped) diverges.
+    // mean_ppm = floor(sum*1e6 / n): exact integer arithmetic on both
+    // engines, immune to float-rounding drift.
+    "m06_bmp_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(5 + d.doc_id % 8 AS INTEGER) AS pw,
+        |         CAST(3 + d.doc_id % 5 AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         (d.doc_id*31 + y.y*7 + x.x*3 + 0) % 256 AS b,
+        |         (d.doc_id*31 + y.y*7 + x.x*3 + 1) % 256 AS g,
+        |         (d.doc_id*31 + y.y*7 + x.x*3 + 2) % 256 AS r
+        |  FROM documents d, range(7) y(y), range(12) x(x)
+        |  WHERE y.y < 3 + d.doc_id % 5 AND x.x < 5 + d.doc_id % 8)
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(b) AS INTEGER) AS b_min, CAST(max(b) AS INTEGER) AS b_max,
+        |  CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS b_mean_ppm,
+        |  CAST(min(g) AS INTEGER) AS g_min, CAST(max(g) AS INTEGER) AS g_max,
+        |  CAST(sum(g) * 1000000 // count(*) AS BIGINT) AS g_mean_ppm,
+        |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
+        |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (b + 2*g + 3*r)) % 1000000007 AS BIGINT) AS wsum
+        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

@@ -733,12 +733,34 @@ object Similarity {
     * caught by several tables BEFORE the embedding fetch, so each
     * surviving pair is verified exactly once. EXACT duplicates agree
     * on every plane of every table (recall 1 on them, pinned). */
-  def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 4,
+  /** Production plane schedule (`planes = 0` = auto): enough planes that
+    * the EXPECTED bucket occupancy stays ≤ `targetBucket` vectors
+    * (2^planes ≈ n / targetBucket — the smallest p with
+    * targetBucket·2^p ≥ n, integer arithmetic so the oracle's
+    * `ceil(log2(n/64.0))` agrees exactly at power-of-two boundaries),
+    * floored at 4 — the fixed oracle parameterization — so corpora up to
+    * 16·targetBucket vectors (the sf0.001/sf0.01 oracle regime) produce
+    * bit-identical candidates to the fixed form, while large corpora
+    * keep per-table candidate work at O(targetBucket·n) regardless of n:
+    * the bucket count SCALES WITH the corpus instead of the buckets
+    * themselves. Recall cost per added plane is bounded by the banding
+    * (miss ≈ (1−(1−θ/π)^planes)^tables). */
+  def adaptivePlanes(n: Long, targetBucket: Int = 64): Int = {
+    var p = 0
+    while ((targetBucket.toLong << p) < n && p < 24) p += 1
+    math.max(4, p)
+  }
+
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 0,
                       tables: Int = 4): DataFrame = {
     val dim = embeddingDim(emb)
+    // auto schedule sizes off the corpus: one count(*) metadata-level job
+    // (parquet row-group counts — no column IO), the price any index
+    // build pays for parameter selection
+    val p = if (planes > 0) planes else adaptivePlanes(emb.count())
     val sigs = emb.select(col("vec_id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
-          bucketId(col("embedding"), planes, dim, t * planes).as("bucket"))): _*)).as("s"))
+          bucketId(col("embedding"), p, dim, t * p).as("bucket"))): _*)).as("s"))
       .select(col("vec_id"), col("s.tbl").as("tbl"), col("s.bucket").as("bucket"))
     val cands = sigs.as("l").join(sigs.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
@@ -793,7 +815,7 @@ object Similarity {
     * emitted cluster has ≥ 2 members by construction (an endpoint
     * always shares its cluster with its pair partner). */
   def semanticClusters(emb: DataFrame, threshold: Double = 0.4,
-                       planes: Int = 4, tables: Int = 4,
+                       planes: Int = 0, tables: Int = 4,
                        maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairsLsh(emb, threshold, planes, tables).select("i", "j")
     val labels = ConnectedComponents.minLabelOverEndpoints(pairs, maxIter)

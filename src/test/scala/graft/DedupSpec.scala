@@ -234,6 +234,21 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((origId, 90001L)) && single.contains((origId, 90001L)))
   }
 
+  test("adaptive plane schedule: floor 4 through the oracle regime, then grows with log2(n)") {
+    // the oracle-SF regime (n ≤ 1024 = 64·2⁴) must stay at the fixed
+    // parameterization so s09/s10's DuckDB mirror is bit-identical there
+    assert(Similarity.adaptivePlanes(1) == 4)
+    assert(Similarity.adaptivePlanes(500) == 4)   // sf0.001 / sf0.01
+    assert(Similarity.adaptivePlanes(1024) == 4)  // exact boundary
+    assert(Similarity.adaptivePlanes(1025) == 5)
+    assert(Similarity.adaptivePlanes(2000) == 5)  // sf0.1
+    assert(Similarity.adaptivePlanes(2048) == 5)  // power-of-two boundary
+    assert(Similarity.adaptivePlanes(2049) == 6)
+    // bucket occupancy stays O(targetBucket): n/2^planes ≤ 64 everywhere
+    for (n <- Seq(10000L, 1000000L, 1000000000L))
+      assert(n.toDouble / (1L << Similarity.adaptivePlanes(n)) <= 64.0)
+  }
+
   test("multiprobe radius 2: recall vs brute never drops below radius 1") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

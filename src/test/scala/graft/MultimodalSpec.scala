@@ -161,4 +161,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpeg(media(5L)).map(t => (t._1, t._2, t._3))
       .contains((104, 104, 8)))
   }
+
+  test("decodeBmp recovers known pixels: stride padding skipped, rows un-reversed, BGR kept") {
+    // 3×2 @ 24 bpp: rowSize = ((9+3)/4)*4 = 12 → 3 pad bytes/row, filled
+    // with 0xEE junk — a decoder that walks rowSize*3 bytes naively or
+    // miscomputes the stride will ingest them and every stat shifts.
+    // Image rows (BGR): y=0 → (1,2,3)(4,5,6)(7,8,9); y=1 → (10..18).
+    // STORED bottom-up: y=1's row first.
+    val bb = java.nio.ByteBuffer.allocate(54 + 24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(78).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(3).putInt(2).putShort(1).putShort(24)
+    bb.putInt(0).putInt(24).putInt(0).putInt(0).putInt(0).putInt(0)
+    Seq(10, 11, 12, 13, 14, 15, 16, 17, 18).foreach(v => bb.put(v.toByte))
+    (1 to 3).foreach(_ => bb.put(0xEE.toByte))
+    (1 to 9).foreach(v => bb.put(v.toByte))
+    (1 to 3).foreach(_ => bb.put(0xEE.toByte))
+    val Some((w, h, px)) = Multimodal.decodeBmp(bb.array())
+    assert((w, h) == ((3, 2)))
+    assert(px.toSeq == (1 to 18)) // image order, top row first, BGR
+    // rejects: 8-bpp, compressed, truncated pixel array
+    val bpp8 = bb.array().clone(); bpp8(28) = 8
+    assert(Multimodal.decodeBmp(bpp8).isEmpty)
+    val rle = bb.array().clone(); rle(30) = 1
+    assert(Multimodal.decodeBmp(rle).isEmpty)
+    assert(Multimodal.decodeBmp(bb.array().take(70)).isEmpty)
+  }
+
+  test("bmpPixelStats: builder→decoder round-trip matches the pixel formula exactly") {
+    val out = Multimodal.bmpPixelStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 5L)) // every payload decodes
+    for ((id, r) <- out) {
+      val pw = 5 + (id % 8).toInt; val ph = 3 + (id % 5).toInt
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((pw, ph, pw.toLong * ph)))
+      val vals = for (y <- 0 until ph; x <- 0 until pw; c <- 0 until 3)
+        yield (x, y, c, Multimodal.pixelValue(id, x, y, c))
+      def chan(c: Int) = vals.collect { case (_, _, `c`, v) => v }
+      // (min, max, mean_ppm) per channel straight from the formula
+      for (c <- 0 until 3) {
+        val vs = chan(c); val base = 4 + c * 3
+        assert(r.getInt(base) == vs.min, s"doc $id chan $c min")
+        assert(r.getInt(base + 1) == vs.max, s"doc $id chan $c max")
+        assert(r.getLong(base + 2) == vs.map(_.toLong).sum * 1000000L / vs.size,
+          s"doc $id chan $c mean_ppm")
+      }
+      val wsum = vals.groupBy(t => (t._1, t._2)).toSeq.map { case ((x, y), ts) =>
+        val byC = ts.map(t => t._3 -> t._4).toMap
+        (y.toLong * pw + x + 1) * (byC(0) + 2L * byC(1) + 3L * byC(2))
+      }.sum % 1000000007L
+      assert(r.getLong(13) == wsum, s"doc $id weighted checksum")
+    }
+    // the builder's payload is a REAL file: the header parser reads it too
+    val media = Multimodal.attachBmpMedia(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Multimodal.parseBmp(media(5L)).contains((10, 3, 24)))
+  }
 }
