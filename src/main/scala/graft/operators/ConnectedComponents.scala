@@ -87,12 +87,49 @@ object ConnectedComponents {
     * difference between joining the whole corpus per round and joining
     * the duplicate sliver. The pairs are localCheckpoint'ed so the
     * (possibly expensive) verification plan above them runs once, not
-    * once for nodes plus once for edges. */
-  def minLabelOverEndpoints(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * once for nodes plus once for edges.
+    *
+    * Size-gated execution (the broadcast-join analogy, decided from the
+    * materialized checkpoint's count, which is free): a pair sliver
+    * under `driverFoldMax` edges (default 200k ≈ 3 MB) resolves through
+    * a driver-side union-find — exact same fixpoint (merges always keep
+    * the smaller root, so every root IS its component's min id), one
+    * collect of the sliver instead of diameter+1 join/agg/checkpoint
+    * rounds whose per-round fixed cost dominates small graphs. Beyond
+    * the gate, the distributed min-label iteration runs unchanged — at
+    * real dedup scale the pair relation is orders of magnitude past any
+    * driver, and THAT is the path the 100 TB design is judged on; the
+    * gate only removes iteration overhead where the data never needed a
+    * cluster in the first place. */
+  def minLabelOverEndpoints(pairs: DataFrame, maxIter: Int = 20,
+                            driverFoldMax: Long = 200000L): DataFrame = {
     val p = pairs.localCheckpoint()
-    val nodes = p.select(col("i").as("node"))
-      .unionByName(p.select(col("j").as("node"))).distinct()
-    minLabel(nodes, p, maxIter)
+    if (p.count() <= driverFoldMax) {
+      val spark = p.sparkSession
+      val edges = p.select(col("i").cast("long"), col("j").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (i, j) =>
+        parent.getOrElseUpdate(i, i); parent.getOrElseUpdate(j, j)
+        val (ri, rj) = (find(i), find(j))
+        // attach the LARGER root under the smaller: the invariant that
+        // makes every root the component min without a second pass
+        if (ri < rj) parent(rj) = ri else if (rj < ri) parent(ri) = rj
+      }
+      import spark.implicits._
+      parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "label")
+    } else {
+      val nodes = p.select(col("i").as("node"))
+        .unionByName(p.select(col("j").as("node"))).distinct()
+      minLabel(nodes, p, maxIter)
+    }
   }
 
   /** The O(log n)-round accelerant: alternating large-star/small-star

@@ -78,6 +78,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels == Set(1L))
   }
 
+  test("size-gated driver union-find equals the distributed iteration on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val pairs = Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // driver fold (gate passes at this size)
+      val folded = ConnectedComponents.minLabelOverEndpoints(pairsDf(pairs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // force the distributed path with a zero gate
+      val iterated = ConnectedComponents
+        .minLabelOverEndpoints(pairsDf(pairs), maxIter = 40, driverFoldMax = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(folded == iterated, s"trial=$trial")
+    }
+    // long chain: union-find has no diameter bound — 500-node chain folds
+    // to min 1 without touching maxIter
+    val chain = (1L until 500L).map(i => (i, i + 1))
+    val labels = ConnectedComponents.minLabelOverEndpoints(pairsDf(chain))
+      .collect().map(_.getLong(1)).toSet
+    assert(labels == Set(1L))
+  }
+
   test("dupClusters groups exact-duplicate texts transitively with sizes") {
     val docs = df("doc_id BIGINT, text STRING",
       Seq(Row(0L, "alpha beta gamma delta epsilon"),
