@@ -2384,6 +2384,35 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
         |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
         |  CAST(sum((y*pw + x + 1) * (b + 2*g + 3*r)) % 1000000007 AS BIGINT) AS wsum
+        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
+
+    // m07: the engine builds REAL PNGs (zlib-deflated IDAT, all five
+    // scanline filters, real CRCs) and decodes them back — inflate +
+    // per-filter reconstruction. The oracle never touches the bytes: it
+    // recomputes the stats from the m07 pixel formula
+    // (doc_id*37 + y*11 + x*5 + c) % 256, so any filter-math or stride
+    // error on either side of the engine's round trip diverges. Channel
+    // order is PNG's stored R,G,B (c = 0 is red), unlike m06's BMP BGR.
+    "m07_png_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(5 + d.doc_id % 8 AS INTEGER) AS pw,
+        |         CAST(5 + d.doc_id % 5 AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         (d.doc_id*37 + y.y*11 + x.x*5 + 0) % 256 AS r,
+        |         (d.doc_id*37 + y.y*11 + x.x*5 + 1) % 256 AS g,
+        |         (d.doc_id*37 + y.y*11 + x.x*5 + 2) % 256 AS b
+        |  FROM documents d, range(9) y(y), range(12) x(x)
+        |  WHERE y.y < 5 + d.doc_id % 5 AND x.x < 5 + d.doc_id % 8)
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
+        |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
+        |  CAST(min(g) AS INTEGER) AS g_min, CAST(max(g) AS INTEGER) AS g_max,
+        |  CAST(sum(g) * 1000000 // count(*) AS BIGINT) AS g_mean_ppm,
+        |  CAST(min(b) AS INTEGER) AS b_min, CAST(max(b) AS INTEGER) AS b_max,
+        |  CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS b_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (r + 2*g + 3*b)) % 1000000007 AS BIGINT) AS wsum
         |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin
   )
 

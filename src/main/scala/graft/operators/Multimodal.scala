@@ -405,6 +405,237 @@ object Multimodal {
     Some((w, h, px))
   }
 
+  /** Pixel formula for the PNG pixel-decode family (m07) — distinct
+    * constants from [[pixelValue]] so a cross-wired BMP/PNG path cannot
+    * accidentally match the wrong oracle. */
+  private[graft] def pngPixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+    (((id * 37 + y * 11 + x * 5 + c) % 256) + 256).toInt % 256
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Build a COMPLETE, spec-valid PNG (W3C PNG §5, §9, §11): signature,
+    * IHDR (8-bit RGB, color type 2), one IDAT holding the zlib-DEFLATED
+    * scanline stream where row y carries filter type y % 5 — so every
+    * file exercises ALL FIVE filters (None/Sub/Up/Average/Paeth, §9.2) —
+    * and IEND, each chunk with its real CRC-32. Filtering runs the
+    * spec's inverse direction (filt = orig − predictor mod 256); the
+    * compressor is the JDK's zlib (java.util.zip.Deflater), so the file
+    * is readable by any standard decoder. */
+  private[graft] def buildPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val recon = new Array[Int](h * stride)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
+      recon(y * stride + x * bpp + c) = pngPixelValue(id, x, y, c)
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      for (i <- 0 until stride) {
+        val cur = recon(y * stride + i)
+        val a = if (i >= bpp) recon(y * stride + i - bpp) else 0
+        val b = if (y > 0) recon((y - 1) * stride + i) else 0
+        val cc = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, cc)
+        }
+        raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** FULL PNG pixel decode in pure JVM — the real thing, not a header
+    * probe: chunk walk with CRC-32 VERIFICATION on every chunk, IDAT
+    * concatenation (§5.6 allows splitting), zlib inflate
+    * (java.util.zip.Inflater), and per-scanline filter reconstruction —
+    * all five filter types of §9.2, byte-level with the bpp offset.
+    * Returns (width, height, channels, pixels) with pixels in image
+    * order (top row first), channels = 3 for color type 2 (RGB) or 4
+    * for color type 6 (RGBA — lets the spec pin the decoder against the
+    * canonical published 1×1 transparent PNG). None for anything else:
+    * non-8-bit depth, palette/interlaced images, CRC mismatch, inflated
+    * size mismatch, truncation. */
+  private[graft] def decodePng(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (b.length < 8 || (0 until 8).exists(i => (b(i) & 0xff) != sig(i))) return None
+    def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    var w = 0; var h = 0; var channels = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    var sawIhdr = false; var sawIend = false
+    while (o + 8 <= b.length && !sawIend) {
+      val len = be32(o)
+      val typ = new String(b, o + 4, 4, "US-ASCII")
+      if (len < 0 || o + 12 + len > b.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, o + 4, 4 + len)
+      if (crc.getValue.toInt != be32(o + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(o + 8); h = be32(o + 12)
+          val depth = b(o + 16) & 0xff; val colorType = b(o + 17) & 0xff
+          val (comp, filt, interlace) = (b(o + 18) & 0xff, b(o + 19) & 0xff, b(o + 20) & 0xff)
+          if (depth != 8 || comp != 0 || filt != 0 || interlace != 0) return None
+          channels = colorType match { case 2 => 3; case 6 => 4; case _ => return None }
+          if (w <= 0 || h <= 0) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(b, o + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunk: CRC checked above, content skipped
+      }
+      o += 12 + len
+    }
+    if (!sawIhdr || !sawIend) return None
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length || !inflater.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    val recon = new Array[Int](h * stride)
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      val ft = raw(pos) & 0xff; pos += 1
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(pos) & 0xff; pos += 1
+        val a = if (i >= channels) recon(y * stride + i - channels) else 0
+        val up = if (y > 0) recon((y - 1) * stride + i) else 0
+        val cD = if (y > 0 && i >= channels) recon((y - 1) * stride + i - channels) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case _ => paeth(a, up, cD)
+        }
+        recon(y * stride + i) = (x + pred) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, recon))
+  }
+
+  /** Media column of REAL PNG files (see [[buildPng]]) — built in
+    * mapPartitions because deflate is imperative byte work no Catalyst
+    * expression covers; the (doc_id → dims, pixels) contract stays pure
+    * arithmetic so the m07 oracle reproduces the stats without bytes. */
+  def attachPngMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 5 + (id % 8).toInt; val h = 5 + (id % 5).toInt
+        Row(id, buildPng(id, w, h))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false))))
+  }
+
+  // same shape as bmpStatsSchema but labeled in PNG's stored channel
+  // order (color type 2 is R,G,B — BMP is B,G,R): c=0 is RED here
+  private val pngStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("r_min", IntegerType, nullable = false),
+    StructField("r_max", IntegerType, nullable = false),
+    StructField("r_mean_ppm", LongType, nullable = false),
+    StructField("g_min", IntegerType, nullable = false),
+    StructField("g_max", IntegerType, nullable = false),
+    StructField("g_mean_ppm", LongType, nullable = false),
+    StructField("b_min", IntegerType, nullable = false),
+    StructField("b_max", IntegerType, nullable = false),
+    StructField("b_mean_ppm", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+
+  /** m07: per-channel pixel statistics from FULLY DECODED PNGs — the
+    * [[bmpPixelStats]] aggregate surface over [[decodePng]]'s inflate +
+    * un-filter pipeline. Same defense in depth: the oracle recomputes
+    * the stats from [[pngPixelValue]] without seeing bytes (any
+    * filter-reconstruction or stride error diverges), and the spec pins
+    * the decoder against the canonical published 1×1 transparent PNG
+    * plus a hand-verified per-filter fixture. */
+  def pngPixelStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = attachPngMedia(docs).rdd.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        decodePng(row.getAs[Array[Byte]](1)).collect {
+          case (w, h, 3, px) =>
+            val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+            val sums = new Array[Long](3)
+            var wsum = 0L
+            var p = 0
+            while (p < w * h) {
+              val y = p / w; val x = p % w
+              var c = 0
+              while (c < 3) {
+                val v = px(p * 3 + c)
+                if (v < mins(c)) mins(c) = v
+                if (v > maxs(c)) maxs(c) = v
+                sums(c) += v
+                c += 1
+              }
+              wsum = (wsum + (y.toLong * w + x + 1) *
+                (px(p * 3) + 2L * px(p * 3 + 1) + 3L * px(p * 3 + 2))) % 1000000007L
+              p += 1
+            }
+            val n = w.toLong * h
+            Row(id, w, h, n,
+              mins(0), maxs(0), sums(0) * 1000000L / n,
+              mins(1), maxs(1), sums(1) * 1000000L / n,
+              mins(2), maxs(2), sums(2) * 1000000L / n,
+              wsum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, pngStatsSchema).orderBy("doc_id")
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = true),

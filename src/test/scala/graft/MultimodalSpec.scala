@@ -162,6 +162,99 @@ class MultimodalSpec extends SparkSpec {
       .contains((104, 104, 8)))
   }
 
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt).array()
+  }
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  test("decodePng reads an externally-assembled 1x1 transparent PNG (RGBA, filter None)") {
+    // assembled with an INDEPENDENT zlib implementation (CPython's zlib
+    // module: compress(b'\x00' + 4 zero bytes) + binascii.crc32 chunk
+    // CRCs) — so the inflate + chunk-walk path is pinned against bytes
+    // no code in this repo produced. (The older "canonical" fixture used
+    // by the parsePng HEADER test carries an invalid deflate stream past
+    // the header — fine for a header probe, useless for a full decode.)
+    val png = unhexStr(
+      "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489" +
+        "0000000b49444154789c6360000200000500017a5eab3f0000000049454e44ae426082")
+    val Some((w, h, ch, px)) = Multimodal.decodePng(png)
+    assert((w, h, ch) == ((1, 1, 4)))
+    assert(px.toSeq == Seq(0, 0, 0, 0)) // fully transparent black
+    // and the full decoder agrees with the header probe on dimensions
+    assert(Multimodal.parsePng(png).map(t => (t._1, t._2)).contains((1, 1)))
+  }
+
+  test("decodePng filter reconstruction: all five filters against hand-computed values") {
+    // 3x2..— a 3-wide, 5-tall RGB image, one row per filter type; the
+    // raw FILTERED bytes are chosen by hand and the reconstructed pixels
+    // below are derived by hand from PNG §9.2 (Sub adds the byte bpp
+    // back, Up the byte above, Average their floor-mean, Paeth the
+    // closest of a/b/c to a+b−c) — so this pins the decoder's filter
+    // math against the spec, independent of the builder.
+    val stride = 9
+    val rows: Seq[(Int, Seq[Int])] = Seq(
+      0 -> Seq(1, 2, 3, 4, 5, 6, 7, 8, 9),
+      1 -> Seq.fill(9)(10),
+      2 -> Seq.fill(9)(5),
+      3 -> Seq.fill(9)(4),
+      4 -> Seq.fill(9)(3))
+    val raw = rows.flatMap { case (ft, bs) => ft +: bs }.map(_.toByte).toArray
+    assert(raw.length == 5 * (1 + stride))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(3).putInt(5)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val png = sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", deflate(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val Some((w, h, ch, px)) = Multimodal.decodePng(png)
+    assert((w, h, ch) == ((3, 5, 3)))
+    val expected =
+      Seq(1, 2, 3, 4, 5, 6, 7, 8, 9) ++                    // None
+      Seq(10, 10, 10, 20, 20, 20, 30, 30, 30) ++           // Sub
+      Seq(15, 15, 15, 25, 25, 25, 35, 35, 35) ++           // Up
+      Seq(11, 11, 11, 22, 22, 22, 32, 32, 32) ++           // Average
+      Seq(14, 14, 14, 25, 25, 25, 35, 35, 35)              // Paeth
+    assert(px.toSeq == expected)
+    // rejects: a flipped CRC bit, a truncated IDAT stream, a bad filter id
+    val bad = png.clone(); bad(bad.length - 5) = (bad(bad.length - 5) ^ 1).toByte
+    assert(Multimodal.decodePng(bad).isEmpty)
+    val shortIdat = sig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", deflate(raw).dropRight(4)) ++ pngChunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(shortIdat).isEmpty)
+    val badFt = raw.clone(); badFt(0) = 9
+    val badPng = sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", deflate(badFt)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(badPng).isEmpty)
+  }
+
+  test("PNG build→decode round-trip recovers the pixel formula; stats query matches") {
+    for (id <- Seq(0L, 3L, 11L)) {
+      val w = 5 + (id % 8).toInt; val h = 5 + (id % 5).toInt
+      val Some((dw, dh, ch, px)) = Multimodal.decodePng(Multimodal.buildPng(id, w, h))
+      assert((dw, dh, ch) == ((w, h, 3)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px((y * w + x) * 3 + c) == Multimodal.pngPixelValue(id, x, y, c),
+          s"id=$id pixel ($x,$y,$c)")
+    }
+    val out = Multimodal.pngPixelStats(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 5L))
+    val r5 = out(5L)
+    val vals = for (y <- 0 until 5; x <- 0 until 10; c <- 0 until 3)
+      yield (c, Multimodal.pngPixelValue(5L, x, y, c))
+    assert((r5.getInt(1), r5.getInt(2)) == ((10, 5)))
+    val reds = vals.collect { case (0, v) => v }
+    assert(r5.getInt(4) == reds.min && r5.getInt(5) == reds.max)
+    assert(r5.getLong(6) == reds.map(_.toLong).sum * 1000000L / reds.size)
+  }
+
   test("decodeBmp recovers known pixels: stride padding skipped, rows un-reversed, BGR kept") {
     // 3×2 @ 24 bpp: rowSize = ((9+3)/4)*4 = 12 → 3 pad bytes/row, filled
     // with 0xEE junk — a decoder that walks rowSize*3 bytes naively or
