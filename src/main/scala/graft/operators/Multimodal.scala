@@ -7,10 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, and batch feature extraction over partitions.
   *
-  * The decode step is a STUB by design (no image/audio codecs in this
-  * environment): payloads are deterministic fake bytes (the doc text's
-  * UTF-8) and "decoding" computes structural features (length, checksum,
-  * sampled offsets). What is REAL and load-bearing is the Spark shape:
+  * Decode depth varies by format, honestly labeled per method:
+  *   - REAL pixel decodes: uncompressed 24-bpp BMP ([[decodeBmp]] —
+  *     stride, padding, bottom-up, BGR) and full PNG ([[decodePng]] —
+  *     zlib inflate, CRC verification, all five scanline filters), both
+  *     oracle-checked end-to-end (m06/m07);
+  *   - REAL header decodes: PNG/BMP/JPEG dimension probes
+  *     ([[parsePng]]/[[parseBmp]]/[[parseJpeg]], m05);
+  *   - STUBS: JPEG entropy decode (huffman+DCT needs a codec) and the
+  *     audio/video arms — those payloads are deterministic fake bytes
+  *     and "decoding" computes structural features (length, checksum,
+  *     sampled offsets).
+  * What is REAL and load-bearing everywhere is the Spark shape:
   *   - schema: `media: binary` + `meta: struct<kind,width,height,n_frames>`
   *     — exactly how an image/video column rides in a 100 TB parquet
   *     lake (binary chunk + queryable metadata, scan prunes `media`
