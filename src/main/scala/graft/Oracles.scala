@@ -2413,6 +2413,35 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(min(b) AS INTEGER) AS b_min, CAST(max(b) AS INTEGER) AS b_max,
         |  CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS b_mean_ppm,
         |  CAST(sum((y*pw + x + 1) * (r + 2*g + 3*b)) % 1000000007 AS BIGINT) AS wsum
+        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
+
+    // m08: the engine ENTROPY-DECODES real baseline JPEGs it huffman-
+    // encoded (constant 8x8 tiles + unit quant tables make the lossy
+    // codec integer-exact — DC-only blocks survive quantization
+    // unchanged). The oracle recomputes the stats from the tile formula
+    // (doc_id*41 + (y//8)*13 + (x//8)*7 + c) % 256 over the pixel grid;
+    // any huffman/DC-prediction/dezigzag/IDCT error on the engine side
+    // diverges. Channels are coded-space Y/Cb/Cr (c = 0 is luma).
+    "m08_jpeg_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(8 * (1 + d.doc_id % 3) AS INTEGER) AS pw,
+        |         CAST(8 * (1 + d.doc_id % 2) AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         (d.doc_id*41 + (y.y//8)*13 + (x.x//8)*7 + 0) % 256 AS yv,
+        |         (d.doc_id*41 + (y.y//8)*13 + (x.x//8)*7 + 1) % 256 AS cb,
+        |         (d.doc_id*41 + (y.y//8)*13 + (x.x//8)*7 + 2) % 256 AS cr
+        |  FROM documents d, range(16) y(y), range(24) x(x)
+        |  WHERE y.y < 8 * (1 + d.doc_id % 2) AND x.x < 8 * (1 + d.doc_id % 3))
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(yv) AS INTEGER) AS y_min, CAST(max(yv) AS INTEGER) AS y_max,
+        |  CAST(sum(yv) * 1000000 // count(*) AS BIGINT) AS y_mean_ppm,
+        |  CAST(min(cb) AS INTEGER) AS cb_min, CAST(max(cb) AS INTEGER) AS cb_max,
+        |  CAST(sum(cb) * 1000000 // count(*) AS BIGINT) AS cb_mean_ppm,
+        |  CAST(min(cr) AS INTEGER) AS cr_min, CAST(max(cr) AS INTEGER) AS cr_max,
+        |  CAST(sum(cr) * 1000000 // count(*) AS BIGINT) AS cr_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (yv + 2*cb + 3*cr)) % 1000000007 AS BIGINT) AS wsum
         |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin
   )
 

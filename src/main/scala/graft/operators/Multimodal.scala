@@ -644,6 +644,76 @@ object Multimodal {
     spark.createDataFrame(rdd, pngStatsSchema).orderBy("doc_id")
   }
 
+  /** Pixel formula for the JPEG pixel-decode family (m08): the value of
+    * the constant 8×8 tile (bx, by) in component c — distinct constants
+    * again (41/13/7). */
+  private[graft] def jpegPixelValue(id: Long, bx: Int, by: Int, c: Int): Int =
+    (((id * 41 + by * 13 + bx * 7 + c) % 256) + 256).toInt % 256
+
+  // m08 columns in JPEG coded space: c = 0 is luma
+  private val jpegStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("y_min", IntegerType, nullable = false),
+    StructField("y_max", IntegerType, nullable = false),
+    StructField("y_mean_ppm", LongType, nullable = false),
+    StructField("cb_min", IntegerType, nullable = false),
+    StructField("cb_max", IntegerType, nullable = false),
+    StructField("cb_mean_ppm", LongType, nullable = false),
+    StructField("cr_min", IntegerType, nullable = false),
+    StructField("cr_max", IntegerType, nullable = false),
+    StructField("cr_mean_ppm", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+
+  /** m08: per-channel pixel statistics from ENTROPY-DECODED baseline
+    * JPEGs — [[Jpeg.encodeJpeg]] writes real huffman-coded files whose
+    * 8×8 tiles are constant (DC-only FDCT + unit quantization ⇒ the
+    * lossy codec becomes integer-exact, see [[Jpeg]]); [[Jpeg.decode]]
+    * runs the GENERAL baseline path back (huffman scan decode,
+    * differential DC, dequantize, de-zigzag, full IDCT, level shift).
+    * Stats stay in coded Y/Cb/Cr space so the oracle — the pixel
+    * formula over the tile grid, bytes never seen — matches exactly.
+    * JpegSpec pins the decoder separately on hand-computed bitstreams
+    * with nonzero ACs and run lengths the encoder never emits. */
+  def jpegPixelStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 * (1 + (id % 3).toInt); val h = 8 * (1 + (id % 2).toInt)
+        val bytes = Jpeg.encodeJpeg(w, h, 3, (bx, by, c) => jpegPixelValue(id, bx, by, c))
+        Jpeg.decode(bytes).map { d =>
+          val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+          val sums = new Array[Long](3)
+          var wsum = 0L
+          var p = 0
+          while (p < w * h) {
+            var c = 0
+            while (c < 3) {
+              val v = d.planes(c)(p)
+              if (v < mins(c)) mins(c) = v
+              if (v > maxs(c)) maxs(c) = v
+              sums(c) += v
+              c += 1
+            }
+            wsum = (wsum + (p + 1L) *
+              (d.planes(0)(p) + 2L * d.planes(1)(p) + 3L * d.planes(2)(p))) % 1000000007L
+            p += 1
+          }
+          val n = w.toLong * h
+          Row(id, w, h, n,
+            mins(0), maxs(0), sums(0) * 1000000L / n,
+            mins(1), maxs(1), sums(1) * 1000000L / n,
+            mins(2), maxs(2), sums(2) * 1000000L / n,
+            wsum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = true),
