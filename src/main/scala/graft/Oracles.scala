@@ -1415,6 +1415,61 @@ FROM allc a JOIN topc c USING(domain)"""
         |       rank <= ceil(0.25 * (SELECT count(*) FROM scored)) AS selected
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
+    // p24: interpolated hashed-bigram LM perplexity — the reference
+    // model (lang='en') counts over the DSIR 4096-bucket md5 space; per
+    // pair lp = ln(0.7·(c2+1)/(c1_prev+B) + (1−0.7)·(c1_cur+1)/(T+B)).
+    // The interpolation weight is WRITTEN as (1.0 - 0.7) on both
+    // engines: the literal 0.3 parses to a DIFFERENT double than the
+    // IEEE subtraction, and nll rounds at 6dp. ppl = exp of the ROUNDED
+    // nll, at 2dp (exp's last-ulp spread at e^8 sits too close to a 6dp
+    // quantum).
+    "p24_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |refuni AS (
+        |  SELECT (('0x' || substr(md5(w[CAST(i AS INTEGER)]), 1, 8))::BIGINT % 4096) AS bucket,
+        |         count(*) AS c1
+        |  FROM toks, unnest(generate_series(1, len(w))) t(i)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |refbi AS (
+        |  SELECT (('0x' || substr(md5(w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT % 4096) AS bucket,
+        |         count(*) AS c2
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+        |  WHERE lang = 'en' AND len(w) >= 2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM refuni),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT % 4096) AS b2,
+        |    (('0x' || substr(md5(w[CAST(i AS INTEGER)]), 1, 8))::BIGINT % 4096) AS bprev,
+        |    (('0x' || substr(md5(w[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT % 4096) AS bcur
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) t(i)
+        |  WHERE len(w) >= 2),
+        |lp AS (
+        |  SELECT doc_id,
+        |    ln(0.7 * (coalesce(b2c.c2, 0) + 1.0) / (coalesce(cp.c1, 0) + 4096.0)
+        |     + (1.0 - 0.7) * (coalesce(cc.c1, 0) + 1.0) / ((SELECT t FROM tot) + 4096.0)) AS lp
+        |  FROM pairs
+        |  LEFT JOIN refbi b2c ON b2c.bucket = pairs.b2
+        |  LEFT JOIN refuni cp ON cp.bucket = pairs.bprev
+        |  LEFT JOIN refuni cc ON cc.bucket = pairs.bcur),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_pairs,
+        |    round(-sum(lp) / count(*), 6) AS nll,
+        |    round(exp(round(-sum(lp) / count(*), 6)), 2) AS ppl
+        |  FROM lp GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY nll, doc_id) AS r,
+        |         count(*) OVER () AS n
+        |  FROM scored)
+        |SELECT doc_id, n_pairs, nll, ppl,
+        |  CASE WHEN r <= ceil(n / 3.0) THEN 'head'
+        |       WHEN r <= ceil(2.0 * n / 3.0) THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket,
+        |  (CASE WHEN r <= ceil(n / 3.0) THEN 'head'
+        |        WHEN r <= ceil(2.0 * n / 3.0) THEN 'middle'
+        |        ELSE 'tail' END) <> 'tail' AS keep
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
     // temperature-sampling mirror: rate = (n/nmin)^(alpha-1) rounded 6dp,
     // membership = the same md5-uniform draw the engine projects
     "p23_temperature_sample" ->
@@ -1571,6 +1626,61 @@ FROM allc a JOIN topc c USING(domain)"""
         |SELECT doc_id, n_shingles, n_overlap,
         |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac
         |FROM agg WHERE n_overlap >= 2 ORDER BY doc_id""".stripMargin,
+
+    // d14: fuzzy (near-dup) decontamination — the d02 MinHash banding
+    // joined ACROSS corpora (train sigs × eval sigs on band key), exact
+    // Jaccard on the candidate sliver, threshold 0.5
+    "d14_fuzzy_decontam" -> {
+      val sigCols = (0 until 16).map(i =>
+        s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i").mkString(",\n         ")
+      val bandCase = (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+        if (b < 3) s"WHEN $b THEN md5($slice)" else s"ELSE md5($slice)"
+      }.mkString("\n      ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT d.doc_id, d.source,
+         |    w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' || w[CAST(i AS INTEGER) + 2] AS s
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents) d,
+         |       unnest(generate_series(1, len(w) - 2)) t(i)
+         |  WHERE len(w) >= 3),
+         |sigT AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM sh WHERE source <> 'src0' GROUP BY doc_id),
+         |sigE AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM sh WHERE source = 'src0' GROUP BY doc_id),
+         |bandsT AS (
+         |  SELECT doc_id, b.band_idx,
+         |    CASE b.band_idx
+         |      $bandCase
+         |    END AS band_key
+         |  FROM sigT, (VALUES (0), (1), (2), (3)) b(band_idx)),
+         |bandsE AS (
+         |  SELECT doc_id, b.band_idx,
+         |    CASE b.band_idx
+         |      $bandCase
+         |    END AS band_key
+         |  FROM sigE, (VALUES (0), (1), (2), (3)) b(band_idx)),
+         |cands AS (
+         |  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+         |  FROM bandsT t JOIN bandsE e
+         |    ON t.band_idx = e.band_idx AND t.band_key = e.band_key),
+         |nt AS (SELECT doc_id, count(*) AS n_train FROM sh WHERE source <> 'src0' GROUP BY 1),
+         |ne AS (SELECT doc_id AS eval_id, count(*) AS n_eval FROM sh WHERE source = 'src0' GROUP BY 1),
+         |com AS (
+         |  SELECT c.doc_id, c.eval_id, count(*) AS common
+         |  FROM cands c
+         |  JOIN sh a ON a.doc_id = c.doc_id
+         |  JOIN sh b ON b.doc_id = c.eval_id AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT m.doc_id, m.eval_id, m.common, nt.n_train, ne.n_eval,
+         |  round(CAST(m.common AS DOUBLE) / (nt.n_train + ne.n_eval - m.common), 6) AS jac
+         |FROM com m JOIN nt USING (doc_id) JOIN ne USING (eval_id)
+         |WHERE round(CAST(m.common AS DOUBLE) / (nt.n_train + ne.n_eval - m.common), 6) >= 0.5
+         |ORDER BY m.doc_id, m.eval_id""".stripMargin
+    },
 
     // Bloom-filter decontamination, checked via the sketch-contract
     // pattern (the a11 treatment): the exact row set and counts are

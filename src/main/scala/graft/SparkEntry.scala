@@ -274,9 +274,16 @@ object SparkEntry {
     "p13_bin_manifest"        -> ((s, d) => Packing.binManifest(Tables.documents(s, d))),
     "p14_chunked_docs"        -> ((s, d) => Packing.chunkDocs(Tables.documents(s, d))),
     "p15_chunk_stats"         -> ((s, d) => Packing.chunkStats(Tables.documents(s, d))),
+    // LM quality filter: interpolated hashed-bigram perplexity against
+    // the English slice as the reference model
+    "p24_lm_perplexity" -> ((s, d) =>
+      Sampling.lmPerplexity(Tables.documents(s, d), col("lang") === "en")),
     // eval-set decontamination: src0 docs play the held-out benchmark
     "d12_decontaminated"      -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     "d13_decontam_bloom"      -> ((s, d) => Dedup.decontaminateBloomChecked(Tables.documents(s, d))),
+    // fuzzy decontamination: banded MinHash join ACROSS corpora, Jaccard
+    // verify on the candidate sliver
+    "d14_fuzzy_decontam"      -> ((s, d) => Dedup.fuzzyDecontaminate(Tables.documents(s, d))),
     // training-data pipeline: multimodal binary-column plumbing
     "m01_media_meta"          -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     "m02_media_features"      -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),

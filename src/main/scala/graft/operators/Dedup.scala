@@ -887,6 +887,66 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
 
+  /** d14: FUZZY decontamination — NEAR-duplicate leakage between the
+    * training corpus and the eval slice. [[decontaminate]] (d12) counts
+    * exact shared shingles, which catches verbatim inclusion; a
+    * paraphrased or lightly-edited eval document needs a similarity
+    * ranking, and at corpus scale the train×eval comparison must be
+    * blocking-pruned, never all-pairs. The blocking is the d02 banded
+    * MinHash applied ACROSS corpora: signatures on both sides, band
+    * keys exploded, candidates = band-key JOIN between the sides
+    * (not a self-join), then exact Jaccard verify on the candidate
+    * sliver only. Output: (train doc, eval doc, common, sizes, jac)
+    * for every pair with Jaccard ≥ `threshold`.
+    *
+    * Scale shape: the eval side is benchmark-sized, so its banded
+    * relation broadcasts; the train side's signatures ride one
+    * aggregate pass over the shingle stream (the d02 plan); verify
+    * touches candidate docs' shingles only (broadcast semi-filter, as
+    * in the self-join family). Exactly the same asymmetry d12/d13
+    * exploit — the 100 TB side is never shuffled on anything wider
+    * than its own doc ids. */
+  def fuzzyDecontaminate(docs: DataFrame, evalSource: String = "src0",
+                         threshold: Double = 0.5, k: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    val shT = wordShingles(docs.filter(col("source") =!= evalSource))
+    val shE = wordShingles(docs.filter(col("source") === evalSource))
+    def banded(sh: DataFrame): DataFrame = {
+      val rows = k / bands
+      val structs = (0 until bands).map { b =>
+        val slice = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+        struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
+      }
+      signaturesFrom(sh, k)
+        .select(col("doc_id"), explode(array(structs: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+          col("band.band_key").as("band_key"))
+    }
+    val cands = banded(shT)
+      .join(broadcast(banded(shE)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val shTc = shT.join(broadcast(cands.select("doc_id").distinct()),
+      Seq("doc_id"), "left_semi")
+    val shEc = shE.join(broadcast(cands.select(col("eval_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val nT = shTc.groupBy("doc_id").agg(count(lit(1)).as("n_train"))
+    val nE = shEc.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
+      .withColumnRenamed("doc_id", "eval_id")
+    val common = cands
+      .join(shTc, Seq("doc_id"))
+      .join(shEc.select(col("doc_id").as("eval_id"), col("s")), Seq("eval_id", "s"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("common"))
+    common.join(nT, Seq("doc_id")).join(nE, Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"), col("common"), col("n_train"),
+        col("n_eval"),
+        round(col("common").cast("double") /
+          (col("n_train") + col("n_eval") - col("common")), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** PRODUCTION twin of [[decontaminateAgainst]]: both sides join on
     * `xxhash64(shingle)` — 8-byte keys instead of ~20-char strings cut
     * the broadcast probe + per-doc aggregate ~30% (whole query 15%,

@@ -299,6 +299,106 @@ object Sampling {
 
   private val DsirBuckets = 4096
 
+  private def bucketOf(c: Column): Column =
+    (conv(substring(md5(c), 1, 8), 16, 10).cast("long") % DsirBuckets)
+
+  /** P24: CCNet/Gopher-style LANGUAGE-MODEL QUALITY FILTER — score every
+    * document by its log-perplexity under an interpolated hashed-bigram
+    * LM trained on a reference slice (`refPred`), keep the fluent ones.
+    * Per adjacent token pair (w₁, w₂):
+    *   lp = ln( λ·(c₂(w₁w₂)+1)/(c₁(w₁)+B) + (1−λ)·(c₁(w₂)+1)/(T+B) )
+    * with c₂/c₁ the reference bigram/unigram counts over the same
+    * 4096-bucket md5 hash space DSIR uses (B = 4096, T = reference token
+    * total) — the bigram term backs off to the unigram through the
+    * interpolation, and every probability is Laplace-smoothed so unseen
+    * buckets stay finite. A document's `nll` is the mean −lp over its
+    * pairs (log-perplexity; `ppl = e^nll`), `keep = nll ≤ keepBelow`.
+    * Docs with fewer than two tokens have no pairs and no row (they
+    * carry no LM evidence either way) — same contract as the span/gram
+    * operators.
+    *
+    * Like [[dsirScores]], estimating the model EXECUTES jobs at call
+    * time: the two ≤ 4096-row count tables collect to the driver and
+    * enter the scoring plan as broadcast LocalRelations, so scoring
+    * itself is one explode + three broadcast joins + one per-doc
+    * aggregate — nothing but the (doc, pair) stream shuffles, and that
+    * only into its own doc-keyed aggregate. At 100 TB the model stays
+    * ≤ 4096 rows NO MATTER the corpus (the hashing is the bound), which
+    * is what makes this a broadcast, not a join.
+    *
+    * The verdict column follows CCNet's head/middle/tail: documents are
+    * EXACT perplexity TERCILES of the scored pool ((nll, doc_id) rank —
+    * fully tie-broken, engine-portable), `keep = bucket ≠ 'tail'`. The
+    * global rank is the p22 two-pass range-partitioned prefix sum, NOT
+    * a window — no single-task sort at any scale. A fixed absolute
+    * threshold would be the production choice only after a held-out
+    * calibration; terciles are self-calibrating and exercise every
+    * branch on any corpus. */
+  def lmPerplexity(docs: DataFrame, refPred: Column,
+                   lambda: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = split(lower(col("text")), " ")
+    // reference model: unigram + bigram bucket counts
+    val ref = docs.filter(refPred)
+    val uni = ref.select(explode(graft.functions.word_ngrams(toks, 1)).as("g"))
+      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
+    val bi = ref.select(explode(graft.functions.word_ngrams(toks, 2)).as("g"))
+      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
+    val uniRows = uni.as[(Long, Long)].collect().toSeq
+    val biRows = bi.as[(Long, Long)].collect().toSeq
+    val tTot = uniRows.map(_._2).sum.toDouble
+    val B = DsirBuckets.toDouble
+    val uniDf = broadcast(uniRows.toDF("bucket", "c1"))
+    val biDf = broadcast(biRows.toDF("bucket", "c2"))
+    // score EVERY doc (including the reference slice) against the model
+    val pairs = docs
+      .select(col("doc_id"), explode(graft.functions.word_ngrams(toks, 2)).as("bi"))
+      .select(col("doc_id"),
+        bucketOf(col("bi")).as("b2"),
+        bucketOf(element_at(split(col("bi"), " "), 1)).as("bprev"),
+        bucketOf(element_at(split(col("bi"), " "), 2)).as("bcur"))
+    val lp = pairs
+      .join(biDf.select(col("bucket").as("b2"), col("c2")), Seq("b2"), "left")
+      .join(uniDf.select(col("bucket").as("bprev"), col("c1").as("cprev")), Seq("bprev"), "left")
+      .join(uniDf.select(col("bucket").as("bcur"), col("c1").as("ccur")), Seq("bcur"), "left")
+      .select(col("doc_id"),
+        log(lit(lambda) * (coalesce(col("c2"), lit(0L)) + 1.0)
+            / (coalesce(col("cprev"), lit(0L)) + B)
+          + lit(1.0 - lambda) * (coalesce(col("ccur"), lit(0L)) + 1.0)
+            / (tTot + B)).as("lp"))
+    val scored = lp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
+      // ppl at 2dp: exp() of the two engines can differ in the last ulp,
+      // and at e^8 ≈ 3000 a 6dp quantum sits close enough to that ulp to
+      // straddle occasionally — 2dp leaves 10 orders of margin
+      .withColumn("ppl", round(exp(col("nll")), 2))
+    // exact terciles via the p22 rank shape: range exchange + per-
+    // partition prefix offsets from the count job (which also yields n)
+    val sorted = scored
+      .repartitionByRange(col("nll"), col("doc_id"))
+      .sortWithinPartitions(col("nll"), col("doc_id"))
+      .select(col("doc_id"), col("n_pairs"), col("nll"), col("ppl"))
+      .as[(Long, Long, Double, Double)]
+    val srdd = sorted.rdd
+    val counts = srdd.sparkContext.runJob(srdd,
+      (it: Iterator[(Long, Long, Double, Double)]) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val (c1, c2) = (math.ceil(n / 3.0).toLong, math.ceil(2.0 * n / 3.0).toLong)
+    srdd.mapPartitionsWithIndex { (pi, it) =>
+        var r = offsets(pi)
+        it.map { case (id, np, nll, ppl) =>
+          r += 1
+          (id, np, nll, ppl, if (r <= c1) "head" else if (r <= c2) "middle" else "tail")
+        }
+      }.toDF("doc_id", "n_pairs", "nll", "ppl", "ppl_bucket")
+      .withColumn("keep", col("ppl_bucket") =!= "tail")
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, _tgt, bucket, c): md5-prefix-hashed lowercase 1/2-gram
     * counts — the one corpus-scale aggregate in the DSIR path. */
   private def bucketCounts(docs: DataFrame, targetPred: Column): DataFrame = {

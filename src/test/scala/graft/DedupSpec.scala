@@ -234,6 +234,30 @@ class DedupSpec extends SparkSpec {
     assert(banded.contains((origId, 90001L)) && single.contains((origId, 90001L)))
   }
 
+  test("fuzzy decontamination: near-dup eval leakage caught across corpora, clean docs pass") {
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = df("doc_id BIGINT, text STRING, source STRING", Seq(
+      Row(0L, base, "src0"),                                   // the eval doc
+      Row(1L, base, "src1"),                                   // verbatim leak
+      Row(2L, base.replace("kappa", "lambda"), "src1"),        // last-token paraphrase
+      Row(3L, "one two three four five six seven eight", "src1"), // clean
+      Row(4L, "alpha beta gamma", "src1")))                    // shares ONE shingle only
+    val out = Dedup.fuzzyDecontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).sortBy(_._1)
+    // verbatim: jaccard 1; paraphrase: 7 of 8 shingles shared → 7/9
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (2L, 0L)))
+    assert(out(0)._3 == 1.0)
+    assert(math.abs(out(1)._3 - 7.0 / 9.0) < 1e-6)
+    // the one-shingle overlap doc is below threshold even if banded in
+    assert(!out.exists(_._1 == 3L) && !out.exists(_._1 == 4L))
+    // threshold is a knob: at 0.05 the single-shingle doc may surface
+    // ONLY if banding candidates it — never a clean doc with no overlap
+    val loose = Dedup.fuzzyDecontaminate(docs, threshold = 0.05).collect()
+      .map(_.getLong(0)).toSet
+    assert(!loose.contains(3L), "a no-overlap doc must never be flagged")
+  }
+
   test("adaptive plane schedule: floor 4 through the oracle regime, then grows with log2(n)") {
     // the oracle-SF regime (n ≤ 1024 = 64·2⁴) must stay at the fixed
     // parameterization so s09/s10's DuckDB mirror is bit-identical there

@@ -244,4 +244,31 @@ class SamplingSpec extends SparkSpec {
     // rank is a permutation of 1..n (the two-pass global rank is exact)
     assert(r.map(_.getLong(4)).sorted.toSeq == (1L to 80L))
   }
+
+  test("LM perplexity: reference-like text lands in the head, gibberish in the tail") {
+    // the reference model trains on en docs repeating a small fluent
+    // vocabulary with CONSISTENT bigrams; the gibberish docs use unseen
+    // tokens whose every probability falls back to the smoothed floor
+    val d = df(
+      "doc_id BIGINT, text STRING, lang STRING",
+      (0 until 60).map { i =>
+        val t =
+          if (i < 40) "the cat sat on the mat and the cat ran to the mat"
+          else s"zxq${i} wvu${i} tsr${i} qpo${i} nml${i} kji${i} hgf${i}"
+        Row(i.toLong, t, if (i < 40) "en" else "xx")
+      })
+    val r = Sampling.lmPerplexity(d, col("lang") === "en").collect()
+    assert(r.length == 60)
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    val fluentNll = (0L until 40L).map(byId(_).getDouble(2))
+    val junkNll = (40L until 60L).map(byId(_).getDouble(2))
+    assert(fluentNll.max < junkNll.min,
+      s"every fluent doc must score below every gibberish doc: ${fluentNll.max} vs ${junkNll.min}")
+    // every gibberish doc is tail (and dropped); terciles are exact
+    assert((40L until 60L).forall(id => byId(id).getString(4) == "tail" && !byId(id).getBoolean(5)))
+    val buckets = r.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    assert(buckets == Map("head" -> 20, "middle" -> 20, "tail" -> 20))
+    // ppl is exp(nll) (2dp) — monotone with nll
+    r.foreach(x => assert(math.abs(x.getDouble(3) - math.exp(x.getDouble(2))) < 0.01))
+  }
 }
