@@ -338,41 +338,7 @@ object Sampling {
                    lambda: Double = 0.7): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = split(lower(col("text")), " ")
-    // reference model: unigram + bigram bucket counts
-    val ref = docs.filter(refPred)
-    val uni = ref.select(explode(graft.functions.word_ngrams(toks, 1)).as("g"))
-      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
-    val bi = ref.select(explode(graft.functions.word_ngrams(toks, 2)).as("g"))
-      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
-    val uniRows = uni.as[(Long, Long)].collect().toSeq
-    val biRows = bi.as[(Long, Long)].collect().toSeq
-    val tTot = uniRows.map(_._2).sum.toDouble
-    val B = DsirBuckets.toDouble
-    val uniDf = broadcast(uniRows.toDF("bucket", "c1"))
-    val biDf = broadcast(biRows.toDF("bucket", "c2"))
-    // score EVERY doc (including the reference slice) against the model
-    val pairs = docs
-      .select(col("doc_id"), explode(graft.functions.word_ngrams(toks, 2)).as("bi"))
-      .select(col("doc_id"),
-        bucketOf(col("bi")).as("b2"),
-        bucketOf(element_at(split(col("bi"), " "), 1)).as("bprev"),
-        bucketOf(element_at(split(col("bi"), " "), 2)).as("bcur"))
-    val lp = pairs
-      .join(biDf.select(col("bucket").as("b2"), col("c2")), Seq("b2"), "left")
-      .join(uniDf.select(col("bucket").as("bprev"), col("c1").as("cprev")), Seq("bprev"), "left")
-      .join(uniDf.select(col("bucket").as("bcur"), col("c1").as("ccur")), Seq("bcur"), "left")
-      .select(col("doc_id"),
-        log(lit(lambda) * (coalesce(col("c2"), lit(0L)) + 1.0)
-            / (coalesce(col("cprev"), lit(0L)) + B)
-          + lit(1.0 - lambda) * (coalesce(col("ccur"), lit(0L)) + 1.0)
-            / (tTot + B)).as("lp"))
-    val scored = lp.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pairs"), round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
-      // ppl at 2dp: exp() of the two engines can differ in the last ulp,
-      // and at e^8 ≈ 3000 a 6dp quantum sits close enough to that ulp to
-      // straddle occasionally — 2dp leaves 10 orders of margin
-      .withColumn("ppl", round(exp(col("nll")), 2))
+    val scored = lmScoreAgainst(docs, lmModel(docs, refPred), lambda)
     // exact terciles via the p22 rank shape: range exchange + per-
     // partition prefix offsets from the count job (which also yields n)
     val sorted = scored
@@ -397,6 +363,66 @@ object Sampling {
       }.toDF("doc_id", "n_pairs", "nll", "ppl", "ppl_bucket")
       .withColumn("keep", col("ppl_bucket") =!= "tail")
       .orderBy("doc_id")
+  }
+
+  /** The reference LM alone: unigram + bigram bucket counts over the
+    * 4096-bucket hash space as ONE (kind, bucket, c) relation — ≤ 8192
+    * rows for ANY corpus, the artifact a streaming ingest persists at
+    * seed time ([[graft.streaming.StreamingPerplexity]]) and every
+    * later batch scores against (the [[dsirDistribution]] pattern). */
+  def lmModel(docs: DataFrame, refPred: Column): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val ref = docs.filter(refPred)
+    val uni = ref.select(explode(graft.functions.word_ngrams(toks, 1)).as("g"))
+      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("kind", lit("uni"))
+    val bi = ref.select(explode(graft.functions.word_ngrams(toks, 2)).as("g"))
+      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
+      .withColumn("kind", lit("bi"))
+    uni.unionByName(bi).select("kind", "bucket", "c")
+  }
+
+  /** Score `docs` against an ALREADY-ESTIMATED model (frozen-model form —
+    * scores stay comparable across batches, the [[dsirScoreAgainst]]
+    * contract): per-doc (n_pairs, nll, ppl), no tercile verdict — a
+    * bucket cut is a decision over the ACCUMULATED score table, not a
+    * per-batch one. Localizes the ≤ 8192-row model to broadcast
+    * LocalRelations (one collect; the scoring plan itself is one
+    * explode + three broadcast joins + a doc-keyed aggregate). */
+  def lmScoreAgainst(docs: DataFrame, model: DataFrame,
+                     lambda: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("kind"), col("bucket").cast("long"),
+      col("c").cast("long")).as[(String, Long, Long)].collect()
+    val uniRows = rows.collect { case ("uni", b, c) => (b, c) }.toSeq
+    val biRows = rows.collect { case ("bi", b, c) => (b, c) }.toSeq
+    val tTot = uniRows.map(_._2).sum.toDouble
+    val B = DsirBuckets.toDouble
+    val uniDf = broadcast(uniRows.toDF("bucket", "c1"))
+    val biDf = broadcast(biRows.toDF("bucket", "c2"))
+    val toks = split(lower(col("text")), " ")
+    val pairs = docs
+      .select(col("doc_id"), explode(graft.functions.word_ngrams(toks, 2)).as("bi"))
+      .select(col("doc_id"),
+        bucketOf(col("bi")).as("b2"),
+        bucketOf(element_at(split(col("bi"), " "), 1)).as("bprev"),
+        bucketOf(element_at(split(col("bi"), " "), 2)).as("bcur"))
+    val lp = pairs
+      .join(biDf.select(col("bucket").as("b2"), col("c2")), Seq("b2"), "left")
+      .join(uniDf.select(col("bucket").as("bprev"), col("c1").as("cprev")), Seq("bprev"), "left")
+      .join(uniDf.select(col("bucket").as("bcur"), col("c1").as("ccur")), Seq("bcur"), "left")
+      .select(col("doc_id"),
+        log(lit(lambda) * (coalesce(col("c2"), lit(0L)) + 1.0)
+            / (coalesce(col("cprev"), lit(0L)) + B)
+          + lit(1.0 - lambda) * (coalesce(col("ccur"), lit(0L)) + 1.0)
+            / (tTot + B)).as("lp"))
+    lp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
+      // ppl at 2dp: exp() of the two engines can differ in the last ulp,
+      // and at e^8 ≈ 3000 a 6dp quantum sits close enough to that ulp to
+      // straddle occasionally — 2dp leaves 10 orders of margin
+      .withColumn("ppl", round(exp(col("nll")), 2))
   }
 
   /** (doc_id, _tgt, bucket, c): md5-prefix-hashed lowercase 1/2-gram

@@ -571,4 +571,44 @@ class StreamingSpec extends SparkSpec {
     StreamingDsir.ingestBatch(b0, 0L, s"$dir/dist", s"$dir/scores")
     assert(key(StreamingDsir.scoresTable(spark, s"$dir/scores")) == streamed)
   }
+
+  test("streaming perplexity over a frozen model equals the batch scorer") {
+    import graft.streaming.StreamingPerplexity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 24).map { i =>
+      val t = if (i % 2 == 0) "the cat sat on the mat and the cat ran"
+              else s"zz$i yy$i xx$i ww$i vv$i"
+      (i.toLong, t, if (i % 2 == 0) "en" else "xx")
+    }
+    val schema = "doc_id BIGINT, text STRING, lang STRING"
+    val all = df(schema, rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl").toString
+    StreamingPerplexity.seed(all, s"$dir/model",
+      org.apache.spark.sql.functions.col("lang") === "en")
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingPerplexity.start(input.toDS().toDF("doc_id", "text", "lang"),
+      s"$dir/model", s"$dir/scores", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(rows.take(9))
+      q.processAllAvailable()
+      input.addData(rows.drop(9))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val streamed = key(StreamingPerplexity.scoresTable(spark, s"$dir/scores"))
+    val batch = key(graft.operators.Sampling.lmScoreAgainst(all,
+      graft.operators.Sampling.lmModel(all,
+        org.apache.spark.sql.functions.col("lang") === "en")))
+    assert(streamed == batch)
+    // fluent docs score strictly below gibberish under the frozen model
+    val byId = streamed.map(t => t._1 -> t._3).toMap
+    assert((0L until 24L by 2).map(byId).max < (1L until 24L by 2).map(byId).min)
+    // replay idempotence
+    val b0 = df(schema, rows.take(9).map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)))
+    StreamingPerplexity.ingestBatch(b0, 0L, s"$dir/model", s"$dir/scores")
+    assert(key(StreamingPerplexity.scoresTable(spark, s"$dir/scores")) == streamed)
+  }
 }
