@@ -271,4 +271,32 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("SortMergeJoin"),
       "the distribution join must broadcast, not sort-merge")
   }
+
+  test("p24 perplexity scoring: all three model joins broadcast, no Window") {
+    // the unigram table joins twice (prev + cur context) and the bigram
+    // table once — every one against a <= 4096-row LocalRelation; the
+    // tercile rank lives in the two-pass zipWithIndex outside this plan
+    val docs = Tables.documents(spark, dir)
+    val scored = graft.operators.Sampling.lmScoreAgainst(docs,
+      graft.operators.Sampling.lmModel(docs,
+        org.apache.spark.sql.functions.col("lang") === "en"))
+    val plan = executed(scored).toString
+    assert(plan.split("BroadcastHashJoin").length >= 4,
+      s"expected 3 broadcast model joins:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"), "model joins must broadcast")
+    assert(!plan.contains("Window"), "no Window in the scoring plan")
+  }
+
+  test("d14 fuzzy decontamination: eval side broadcast, train side never " +
+      "shuffled on shingle strings before its aggregate") {
+    val out = graft.operators.Dedup.fuzzyDecontaminate(
+      Tables.documents(spark, dir))
+    val plan = executed(out).toString
+    // the eval corpus (benchmark-sized) broadcasts into the band join
+    // and the semi-filters; a SortMergeJoin on band_key would mean the
+    // 100 TB side got shuffled against the eval side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    val smjKeys = "SortMergeJoin.*band_key".r.findAllIn(plan)
+    assert(smjKeys.isEmpty, "the band join must broadcast the eval side")
+  }
 }
