@@ -110,12 +110,20 @@ object Jpeg {
   private[graft] def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v >= (1 << (s - 1))) v else v - (1 << s) + 1
 
+  // IDCT constants hoisted out of the per-block hot loop (the Zigzag
+  // treatment): the scale vector and the 8×8 cosine table never change,
+  // and rebuilding them cost 64 transcendental calls per decoded block
+  private val IdctC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+  private val IdctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
   /** 2-D 8×8 inverse DCT (T.81 A.3.3), separable double implementation,
     * rounded to nearest — exact on DC-only blocks (F(0,0)/8 is an
     * integer there). Input raster order, output raster order. */
   private[graft] def idct8x8(f: Array[Int]): Array[Int] = {
-    val c = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
-    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+    val c = IdctC
+    val cosT = IdctCos
     val out = new Array[Int](64)
     var y = 0
     while (y < 8) {
@@ -189,10 +197,12 @@ object Jpeg {
               p += 17 + n
             }
           case 0xc0 => // SOF0 baseline
+            if (len < 8) return None // 2 len + prec + h + w + nc minimum
             val prec = b(seg) & 0xff
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             val nc = b(seg + 5) & 0xff
             if (prec != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (len < 8 + 3 * nc) return None // truncated component list
             comps = Array.tabulate(nc) { i =>
               val cid = b(seg + 6 + 3 * i) & 0xff
               val hv = b(seg + 7 + 3 * i) & 0xff
@@ -203,14 +213,19 @@ object Jpeg {
                0xcd | 0xce | 0xcf => return None // non-baseline frame
           case 0xdd => return None // restart intervals out of scope
           case 0xda => // SOS: header, then entropy data to EOI
-            if (comps == null) return None
+            if (comps == null || len < 3) return None
             val ns = b(seg) & 0xff
             if (ns != comps.length) return None
+            if (len < 2 + 1 + 2 * ns + 3) return None // truncated selector list
             val tabs = Array.tabulate(ns) { i =>
               val cs = b(seg + 1 + 2 * i) & 0xff
               val td = (b(seg + 2 + 2 * i) & 0xff) >> 4
               val ta = b(seg + 2 + 2 * i) & 0x0f
-              if (!comps.exists(_._1 == cs)) return None
+              // decodeScan binds table i to frame component i BY POSITION,
+              // so the scan's selector order must BE the frame order (a
+              // reordered or repeated selector would silently pair a
+              // component with another's quant table and plane)
+              if (cs != comps(i)._1) return None
               (td, ta)
             }
             return decodeScan(b, o + 2 + len, w, h, comps, tabs, quant, dcTab, acTab)
@@ -256,7 +271,14 @@ object Jpeg {
             if (rs < 0) return None
             val r = rs >> 4; val sz = rs & 0x0f
             if (sz == 0) {
-              if (r == 15) k += 16 // ZRL
+              if (r == 15) {
+                k += 16 // ZRL: sixteen zero coefficients
+                // a run crossing past coefficient 63 is spec-invalid
+                // (landing exactly on 64 is fine: the last 16 ACs were
+                // zero and the block is complete) — the sz!=0 arm's
+                // k > 63 guard, mirrored
+                if (k > 64) return None
+              }
               else done = true // EOB
             } else {
               k += r

@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   *     stride, padding, bottom-up, BGR) and full PNG ([[decodePng]] —
   *     zlib inflate, CRC verification, all five scanline filters), both
   *     oracle-checked end-to-end (m06/m07);
+  *   - REAL entropy decode: baseline JPEG ([[Jpeg.decode]] — huffman
+  *     scan decode, dequantize, IDCT; scope bounded to 8-bit SOF0 with
+  *     1×1 sampling, m08);
   *   - REAL header decodes: PNG/BMP/JPEG dimension probes
   *     ([[parsePng]]/[[parseBmp]]/[[parseJpeg]], m05);
-  *   - STUBS: JPEG entropy decode (huffman+DCT needs a codec) and the
-  *     audio/video arms — those payloads are deterministic fake bytes
-  *     and "decoding" computes structural features (length, checksum,
-  *     sampled offsets).
+  *   - STUBS: the audio/video arms — those payloads are deterministic
+  *     fake bytes and "decoding" computes structural features (length,
+  *     checksum, sampled offsets).
   * What is REAL and load-bearing everywhere is the Spark shape:
   *   - schema: `media: binary` + `meta: struct<kind,width,height,n_frames>`
   *     — exactly how an image/video column rides in a 100 TB parquet
@@ -393,8 +395,15 @@ object Multimodal {
     val w = le32(18); val h = le32(22)
     val bpp = le16(28); val compression = le32(30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length) return None
+    // Long arithmetic + an early size bound: a crafted header with
+    // w ≈ 2^30 would overflow Int rowSize negative, slip past the
+    // buffer check and crash on the allocation — a malformed file must
+    // return None, never throw. The buffer length already caps any
+    // honest pixel array, so reject dims the buffer cannot hold.
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > b.length) return None
+    if (w.toLong * h * 3 > Int.MaxValue) return None
+    val rowSize = rowSizeL.toInt
     val px = new Array[Int](w * h * 3)
     var r = 0
     while (r < h) {
@@ -531,7 +540,12 @@ object Multimodal {
     try {
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // truncated stream, or a zlib header demanding a preset
+        // dictionary (FDICT) — the latter also reports n == 0 with
+        // needsInput() FALSE, so checking only needsInput would spin
+        // this loop forever
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None
         got += n
       }
       if (got != raw.length || !inflater.finished()) return None

@@ -433,9 +433,9 @@ object Sampling {
       .select(col("doc_id"), targetPred.as("_tgt"),
         explode(concat(graft.functions.word_ngrams(toks, 1),
           graft.functions.word_ngrams(toks, 2))).as("gram"))
-      .select(col("doc_id"), col("_tgt"),
-        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
-          % DsirBuckets).as("bucket"))
+      // bucketOf is THE hash-space definition: DSIR and the p24 LM
+      // scorer must bucket identically (their oracles assume one space)
+      .select(col("doc_id"), col("_tgt"), bucketOf(col("gram")).as("bucket"))
       .groupBy("doc_id", "_tgt", "bucket").agg(count(lit(1)).as("c"))
   }
 

@@ -120,5 +120,45 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decode(ok.dropRight(3)).isEmpty)
     // not a JPEG
     assert(Jpeg.decode("plainly not an image".getBytes).isEmpty)
+    // truncated SOF segment: len passes the whole-segment bound but is
+    // too short for its own fields — must return None, not throw
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02))).isEmpty)
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++
+      seg(0xc0, Seq(8, 0, 8, 0, 8, 3, 1, 0x11, 0)))).isEmpty) // nc=3, 1 comp listed
+    // SOS selectors reordered vs the frame header: tables/planes are
+    // bound by position, so a reordered scan must be REJECTED, not
+    // misdecoded with swapped quant tables
+    val color = Jpeg.encodeJpeg(8, 8, 3, (_, _, c) => 50 + c)
+    assert(Jpeg.decode(color).isDefined)
+    val sosAt = color.indices.find(i =>
+      (color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xda).get
+    val swapped = color.clone()
+    swapped(sosAt + 5) = 3; swapped(sosAt + 9) = 1 // selectors 3,2,1
+    assert(Jpeg.decode(swapped).isEmpty)
+    // SOS selector list longer than its segment: None, not a crash
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++
+      seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0)) ++
+      seg(0xda, Seq(1)))).isEmpty)
+  }
+
+  test("ZRL run crossing coefficient 63 is rejected, landing exactly on it is not") {
+    // AC table: l2 codes 00=EOB, 01=(0,1); l3 codes 100=(1,1), 101=ZRL,
+    // 110=(run14,size1)
+    val dhtAc = seg(0xc4,
+      Seq(0x10) ++ Seq(0, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+        Seq(0x00, 0x01, 0x11, 0xf0, 0xe1))
+    val sof = seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val sos = seg(0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    def jpegWithScan(scan: Seq[Int]) = bytes(
+      Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ sos ++ scan ++ Seq(0xff, 0xd9))
+    // DC cat 0 + FOUR ZRLs: k 1→17→33→49→65 crosses 63 → invalid.
+    // Packed: 0000 101 101 101 101 = 0x0B 0x6D (16 bits exactly).
+    assert(Jpeg.decode(jpegWithScan(Seq(0x0b, 0x6d))).isEmpty)
+    // DC cat 0 + THREE ZRLs (k → 49) + (run14,size1)+bit '1': 14 zeros
+    // then the coefficient at k=63 → k=64 exactly, block complete
+    // without EOB — valid. Packed: 0000 101 101 101 110 1 + 1111111 pad
+    // = 0x0B 0x6E 0xFF (stuffed 0x00).
+    val Some(d) = Jpeg.decode(jpegWithScan(Seq(0x0b, 0x6e, 0xff, 0x00)))
+    assert(d.width == 8 && d.height == 8)
   }
 }

@@ -233,6 +233,13 @@ class MultimodalSpec extends SparkSpec {
     val badPng = sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", deflate(badFt)) ++
       pngChunk("IEND", Array.emptyByteArray)
     assert(Multimodal.decodePng(badPng).isEmpty)
+    // FDICT zlib stream (CMF 0x78, FLG 0xF9: bit 5 set, (0x78F9 % 31)=0):
+    // Inflater reports needsDictionary with needsInput FALSE — a loop
+    // checking only needsInput would spin forever instead of rejecting
+    val fdict = Array(0x78, 0xF9, 0, 0, 0, 1).map(_.toByte)
+    val dictPng = sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", fdict) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePng(dictPng).isEmpty)
   }
 
   test("PNG build→decode round-trip recovers the pixel formula; stats query matches") {
@@ -278,6 +285,11 @@ class MultimodalSpec extends SparkSpec {
     val rle = bb.array().clone(); rle(30) = 1
     assert(Multimodal.decodeBmp(rle).isEmpty)
     assert(Multimodal.decodeBmp(bb.array().take(70)).isEmpty)
+    // crafted w = 2^30: Int rowSize would overflow negative, slip past
+    // the buffer bound and crash on allocation — must be None, not throw
+    val huge = bb.array().clone()
+    huge(18) = 0; huge(19) = 0; huge(20) = 0; huge(21) = 0x40
+    assert(Multimodal.decodeBmp(huge).isEmpty)
   }
 
   test("bmpPixelStats: builder→decoder round-trip matches the pixel formula exactly") {
