@@ -2552,7 +2552,30 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(min(cr) AS INTEGER) AS cr_min, CAST(max(cr) AS INTEGER) AS cr_max,
         |  CAST(sum(cr) * 1000000 // count(*) AS BIGINT) AS cr_mean_ppm,
         |  CAST(sum((y*pw + x + 1) * (yv + 2*cb + 3*cr)) % 1000000007 AS BIGINT) AS wsum
-        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
+
+    // m09: the engine decodes real RIFF/WAVE PCM16 files it wrote
+    // (chunk walk, fmt validation, interleaved sample de-interleave,
+    // sign extension); the oracle recomputes per-channel amplitude
+    // stats from the sample formula ((id*53 + i*17 + ch*29) % 65536) −
+    // 32768 over the frame grid. mean_ppm uses `//` = truncating
+    // division, identical to Java's `/` on signed longs.
+    "m09_wav_pcm_stats" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |         CAST(ch.ch AS INTEGER) AS channel,
+        |         CAST(100 + d.doc_id % 50 AS BIGINT) AS n_frames,
+        |         CAST(8000 + (d.doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        |         i.i,
+        |         ((d.doc_id*53 + i.i*17 + ch.ch*29) % 65536) - 32768 AS v
+        |  FROM documents d, range(150) i(i), range(2) ch(ch)
+        |  WHERE i.i < 100 + d.doc_id % 50 AND ch.ch < 1 + d.doc_id % 2)
+        |SELECT doc_id, channel, n_frames, sample_rate,
+        |  CAST(min(v) AS INTEGER) AS s_min, CAST(max(v) AS INTEGER) AS s_max,
+        |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_ppm,
+        |  CAST(sum((i + 1) * v) AS BIGINT) AS wsum
+        |FROM s GROUP BY doc_id, channel, n_frames, sample_rate
+        |ORDER BY doc_id, channel""".stripMargin
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

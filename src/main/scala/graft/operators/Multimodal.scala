@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   *   - REAL entropy decode: baseline JPEG ([[Jpeg.decode]] — huffman
   *     scan decode, dequantize, IDCT; scope bounded to 8-bit SOF0 with
   *     1×1 sampling, m08);
+  *   - REAL audio decode: RIFF/WAVE PCM16 ([[Wav.decodeWav]] — chunk
+  *     walk, de-interleave, sign extension, m09);
   *   - REAL header decodes: PNG/BMP/JPEG dimension probes
   *     ([[parsePng]]/[[parseBmp]]/[[parseJpeg]], m05);
-  *   - STUBS: the audio/video arms — those payloads are deterministic
-  *     fake bytes and "decoding" computes structural features (length,
-  *     checksum, sampled offsets).
+  *   - STUBS: the video arm (and general in-the-wild entropy-coded
+  *     JPEG content beyond [[Jpeg.decode]]'s documented scope) — those
+  *     payloads are deterministic fake bytes and "decoding" computes
+  *     structural features (length, checksum, sampled offsets).
   * What is REAL and load-bearing everywhere is the Spark shape:
   *   - schema: `media: binary` + `meta: struct<kind,width,height,n_frames>`
   *     — exactly how an image/video column rides in a 100 TB parquet
@@ -726,6 +729,63 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
+  }
+
+  /** Sample formula for the WAV pcm-decode family (m09): signed 16-bit
+    * amplitude of frame i, channel ch. */
+  private[graft] def wavSample(id: Long, i: Int, ch: Int): Int =
+    ((((id * 53 + i * 17 + ch * 29) % 65536) + 65536) % 65536).toInt - 32768
+
+  private val wavStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("channel", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("s_min", IntegerType, nullable = false),
+    StructField("s_max", IntegerType, nullable = false),
+    StructField("mean_ppm", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+
+  /** m09: per-channel amplitude statistics from DECODED PCM — the audio
+    * arm goes real (the round-11 image-decode treatment): [[Wav]] writes
+    * complete RIFF/WAVE PCM16 files (mono/stereo, varying sample rates)
+    * and decodes them back through the chunk walk + de-interleave; the
+    * oracle recomputes the stats from [[wavSample]] over the frame grid
+    * without seeing bytes, so an interleave/sign-extension/chunk-offset
+    * error diverges. One row per (doc, channel); mean_ppm is truncating
+    * integer division (both engines' native semantics — amplitudes are
+    * signed, and DuckDB's `//` truncates exactly like Java's `/`);
+    * wsum = Σ (i+1)·v fits a Long outright, no modulus needed. */
+  def wavPcmStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val nFrames = 100 + (id % 50).toInt
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 4).toInt * 4000
+        val bytes = Wav.encodeWav(nFrames, channels, rate, (i, c) => wavSample(id, i, c))
+        Wav.decodeWav(bytes).toSeq.flatMap { pcm =>
+          (0 until pcm.channels).map { c =>
+            val s = pcm.samples(c)
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var sum = 0L; var wsum = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              wsum += (i + 1L) * v
+              i += 1
+            }
+            Row(id, c, s.length.toLong, pcm.sampleRate, mn, mx,
+              sum * 1000000L / s.length, wsum)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, wavStatsSchema).orderBy("doc_id", "channel")
   }
 
   private val featureSchema = StructType(Seq(

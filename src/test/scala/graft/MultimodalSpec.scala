@@ -262,6 +262,55 @@ class MultimodalSpec extends SparkSpec {
     assert(r5.getLong(6) == reds.map(_.toLong).sum * 1000000L / reds.size)
   }
 
+  test("decodeWav: hand-assembled PCM16 with an ancillary chunk; sign extension; rejects") {
+    import graft.operators.Wav
+    // RIFF/WAVE with a LIST chunk BEFORE fmt/data (must be skipped by
+    // size), 2 channels, 3 frames of known interleaved samples incl.
+    // negatives (sign extension) and an odd-length ancillary chunk
+    // (word-alignment padding)
+    val data: Seq[Int] = Seq(100, -100, 32767, -32768, 0, -1) // L,R interleaved
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 5 + 1) + (8 + 16) + (8 + 12))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+    bb.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte) // pad
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2).putInt(44100)
+      .putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(12)
+    data.foreach(v => bb.putShort(v.toShort))
+    val Some(pcm) = Wav.decodeWav(bb.array())
+    assert((pcm.channels, pcm.sampleRate) == ((2, 44100)))
+    assert(pcm.samples(0).toSeq == Seq(100, 32767, 0))
+    assert(pcm.samples(1).toSeq == Seq(-100, -32768, -1))
+    // rejects: non-PCM format, 8-bit, lying chunk size, truncation
+    val ulaw = bb.array().clone(); ulaw(12 + 14 + 8) = 7
+    assert(Wav.decodeWav(ulaw).isEmpty)
+    val cut = bb.array().dropRight(4)
+    assert(Wav.decodeWav(cut).isEmpty) // data len now exceeds the buffer
+    assert(Wav.decodeWav("not remotely a wave file......................................".getBytes).isEmpty)
+  }
+
+  test("WAV build→decode round-trip recovers the sample formula; stats query matches") {
+    import graft.operators.Wav
+    for (id <- Seq(0L, 1L, 5L)) {
+      val n = 100 + (id % 50).toInt; val ch = 1 + (id % 2).toInt
+      val Some(pcm) = Wav.decodeWav(
+        Wav.encodeWav(n, ch, 8000, (i, c) => Multimodal.wavSample(id, i, c)))
+      assert(pcm.channels == ch)
+      for (c <- 0 until ch; i <- 0 until n)
+        assert(pcm.samples(c)(i) == Multimodal.wavSample(id, i, c), s"id=$id ($i,$c)")
+    }
+    val out = Multimodal.wavPcmStats(docs).collect()
+    // stereo docs (odd ids) emit two rows
+    assert(out.map(_.getLong(0)).toSeq.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(0L -> 1, 1L -> 2, 2L -> 1, 5L -> 2))
+    val r5 = out.filter(r => r.getLong(0) == 5L && r.getInt(1) == 1).head
+    val vals = (0 until 105).map(i => Multimodal.wavSample(5L, i, 1))
+    assert(r5.getLong(2) == 105 && r5.getInt(3) == 12000)
+    assert(r5.getInt(4) == vals.min && r5.getInt(5) == vals.max)
+    assert(r5.getLong(6) == vals.map(_.toLong).sum * 1000000L / 105)
+    assert(r5.getLong(7) == vals.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum)
+  }
+
   test("decodeBmp recovers known pixels: stride padding skipped, rows un-reversed, BGR kept") {
     // 3×2 @ 24 bpp: rowSize = ((9+3)/4)*4 = 12 → 3 pad bytes/row, filled
     // with 0xEE junk — a decoder that walks rowSize*3 bytes naively or
