@@ -2575,7 +2575,38 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_ppm,
         |  CAST(sum((i + 1) * v) AS BIGINT) AS wsum
         |FROM s GROUP BY doc_id, channel, n_frames, sample_rate
-        |ORDER BY doc_id, channel""".stripMargin
+        |ORDER BY doc_id, channel""".stripMargin,
+
+    // m10: the engine walks REAL uncompressed AVI containers (RIFF
+    // hdrl/avih + movi 00db DIB frames, bottom-up BGR with 4-byte row
+    // stride) and decodes every 5th frame by offset seek; the oracle
+    // recomputes the sampled frames' stats from the pixel formula
+    // (id*59 + f*23 + y*11 + x*5 + c) % 256 over the frame/pixel grid.
+    // Frame counts are m03's doc_id % 30 + 1, sampled 0,5,10,….
+    "m10_avi_frame_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(f.f AS INTEGER) AS frame_idx,
+        |         CAST(4 + d.doc_id % 5 AS INTEGER) AS pw,
+        |         CAST(3 + d.doc_id % 3 AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         (d.doc_id*59 + f.f*23 + y.y*11 + x.x*5 + 0) % 256 AS b,
+        |         (d.doc_id*59 + f.f*23 + y.y*11 + x.x*5 + 1) % 256 AS g,
+        |         (d.doc_id*59 + f.f*23 + y.y*11 + x.x*5 + 2) % 256 AS r
+        |  FROM documents d, range(30) f(f), range(5) y(y), range(8) x(x)
+        |  WHERE f.f < d.doc_id % 30 + 1 AND f.f % 5 = 0
+        |    AND y.y < 3 + d.doc_id % 3 AND x.x < 4 + d.doc_id % 5)
+        |SELECT doc_id, frame_idx, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(b) AS INTEGER) AS b_min, CAST(max(b) AS INTEGER) AS b_max,
+        |  CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS b_mean_ppm,
+        |  CAST(min(g) AS INTEGER) AS g_min, CAST(max(g) AS INTEGER) AS g_max,
+        |  CAST(sum(g) * 1000000 // count(*) AS BIGINT) AS g_mean_ppm,
+        |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
+        |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (b + 2*g + 3*r)) AS BIGINT) AS wsum
+        |FROM px GROUP BY doc_id, frame_idx, pw, ph
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

@@ -17,12 +17,15 @@ import org.apache.spark.sql.types._
   *     1×1 sampling, m08);
   *   - REAL audio decode: RIFF/WAVE PCM16 ([[Wav.decodeWav]] — chunk
   *     walk, de-interleave, sign extension, m09);
+  *   - REAL video container walk + frame decode: uncompressed AVI
+  *     ([[Avi]] — RIFF hdrl/movi walk, frame extraction by offset
+  *     seek, DIB pixel decode, m10);
   *   - REAL header decodes: PNG/BMP/JPEG dimension probes
   *     ([[parsePng]]/[[parseBmp]]/[[parseJpeg]], m05);
-  *   - STUBS: the video arm (and general in-the-wild entropy-coded
-  *     JPEG content beyond [[Jpeg.decode]]'s documented scope) — those
-  *     payloads are deterministic fake bytes and "decoding" computes
-  *     structural features (length, checksum, sampled offsets).
+  *   - STUBS: wild entropy-coded content beyond the documented scopes
+  *     (progressive/subsampled JPEG, compressed video/audio codecs) —
+  *     the m01–m04 structural-feature stages keep their deterministic
+  *     fake payloads and are labeled as such.
   * What is REAL and load-bearing everywhere is the Spark shape:
   *   - schema: `media: binary` + `meta: struct<kind,width,height,n_frames>`
   *     — exactly how an image/video column rides in a 100 TB parquet
@@ -786,6 +789,79 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, wavStatsSchema).orderBy("doc_id", "channel")
+  }
+
+  /** Pixel formula for the AVI frame-decode family (m10): channel c
+    * (stored BGR) of pixel (x, y) in frame f. */
+  private[graft] def aviPixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    (((id * 59 + f * 23 + y * 11 + x * 5 + c) % 256) + 256).toInt % 256
+
+  private val aviStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("b_min", IntegerType, nullable = false),
+    StructField("b_max", IntegerType, nullable = false),
+    StructField("b_mean_ppm", LongType, nullable = false),
+    StructField("g_min", IntegerType, nullable = false),
+    StructField("g_max", IntegerType, nullable = false),
+    StructField("g_mean_ppm", LongType, nullable = false),
+    StructField("r_min", IntegerType, nullable = false),
+    StructField("r_max", IntegerType, nullable = false),
+    StructField("r_mean_ppm", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+
+  /** m10: the VIDEO arm goes real — frame-SAMPLED pixel statistics from
+    * uncompressed AVI containers the engine wrote ([[Avi]]): parse the
+    * RIFF walk ONCE per doc, then decode ONLY every `every`-th frame by
+    * offset seek (m03's sample-before-decode plan, now against real
+    * bytes — the container index makes frame selection O(1) per frame,
+    * the property a video pipeline's storage layer exists to provide).
+    * Frame counts follow m03's `doc_id % 30 + 1`, so the sampled index
+    * set is the m03 relation exactly. The oracle recomputes each
+    * sampled frame's per-channel stats from [[aviPixel]] without seeing
+    * bytes; a frame-offset/stride/row-order error diverges. */
+  def aviFrameStats(docs: DataFrame, every: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 4 + (id % 5).toInt; val h = 3 + (id % 3).toInt
+        val nf = (id % 30).toInt + 1
+        val bytes = Avi.encodeAvi(w, h, nf, (f, x, y, c) => aviPixel(id, f, x, y, c))
+        Avi.parseAvi(bytes).toSeq.flatMap { idx =>
+          (0 until idx.nFrames by every).flatMap { f =>
+            Avi.decodeFrame(bytes, idx, f).map { px =>
+              val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+              val sums = new Array[Long](3)
+              var wsum = 0L
+              var p = 0
+              while (p < w * h) {
+                var c = 0
+                while (c < 3) {
+                  val v = px(p * 3 + c)
+                  if (v < mins(c)) mins(c) = v
+                  if (v > maxs(c)) maxs(c) = v
+                  sums(c) += v
+                  c += 1
+                }
+                wsum += (p + 1L) * (px(p * 3) + 2L * px(p * 3 + 1) + 3L * px(p * 3 + 2))
+                p += 1
+              }
+              val n = w.toLong * h
+              Row(id, f, w, h, n,
+                mins(0), maxs(0), sums(0) * 1000000L / n,
+                mins(1), maxs(1), sums(1) * 1000000L / n,
+                mins(2), maxs(2), sums(2) * 1000000L / n,
+                wsum)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, aviStatsSchema).orderBy("doc_id", "frame_idx")
   }
 
   private val featureSchema = StructType(Seq(

@@ -311,6 +311,62 @@ class MultimodalSpec extends SparkSpec {
     assert(r5.getLong(7) == vals.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum)
   }
 
+  test("AVI container: hand-assembled fixture, bottom-up frames, offset-seek decode, rejects") {
+    import graft.operators.Avi
+    // minimal RIFF('AVI '){ LIST(hdrl){avih}, LIST(movi){2× 00db} } for a
+    // 1×2 image: rowSize = 4 (3 BGR bytes + 1 pad), stored bottom-up —
+    // storage row 0 is image y=1
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, d: Array[Byte]) = id.getBytes ++ le32(d.length) ++ d
+    val avih = le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(1) ++ le32(2) ++ Array.fill(16)(0.toByte)
+    // frame 0: image y0=(10,20,30) y1=(1,2,3); stored y1 first
+    val f0 = Array[Byte](1, 2, 3, 99, 10, 20, 30, 99) // 99 = stride padding junk
+    val f1 = Array[Byte](7, 8, 9, 0, 4, 5, 6, 0)
+    val hdrl = chunk("LIST", "hdrl".getBytes ++ chunk("avih", avih))
+    val movi = chunk("LIST", "movi".getBytes ++ chunk("00db", f0) ++ chunk("00db", f1))
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    val avi = "RIFF".getBytes ++ le32(body.length) ++ body
+    val Some(idx) = Avi.parseAvi(avi)
+    assert((idx.width, idx.height, idx.nFrames) == ((1, 2, 2)))
+    assert(Avi.decodeFrame(avi, idx, 0).get.toSeq == Seq(10, 20, 30, 1, 2, 3))
+    assert(Avi.decodeFrame(avi, idx, 1).get.toSeq == Seq(4, 5, 6, 7, 8, 9))
+    assert(Avi.decodeFrame(avi, idx, 2).isEmpty) // out of range
+    // rejects: frame data shorter than dims demand; lying avih count;
+    // not a RIFF at all
+    val short = avi.dropRight(3)
+    assert(Avi.parseAvi(short).isEmpty)
+    val lied = avi.clone()
+    val avihDataAt = avi.indices.find(i => new String(avi, i, 4) == "avih").get + 8
+    lied(avihDataAt + 16) = 7 // dwTotalFrames = 7, movi holds 2
+    assert(Avi.parseAvi(lied).isEmpty)
+    assert(Avi.parseAvi("definitely not audio video interleave".getBytes).isEmpty)
+  }
+
+  test("AVI build→parse→sampled-frame decode matches the pixel formula") {
+    import graft.operators.Avi
+    val id = 7L
+    val w = 4 + (id % 5).toInt; val h = 3 + (id % 3).toInt
+    val nf = (id % 30).toInt + 1 // 8 frames → samples 0, 5
+    val bytes = Avi.encodeAvi(w, h, nf, (f, x, y, c) => Multimodal.aviPixel(id, f, x, y, c))
+    val Some(idx) = Avi.parseAvi(bytes)
+    assert((idx.width, idx.height, idx.nFrames) == ((w, h, nf)))
+    for (f <- 0 until nf by 5) {
+      val px = Avi.decodeFrame(bytes, idx, f).get
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(px((y * w + x) * 3 + c) == Multimodal.aviPixel(id, f, x, y, c),
+          s"frame $f pixel ($x,$y,$c)")
+    }
+    // the query samples exactly m03's every-5th relation
+    val out = Multimodal.aviFrameStats(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq.sorted == docs.collect().flatMap { r =>
+      val d = r.getLong(0)
+      (0 until (d % 30).toInt + 1 by 5).map(f => (d, f))
+    }.toSeq.sorted)
+  }
+
   test("decodeBmp recovers known pixels: stride padding skipped, rows un-reversed, BGR kept") {
     // 3×2 @ 24 bpp: rowSize = ((9+3)/4)*4 = 12 → 3 pad bytes/row, filled
     // with 0xEE junk — a decoder that walks rowSize*3 bytes naively or
