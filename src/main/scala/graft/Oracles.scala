@@ -2606,7 +2606,42 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
         |  CAST(sum((y*pw + x + 1) * (b + 2*g + 3*r)) AS BIGINT) AS wsum
         |FROM px GROUP BY doc_id, frame_idx, pw, ph
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m11: AREA downscale over DECODED m06 BMP pixels — each output
+    // pixel is the truncating mean of its 2x2 source box, odd trailing
+    // rows/cols dropped. The oracle recomputes every resized pixel from
+    // the m06 pixel formula (all values non-negative, so // truncation
+    // == the engine's Java /), then the same stats.
+    "m11_bmp_resized" ->
+      """WITH rp AS (
+        |  SELECT d.doc_id,
+        |         CAST((5 + d.doc_id % 8) // 2 AS INTEGER) AS hw,
+        |         CAST((3 + d.doc_id % 5) // 2 AS INTEGER) AS hh,
+        |         y.y, x.x,
+        |         (((d.doc_id*31 + (2*y.y)*7   + (2*x.x)*3   + c.c) % 256)
+        |        + ((d.doc_id*31 + (2*y.y)*7   + (2*x.x+1)*3 + c.c) % 256)
+        |        + ((d.doc_id*31 + (2*y.y+1)*7 + (2*x.x)*3   + c.c) % 256)
+        |        + ((d.doc_id*31 + (2*y.y+1)*7 + (2*x.x+1)*3 + c.c) % 256)) // 4 AS v,
+        |         c.c
+        |  FROM documents d, range(3) y(y), range(6) x(x), range(3) c(c)
+        |  WHERE y.y < (3 + d.doc_id % 5) // 2 AND x.x < (5 + d.doc_id % 8) // 2),
+        |ch AS (
+        |  SELECT doc_id, hw, hh, y, x,
+        |    max(CASE WHEN c = 0 THEN v END) AS b,
+        |    max(CASE WHEN c = 1 THEN v END) AS g,
+        |    max(CASE WHEN c = 2 THEN v END) AS r
+        |  FROM rp GROUP BY doc_id, hw, hh, y, x)
+        |SELECT doc_id, hw AS width, hh AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(b) AS INTEGER) AS b_min, CAST(max(b) AS INTEGER) AS b_max,
+        |  CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS b_mean_ppm,
+        |  CAST(min(g) AS INTEGER) AS g_min, CAST(max(g) AS INTEGER) AS g_max,
+        |  CAST(sum(g) * 1000000 // count(*) AS BIGINT) AS g_mean_ppm,
+        |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
+        |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
+        |  CAST(sum((y*hw + x + 1) * (b + 2*g + 3*r)) AS BIGINT) AS wsum
+        |FROM ch GROUP BY doc_id, hw, hh ORDER BY doc_id""".stripMargin
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

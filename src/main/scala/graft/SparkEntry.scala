@@ -294,7 +294,8 @@ object SparkEntry {
     "m07_png_pixel_stats"     -> ((s, d) => Multimodal.pngPixelStats(Tables.documents(s, d))),
     "m08_jpeg_pixel_stats"    -> ((s, d) => Multimodal.jpegPixelStats(Tables.documents(s, d))),
     "m09_wav_pcm_stats"       -> ((s, d) => Multimodal.wavPcmStats(Tables.documents(s, d))),
-    "m10_avi_frame_stats"     -> ((s, d) => Multimodal.aviFrameStats(Tables.documents(s, d)))
+    "m10_avi_frame_stats"     -> ((s, d) => Multimodal.aviFrameStats(Tables.documents(s, d))),
+    "m11_bmp_resized"         -> ((s, d) => Multimodal.bmpResized(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

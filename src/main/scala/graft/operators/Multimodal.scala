@@ -864,6 +864,61 @@ object Multimodal {
     spark.createDataFrame(rdd, aviStatsSchema).orderBy("doc_id", "frame_idx")
   }
 
+  /** m11: REAL resize — the m04 stage's stride-decimation stand-in
+    * replaced by an actual AREA (box-average) downscale over DECODED
+    * pixels: each output pixel is the integer mean of its 2×2 source
+    * box ((v₀₀+v₁₀+v₀₁+v₁₁) / 4, truncating), odd trailing rows/columns
+    * dropped (floor-half dims) — the well-defined exact form a vision
+    * pipeline's antialiased downscale approximates. Source bytes are
+    * the m06 BMPs, decoded through [[decodeBmp]] (so this measures the
+    * full decode→resample path); the oracle recomputes every resized
+    * pixel from the m06 pixel formula and aggregates the same stats —
+    * a box-offset or rounding error diverges. */
+  def bmpResized(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val src = attachBmpMedia(docs)
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        decodeBmp(row.getAs[Array[Byte]](1)).flatMap { case (w, h, px) =>
+          val hw = w / 2; val hh = h / 2
+          if (hw == 0 || hh == 0) None
+          else {
+            val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+            val sums = new Array[Long](3)
+            var wsum = 0L
+            var p = 0
+            while (p < hw * hh) {
+              val y = p / hw; val x = p % hw
+              val vs = new Array[Int](3)
+              var c = 0
+              while (c < 3) {
+                val v = (px(((2 * y) * w + 2 * x) * 3 + c)
+                  + px(((2 * y) * w + 2 * x + 1) * 3 + c)
+                  + px(((2 * y + 1) * w + 2 * x) * 3 + c)
+                  + px(((2 * y + 1) * w + 2 * x + 1) * 3 + c)) / 4
+                vs(c) = v
+                if (v < mins(c)) mins(c) = v
+                if (v > maxs(c)) maxs(c) = v
+                sums(c) += v
+                c += 1
+              }
+              wsum += (p + 1L) * (vs(0) + 2L * vs(1) + 3L * vs(2))
+              p += 1
+            }
+            val n = hw.toLong * hh
+            Some(Row(id, hw, hh, n,
+              mins(0), maxs(0), sums(0) * 1000000L / n,
+              mins(1), maxs(1), sums(1) * 1000000L / n,
+              mins(2), maxs(2), sums(2) * 1000000L / n,
+              wsum))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, bmpStatsSchema).orderBy("doc_id")
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = true),

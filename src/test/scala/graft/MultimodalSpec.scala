@@ -367,6 +367,29 @@ class MultimodalSpec extends SparkSpec {
     }.toSeq.sorted)
   }
 
+  test("bmpResized: 2x2 box means over decoded pixels match the formula; odd edges dropped") {
+    val out = Multimodal.bmpResized(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 5L))
+    for ((id, r) <- out) {
+      val pw = 5 + (id % 8).toInt; val ph = 3 + (id % 5).toInt
+      val hw = pw / 2; val hh = ph / 2
+      assert((r.getInt(1), r.getInt(2), r.getLong(3)) == ((hw, hh, hw.toLong * hh)))
+      def resized(x: Int, y: Int, c: Int): Int =
+        (Multimodal.pixelValue(id, 2 * x, 2 * y, c) +
+          Multimodal.pixelValue(id, 2 * x + 1, 2 * y, c) +
+          Multimodal.pixelValue(id, 2 * x, 2 * y + 1, c) +
+          Multimodal.pixelValue(id, 2 * x + 1, 2 * y + 1, c)) / 4
+      for (c <- 0 until 3) {
+        val vs = for (y <- 0 until hh; x <- 0 until hw) yield resized(x, y, c)
+        val base = 4 + c * 3
+        assert(r.getInt(base) == vs.min && r.getInt(base + 1) == vs.max,
+          s"doc $id chan $c extrema")
+        assert(r.getLong(base + 2) == vs.map(_.toLong).sum * 1000000L / vs.size,
+          s"doc $id chan $c mean")
+      }
+    }
+  }
+
   test("decodeBmp recovers known pixels: stride padding skipped, rows un-reversed, BGR kept") {
     // 3×2 @ 24 bpp: rowSize = ((9+3)/4)*4 = 12 → 3 pad bytes/row, filled
     // with 0xEE junk — a decoder that walks rowSize*3 bytes naively or
