@@ -3,20 +3,24 @@ package graft.operators
 /** Uncompressed AVI (RIFF 'AVI ') in pure JVM — the VIDEO member of the
   * real-decode family (BMP m06, PNG m07, JPEG m08, WAV m09): a real
   * container walk over the public RIFF/AVI layout (`hdrl` → `avih` main
-  * header for dims + frame count, nested `strl` stream list, `movi`
-  * LIST holding one `00db` chunk of raw bottom-up BGR DIB data per
-  * frame, with the same 4-byte row alignment as a BMP pixel array).
-  * Frame extraction is an OFFSET SEEK, not a decode-everything pass —
-  * exactly why video pipelines sample frames before decoding (m03's
-  * index arithmetic, now against real bytes).
+  * header for dims + frame count, nested `strl` stream list whose
+  * `strf` BITMAPINFOHEADER is VALIDATED, `movi` LIST holding one `00db`
+  * chunk of raw bottom-up BGR DIB data per frame, with the same 4-byte
+  * row alignment as a BMP pixel array). Frame extraction is an OFFSET
+  * SEEK, not a decode-everything pass — exactly why video pipelines
+  * sample frames before decoding (m03's index arithmetic, now against
+  * real bytes).
   *
   * Scope (everything else None, never throw): single video stream,
-  * 24-bpp BI_RGB frames (`00db` = uncompressed DIB), no idx1 required.
-  */
+  * 24-bpp BI_RGB frames in `00db` chunks — `00dc` (compressed) frames,
+  * other depths, and per-frame chunks too short for the declared
+  * dimensions are all rejected; the strf pixel format is checked, not
+  * assumed. */
 object Avi {
 
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def tag(b: Array[Byte], o: Int): String = new String(b, o, 4, "US-ASCII")
 
   /** Parsed container: dims + the byte offsets of each frame's DIB data
@@ -30,8 +34,9 @@ object Avi {
   def parseAvi(b: Array[Byte]): Option[AviIndex] = {
     if (b.length < 24 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
     var w = 0; var h = 0; var total = 0
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // walk top-level chunks; descend into LIST('hdrl') for avih and
+    var bitCount = -1; var compression = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, declared len)
+    // walk top-level chunks; descend into LIST('hdrl') for avih/strf and
     // LIST('movi') for frames
     def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
       var o = from
@@ -48,48 +53,42 @@ object Avi {
           total = le32(b, o + 8 + 16)
           w = le32(b, o + 8 + 32)
           h = le32(b, o + 8 + 36)
-        } else if (inMovi && (id == "00db" || id == "00dc")) {
-          offsets += o + 8
+        } else if (id == "strf") {
+          // the stream format IS a BITMAPINFOHEADER: enforce the scope
+          // instead of assuming it (biBitCount @14, biCompression @16)
+          if (len < 20) return false
+          bitCount = le16(b, o + 8 + 14)
+          compression = le32(b, o + 8 + 16)
+        } else if (inMovi && id == "00db") {
+          frames += ((o + 8, len))
+        } else if (inMovi && id == "00dc") {
+          return false // compressed frames are out of scope, not garbage
         }
         o += 8 + len + (len & 1) // RIFF word alignment
       }
       true
     }
     if (!walk(12, math.min(b.length, 8 + le32(b, 4)), inMovi = false)) return None
-    if (w <= 0 || h <= 0 || offsets.isEmpty) return None
+    if (w <= 0 || h <= 0 || frames.isEmpty) return None
+    if (bitCount != 24 || compression != 0) return None // strf absent or non-BI_RGB-24
     if (w.toLong * h * 3 > Int.MaxValue) return None
     val rowSize = ((w.toLong * 3 + 3) / 4) * 4
     val frameBytes = rowSize * h
-    // every frame's declared data must really be in-buffer
-    if (offsets.exists(off => off.toLong + frameBytes > b.length)) return None
-    if (total > 0 && total != offsets.length) return None
-    Some(AviIndex(w, h, offsets.length, offsets.toArray))
+    // each frame's OWN declared chunk must hold a full pixel array — the
+    // buffer length is not enough (a lying short chunk would otherwise
+    // read the next chunk's header bytes as pixels)
+    if (frames.exists { case (off, len) =>
+      len < frameBytes || off.toLong + frameBytes > b.length }) return None
+    if (total > 0 && total != frames.length) return None
+    Some(AviIndex(w, h, frames.length, frames.map(_._1).toArray))
   }
 
   /** Decode ONE frame's pixels (image order, top row first, BGR) — the
-    * BMP pixel-array walk (bottom-up, 4-byte row alignment) applied at
-    * the frame's offset. */
+    * shared DIB pixel-array walk ([[Multimodal.decodeDib]], the same
+    * code the BMP decoder runs) applied at the frame's offset. */
   def decodeFrame(b: Array[Byte], idx: AviIndex, frame: Int): Option[Array[Int]] = {
     if (frame < 0 || frame >= idx.nFrames) return None
-    val w = idx.width; val h = idx.height
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    val base = idx.frameOffsets(frame)
-    val px = new Array[Int](w * h * 3)
-    var r = 0
-    while (r < h) {
-      val y = h - 1 - r
-      val src = base + r * rowSize
-      var x = 0
-      while (x < w) {
-        val d = (y * w + x) * 3
-        px(d) = b(src + x * 3) & 0xff
-        px(d + 1) = b(src + x * 3 + 1) & 0xff
-        px(d + 2) = b(src + x * 3 + 2) & 0xff
-        x += 1
-      }
-      r += 1
-    }
-    Some(px)
+    Some(Multimodal.decodeDib(b, idx.frameOffsets(frame), idx.width, idx.height))
   }
 
   /** Complete uncompressed AVI: `pixel(frame, x, y, c)` with c in
@@ -98,38 +97,48 @@ object Avi {
                 pixel: (Int, Int, Int, Int) => Int): Array[Byte] = {
     val rowSize = ((w * 3 + 3) / 4) * 4
     val frameBytes = rowSize * h
-    val out = new java.io.ByteArrayOutputStream()
-    def le32(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
-      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
-      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
-    }
-    def list(typ: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
-    val avih = le32(33333) ++ le32(frameBytes * 30) ++ le32(0) ++ le32(0) ++
-      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
-      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
-    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
-      Array.fill(48)(0.toByte)
-    val strf = le32(40) ++ le32(w) ++ le32(h) ++
-      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(frameBytes) ++
-      Array.fill(16)(0.toByte)
-    val hdrl = list("hdrl", chunk("avih", avih) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val frames = (0 until nFrames).flatMap { f =>
-      val data = new Array[Byte](frameBytes)
-      for (r <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+    // fixed-size header pieces (avih 56, strh 56, strf 40), then the
+    // movi frames — sizes are known up front, so the whole file is ONE
+    // pre-sized little-endian ByteBuffer (the encodeWav shape), no
+    // repeated array concatenation on the per-document hot path
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val framePad = frameBytes & 1
+    val moviLen = 4 + nFrames * (8 + frameBytes + framePad)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(33333).putInt(frameBytes * 30).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB "); (0 until 12).foreach(_ => bb.putInt(0))
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviLen); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      var r = 0
+      while (r < h) {
         val y = h - 1 - r // stored bottom-up
-        data(r * rowSize + x * 3 + c) = pixel(f, x, y, c).toByte
+        var i = 0
+        while (i < rowSize) {
+          val v = if (i < w * 3) pixel(f, i / 3, y, i % 3) else 0
+          bb.put(v.toByte)
+          i += 1
+        }
+        r += 1
       }
-      chunk("00db", data)
-    }.toArray
-    val movi = list("movi", frames)
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
-    out.write(body)
-    out.toByteArray
+      if (framePad == 1) bb.put(0.toByte)
+      f += 1
+    }
+    bb.array()
   }
 }

@@ -409,7 +409,18 @@ object Multimodal {
     val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff < 54 || dataOff.toLong + rowSizeL * h > b.length) return None
     if (w.toLong * h * 3 > Int.MaxValue) return None
-    val rowSize = rowSizeL.toInt
+    Some((w, h, decodeDib(b, dataOff, w, h)))
+  }
+
+  /** The raw DIB pixel-array walk shared by the BMP decoder and the AVI
+    * frame decoder ([[Avi.decodeFrame]]) — ONE implementation of the
+    * bottom-up / 4-byte-row-stride / BGR layout so a stride or
+    * channel-order fix can never desynchronize the two families.
+    * Callers validate bounds BEFORE calling (dataOff + rowSize·h must
+    * be inside `b`); output is image order, top row first. */
+  private[operators] def decodeDib(b: Array[Byte], dataOff: Int,
+                                   w: Int, h: Int): Array[Int] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
     val px = new Array[Int](w * h * 3)
     var r = 0
     while (r < h) {
@@ -425,7 +436,7 @@ object Multimodal {
       }
       r += 1
     }
-    Some((w, h, px))
+    px
   }
 
   /** Pixel formula for the PNG pixel-decode family (m07) — distinct

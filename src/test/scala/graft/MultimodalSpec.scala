@@ -313,21 +313,28 @@ class MultimodalSpec extends SparkSpec {
 
   test("AVI container: hand-assembled fixture, bottom-up frames, offset-seek decode, rejects") {
     import graft.operators.Avi
-    // minimal RIFF('AVI '){ LIST(hdrl){avih}, LIST(movi){2× 00db} } for a
-    // 1×2 image: rowSize = 4 (3 BGR bytes + 1 pad), stored bottom-up —
-    // storage row 0 is image y=1
+    // minimal RIFF('AVI '){ LIST(hdrl){avih, LIST(strl){strf}},
+    // LIST(movi){2× 00db} } for a 1×2 image: rowSize = 4 (3 BGR bytes +
+    // 1 pad), stored bottom-up — storage row 0 is image y=1
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16v(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def chunk(id: String, d: Array[Byte]) = id.getBytes ++ le32(d.length) ++ d
     val avih = le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++ le32(0) ++
       le32(1) ++ le32(0) ++ le32(1) ++ le32(2) ++ Array.fill(16)(0.toByte)
+    val strf = le32(40) ++ le32(1) ++ le32(2) ++ le16v(1) ++ le16v(24) ++
+      le32(0) ++ Array.fill(20)(0.toByte)
     // frame 0: image y0=(10,20,30) y1=(1,2,3); stored y1 first
     val f0 = Array[Byte](1, 2, 3, 99, 10, 20, 30, 99) // 99 = stride padding junk
     val f1 = Array[Byte](7, 8, 9, 0, 4, 5, 6, 0)
-    val hdrl = chunk("LIST", "hdrl".getBytes ++ chunk("avih", avih))
-    val movi = chunk("LIST", "movi".getBytes ++ chunk("00db", f0) ++ chunk("00db", f1))
-    val body = "AVI ".getBytes ++ hdrl ++ movi
-    val avi = "RIFF".getBytes ++ le32(body.length) ++ body
+    def build(frames: Array[Byte], strfBytes: Array[Byte] = strf): Array[Byte] = {
+      val strl = chunk("LIST", "strl".getBytes ++ chunk("strf", strfBytes))
+      val hdrl = chunk("LIST", "hdrl".getBytes ++ chunk("avih", avih) ++ strl)
+      val movi = chunk("LIST", "movi".getBytes ++ frames)
+      val body = "AVI ".getBytes ++ hdrl ++ movi
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    val avi = build(chunk("00db", f0) ++ chunk("00db", f1))
     val Some(idx) = Avi.parseAvi(avi)
     assert((idx.width, idx.height, idx.nFrames) == ((1, 2, 2)))
     assert(Avi.decodeFrame(avi, idx, 0).get.toSeq == Seq(10, 20, 30, 1, 2, 3))
@@ -342,6 +349,23 @@ class MultimodalSpec extends SparkSpec {
     lied(avihDataAt + 16) = 7 // dwTotalFrames = 7, movi holds 2
     assert(Avi.parseAvi(lied).isEmpty)
     assert(Avi.parseAvi("definitely not audio video interleave".getBytes).isEmpty)
+    // a frame CHUNK lying short (4 bytes where dims demand 8): the next
+    // chunk's header bytes must NOT be read as pixels — reject
+    assert(Avi.parseAvi(
+      build(chunk("00db", f0.take(4)) ++ chunk("00db", f1))).isEmpty)
+    // compressed frames (00dc) are out of scope — reject, don't misread
+    assert(Avi.parseAvi(
+      build(chunk("00dc", f0) ++ chunk("00db", f1))).isEmpty)
+    // strf declaring 32 bpp, or missing entirely: scope enforced
+    val strf32 = strf.clone(); strf32(14) = 32
+    assert(Avi.parseAvi(build(chunk("00db", f0) ++ chunk("00db", f1), strf32)).isEmpty)
+    val noStrf = {
+      val hdrl = chunk("LIST", "hdrl".getBytes ++ chunk("avih", avih))
+      val movi = chunk("LIST", "movi".getBytes ++ chunk("00db", f0) ++ chunk("00db", f1))
+      val body = "AVI ".getBytes ++ hdrl ++ movi
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    assert(Avi.parseAvi(noStrf).isEmpty)
   }
 
   test("AVI build→parse→sampled-frame decode matches the pixel formula") {
