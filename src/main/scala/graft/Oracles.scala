@@ -1923,9 +1923,11 @@ FROM allc a JOIN topc c USING(domain)"""
     * only when j < pp.planes, and the global plane id t·planes + j is
     * computed at runtime so the md5 plane stream stays aligned with
     * Similarity.bucketId's `planeOffset = t·planes` regardless of the
-    * corpus-sized plane count. `maxPlanes` bounds the generated terms
-    * (12 covers corpora to 64·2¹² ≈ 262k vectors — far past any SF the
-    * driver verifies). */
+    * corpus-sized plane count. `maxPlanes` MUST equal the engine's
+    * Similarity.adaptivePlanes cap (24): fewer terms would silently
+    * truncate the oracle's bucket ids past 64·2^maxPlanes vectors and
+    * the verify harness would report the divergence as an engine bug
+    * (SimilarityRecallSpec pins the agreement). */
   private def adaptiveLshBucket(maxPlanes: Int, table: Int): String =
     (0 until maxPlanes).map { j =>
       val pid = s"CAST($table * pp.planes + $j AS VARCHAR)"
@@ -2141,7 +2143,7 @@ FROM allc a JOIN topc c USING(domain)"""
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$adaptivePlanesCte,
          |b AS (SELECT vec_id, v,
-         |       ${adaptiveBandedBuckets(12, 4)}
+         |       ${adaptiveBandedBuckets(24, 4)}
          |       FROM e, pp)
          |SELECT a.vec_id AS i, c.vec_id AS j,
          |       round(list_cosine_similarity(a.v, c.v), 6) AS cos
@@ -2159,7 +2161,7 @@ FROM allc a JOIN topc c USING(domain)"""
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$adaptivePlanesCte,
          |b AS (SELECT vec_id, v,
-         |       ${adaptiveBandedBuckets(12, 4)}
+         |       ${adaptiveBandedBuckets(24, 4)}
          |       FROM e, pp),
          |cands AS (
          |  SELECT a.vec_id AS i, c.vec_id AS j

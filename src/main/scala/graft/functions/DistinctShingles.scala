@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-grams of a token array, first-occurrence order —
@@ -127,6 +128,59 @@ object WordNgrams {
       var j = 0
       while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
       out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All word BIGRAMS of a token array as array<struct<gram, prev, cur>>,
+  * duplicates kept — the struct sibling of [[WordNgrams]](n=2) for
+  * consumers that need the joined gram AND its two member tokens (the
+  * LM scorer buckets all three): emitting them together in one pass
+  * means the downstream Project never re-`split`s the gram string it
+  * was just concatenated from (two splits per exploded pair in the
+  * p24 hot path before this). Same analysis-time type check and null
+  * semantics as the sibling (null tokens unreachable from `split()`
+  * outputs). */
+case class WordBigramStructs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("prev", StringType, nullable = false),
+    StructField("cur", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_bigram_structs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigramStructs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordBigramStructs$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramStructs =
+    copy(child = newChild)
+}
+
+object WordBigramStructs {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    if (len < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < len) {
+      val cur = arr.getUTF8String(i)
+      out(i - 1) = InternalRow(UTF8String.concatWs(Space, prev, cur), prev, cur)
+      prev = cur
       i += 1
     }
     new GenericArrayData(out)

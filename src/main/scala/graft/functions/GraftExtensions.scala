@@ -80,6 +80,13 @@ object GraftExtensions {
           "word_ngrams expects (tokens, n literal int), got " +
             other.map(_.sql).mkString(", "))
       }),
+    ("word_bigram_structs",
+      new ExpressionInfo(classOf[WordBigramStructs].getName, "word_bigram_structs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WordBigramStructs(c)
+        case other => throw new IllegalArgumentException(
+          s"word_bigram_structs expects 1 argument, got ${other.length}")
+      }),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => args match {

@@ -34,6 +34,12 @@ package object functions {
   def word_ngrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n))
 
+  /** All word bigrams as structs (gram, prev, cur), duplicates kept —
+    * for consumers needing the joined gram and its member tokens in one
+    * pass; see [[WordBigramStructs]]. */
+  def word_bigram_structs(tokens: Column): Column =
+    ColumnBridge.column(WordBigramStructs(ColumnBridge.expression(tokens)))
+
   /** Single-pass grouped top-k by (score desc, id asc) → sorted
     * array<struct<score, id>>. Partial-aggregating heap; ships k rows per
     * group through the shuffle instead of the rank-window's everything —

@@ -124,7 +124,12 @@ object ConnectedComponents {
         if (ri < rj) parent(rj) = ri else if (rj < ri) parent(ri) = rj
       }
       import spark.implicits._
-      parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "label")
+      // broadcast hint: this is a 1-to-few-partition LocalRelation (gate
+      // caps it at ~2·driverFoldMax nodes ≈ 6 MB) that every consumer
+      // joins docs/pairs against — unhinted, AQE sometimes planned the
+      // join as a shuffle on both sides, dragging the full doc relation
+      // through an exchange the label side never needed
+      broadcast(parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("node", "label"))
     } else {
       val nodes = p.select(col("i").as("node"))
         .unionByName(p.select(col("j").as("node"))).distinct()

@@ -6,12 +6,18 @@ package graft.operators
   * with EOB/ZRL, dequantization, de-zigzag, the full 2-D IDCT and level
   * shift. Scope (honestly bounded, everything else returns None):
   * baseline sequential SOF0, 8-bit samples, single interleaved scan,
-  * 1 or 3 components all with sampling factors 1×1 (grayscale or
-  * 4:4:4 — no chroma upsampling path), no restart intervals, no
-  * progressive/arithmetic coding. Output is the decoded component
-  * planes (Y or Y/Cb/Cr) WITHOUT color conversion: the colorspace
-  * transform is a consumer choice, and keeping the decoder's output in
-  * coded space keeps the m08 oracle integer-exact.
+  * 1 or 3 components with per-component sampling factors in {1,2} —
+  * which covers grayscale, 4:4:4, 4:2:2 (2×1), 4:4:0 (1×2) and 4:2:0
+  * (2×2), i.e. the subsampling virtually every camera/web JPEG uses —
+  * plus restart intervals (DRI + RST0–7 resync with DC-predictor
+  * reset, T.81 E.2.4/F.2.1.3.1). Not in scope: progressive/arithmetic
+  * coding, 12-bit samples, multi-scan files. Subsampled chroma planes
+  * are upsampled to full resolution by pixel replication (T.81 leaves
+  * the reconstruction filter to the decoder; replication keeps
+  * constant-tile fixtures integer-exact). Output is the decoded
+  * component planes (Y or Y/Cb/Cr) WITHOUT color conversion: the
+  * colorspace transform is a consumer choice, and keeping the
+  * decoder's output in coded space keeps the m08 oracle integer-exact.
   *
   * The sibling [[encodeJpeg]] writes spec-valid baseline files whose
   * blocks are CONSTANT per 8×8 tile with all-ones quantization tables:
@@ -69,12 +75,15 @@ object Jpeg {
 
   /** MSB-first bit reader over entropy-coded data with 0xFF00
     * byte-stuffing removal (F.1.2.3); a 0xFF followed by anything else
-    * is a marker — stop (returns -1 thereafter). */
+    * is a marker — stop (returns -1 thereafter), recording the marker
+    * so [[consumeMarker]] can resync across RSTn boundaries. */
   private[graft] final class BitReader(b: Array[Byte], start: Int) {
     private var pos = start
     private var cur = 0
     private var nBits = 0
     private var dead = false
+    private var markerVal = -1 // marker that killed the reader, if any
+    private var markerEnd = -1 // byte offset just past that marker
     def readBit(): Int = {
       if (nBits == 0) {
         if (dead || pos >= b.length) return -1
@@ -83,12 +92,37 @@ object Jpeg {
           if (pos >= b.length) { dead = true; return -1 }
           val next = b(pos) & 0xff
           if (next == 0x00) pos += 1 // stuffed zero: the data byte IS 0xFF
-          else { dead = true; return -1 } // a real marker ends the scan
+          else { // a real marker ends this entropy segment
+            markerVal = next; markerEnd = pos + 1; dead = true; return -1
+          }
         }
         cur = byte; nBits = 8
       }
       nBits -= 1
       (cur >> nBits) & 1
+    }
+    /** Byte-align (discarding the current byte's padding bits), consume
+      * the next marker and return its code, repositioning the reader
+      * just past it; -1 if no marker is there. Handles both orders in
+      * which a restart boundary is met: the marker already tripped a
+      * readBit (dead + recorded), or the previous MCU ended cleanly and
+      * the marker bytes are still unread (0xFF fill bytes before it are
+      * legal padding, B.1.1.2). */
+    def consumeMarker(): Int = {
+      nBits = 0
+      if (dead) {
+        if (markerVal < 0) return -1
+        val m = markerVal
+        pos = markerEnd; dead = false; markerVal = -1; markerEnd = -1
+        return m
+      }
+      while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+             (b(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return -1
+      val m = b(pos + 1) & 0xff
+      if (m == 0x00) return -1 // stuffed data byte, not a marker
+      pos += 2
+      m
     }
     /** `n` magnitude bits, MSB first; -1 on exhaustion (n ≤ 16). */
     def readBits(n: Int): Int = {
@@ -148,9 +182,13 @@ object Jpeg {
   }
 
   /** Decoded image: component planes in coded space (level-shifted back
-    * to [0,255], clamped), each `width`×`height`, raster order. 1 plane
-    * for grayscale, 3 (Y, Cb, Cr) for 4:4:4 color. */
+    * to [0,255], clamped), each `width`×`height` raster order —
+    * subsampled chroma is replicated up to full resolution. 1 plane
+    * for grayscale, 3 (Y, Cb, Cr) for color. */
   final case class Decoded(width: Int, height: Int, planes: Array[Array[Int]])
+
+  /** Frame component: id, quant-table id, horizontal/vertical sampling. */
+  private final case class Comp(id: Int, qid: Int, hs: Int, vs: Int)
 
   // marker-segment cursor helpers
   private def be16(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -162,8 +200,8 @@ object Jpeg {
     val dcTab = new Array[HuffTable](4)
     val acTab = new Array[HuffTable](4)
     var w = 0; var h = 0
-    // per component: (id, qtableId); scan maps component → (dc, ac) table ids
-    var comps: Array[(Int, Int)] = null
+    var comps: Array[Comp] = null
+    var restartInterval = 0 // MCUs between RSTn markers; 0 = disabled
     var o = 2
     while (o + 4 <= b.length) {
       if ((b(o) & 0xff) != 0xff) return None
@@ -206,12 +244,24 @@ object Jpeg {
             comps = Array.tabulate(nc) { i =>
               val cid = b(seg + 6 + 3 * i) & 0xff
               val hv = b(seg + 7 + 3 * i) & 0xff
-              if (hv != 0x11) return None // 4:4:4 / grayscale only
-              (cid, b(seg + 8 + 3 * i) & 0xff)
+              val (hs, vs) = (hv >> 4, hv & 0x0f)
+              // factors in {1,2} cover gray/4:4:4/4:2:2/4:4:0/4:2:0;
+              // 3–4 (legal but unseen in practice) stay out of scope
+              if (hs < 1 || hs > 2 || vs < 1 || vs > 2) return None
+              val qid = b(seg + 8 + 3 * i) & 0xff
+              // range-check BEFORE decodeScan ever indexes quant(qid):
+              // a crafted id up to 255 must reject, not throw (the
+              // decoder family's reject-don't-throw contract)
+              if (qid > 3) return None
+              // single-component scans are non-interleaved: the MCU is
+              // one block and declared sampling is ignored (A.2.2)
+              if (nc == 1) Comp(cid, qid, 1, 1) else Comp(cid, qid, hs, vs)
             }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf => return None // non-baseline frame
-          case 0xdd => return None // restart intervals out of scope
+          case 0xdd => // DRI: 2-byte restart interval in MCUs
+            if (len != 4) return None
+            restartInterval = be16(b, seg)
           case 0xda => // SOS: header, then entropy data to EOI
             if (comps == null || len < 3) return None
             val ns = b(seg) & 0xff
@@ -221,14 +271,19 @@ object Jpeg {
               val cs = b(seg + 1 + 2 * i) & 0xff
               val td = (b(seg + 2 + 2 * i) & 0xff) >> 4
               val ta = b(seg + 2 + 2 * i) & 0x0f
+              // the nibbles range to 15 but baseline allows 4 tables:
+              // reject out-of-range ids here, where the DHT parser's
+              // th > 3 check can't see them (reject-don't-throw)
+              if (td > 3 || ta > 3) return None
               // decodeScan binds table i to frame component i BY POSITION,
               // so the scan's selector order must BE the frame order (a
               // reordered or repeated selector would silently pair a
               // component with another's quant table and plane)
-              if (cs != comps(i)._1) return None
+              if (cs != comps(i).id) return None
               (td, ta)
             }
-            return decodeScan(b, o + 2 + len, w, h, comps, tabs, quant, dcTab, acTab)
+            return decodeScan(b, o + 2 + len, w, h, comps, tabs, quant,
+                              dcTab, acTab, restartInterval)
           case _ => () // APPn/COM/etc: skip
         }
         o += 2 + len
@@ -237,83 +292,149 @@ object Jpeg {
     None
   }
 
+  /** Decode one 8×8 block of component `ci` into `coef` (raster order,
+    * dequantized); returns false on any bitstream error. */
+  private def decodeBlock(in: BitReader, td: Int, ta: Int, q: Array[Int],
+                          dcTab: Array[HuffTable], acTab: Array[HuffTable],
+                          dcPred: Array[Int], ci: Int,
+                          coef: Array[Int]): Boolean = {
+    // DC
+    val s = dcTab(td).decode(in)
+    if (s < 0 || s > 11) return false
+    val diffBits = if (s == 0) 0 else in.readBits(s)
+    if (diffBits < 0) return false
+    dcPred(ci) += extend(diffBits, s)
+    java.util.Arrays.fill(coef, 0)
+    coef(0) = dcPred(ci) * q(0)
+    // AC: run/size until EOB or coefficient 63
+    var k = 1
+    var done = false
+    while (!done && k < 64) {
+      val rs = acTab(ta).decode(in)
+      if (rs < 0) return false
+      val r = rs >> 4; val sz = rs & 0x0f
+      if (sz == 0) {
+        if (r == 15) {
+          k += 16 // ZRL: sixteen zero coefficients
+          // a run crossing past coefficient 63 is spec-invalid
+          // (landing exactly on 64 is fine: the last 16 ACs were
+          // zero and the block is complete) — the sz!=0 arm's
+          // k > 63 guard, mirrored
+          if (k > 64) return false
+        }
+        else done = true // EOB
+      } else {
+        k += r
+        if (k > 63) return false
+        val vb = in.readBits(sz)
+        if (vb < 0) return false
+        coef(Zigzag(k)) = extend(vb, sz) * q(k)
+        k += 1
+      }
+    }
+    true
+  }
+
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
-                         comps: Array[(Int, Int)], tabs: Array[(Int, Int)],
+                         comps: Array[Comp], tabs: Array[(Int, Int)],
                          quant: Array[Array[Int]], dcTab: Array[HuffTable],
-                         acTab: Array[HuffTable]): Option[Decoded] = {
+                         acTab: Array[HuffTable],
+                         restartInterval: Int): Option[Decoded] = {
     val nc = comps.length
-    val planes = Array.fill(nc)(new Array[Int](w * h))
-    val mcuW = (w + 7) / 8; val mcuH = (h + 7) / 8
+    val hMax = comps.map(_.hs).max
+    val vMax = comps.map(_.vs).max
+    // subsampled plane dims (A.1.1: ceil(dim * factor / max))
+    val cw = comps.map(c => (w * c.hs + hMax - 1) / hMax)
+    val ch = comps.map(c => (h * c.vs + vMax - 1) / vMax)
+    // an MCU covers 8·hMax × 8·vMax source pixels
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    val planes = Array.tabulate(nc)(i => new Array[Int](cw(i) * ch(i)))
     val in = new BitReader(b, start)
     val dcPred = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    var mcusSinceRestart = 0
+    var rstIdx = 0 // next expected restart marker, cycling RST0..RST7
     var my = 0
     while (my < mcuH) {
       var mx = 0
       while (mx < mcuW) {
+        if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+          // byte-align, consume the RSTn (modulo-8 sequence check,
+          // E.2.4) and reset the DC predictors (F.2.1.3.1)
+          val m = in.consumeMarker()
+          if (m != 0xd0 + rstIdx) return None
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(dcPred, 0)
+          mcusSinceRestart = 0
+        }
         var ci = 0
         while (ci < nc) {
+          val c = comps(ci)
           val (td, ta) = tabs(ci)
-          val q = quant(comps(ci)._2)
+          val q = quant(c.qid)
           if (q == null || dcTab(td) == null || acTab(ta) == null) return None
-          // DC
-          val s = dcTab(td).decode(in)
-          if (s < 0 || s > 11) return None
-          val diffBits = if (s == 0) 0 else in.readBits(s)
-          if (diffBits < 0) return None
-          dcPred(ci) += extend(diffBits, s)
-          val coef = new Array[Int](64)
-          coef(0) = dcPred(ci) * q(0)
-          // AC: run/size until EOB or coefficient 63
-          var k = 1
-          var done = false
-          while (!done && k < 64) {
-            val rs = acTab(ta).decode(in)
-            if (rs < 0) return None
-            val r = rs >> 4; val sz = rs & 0x0f
-            if (sz == 0) {
-              if (r == 15) {
-                k += 16 // ZRL: sixteen zero coefficients
-                // a run crossing past coefficient 63 is spec-invalid
-                // (landing exactly on 64 is fine: the last 16 ACs were
-                // zero and the block is complete) — the sz!=0 arm's
-                // k > 63 guard, mirrored
-                if (k > 64) return None
-              }
-              else done = true // EOB
-            } else {
-              k += r
-              if (k > 63) return None
-              val vb = in.readBits(sz)
-              if (vb < 0) return None
-              coef(Zigzag(k)) = extend(vb, sz) * q(k)
-              k += 1
-            }
-          }
-          val px = idct8x8(coef)
-          // place block, clamping and level-shifting (+128)
-          var yy = 0
-          while (yy < 8) {
-            val py = my * 8 + yy
-            if (py < h) {
-              var xx = 0
-              while (xx < 8) {
-                val pxx = mx * 8 + xx
-                if (pxx < w) {
-                  val v = px(yy * 8 + xx) + 128
-                  planes(ci)(py * w + pxx) = if (v < 0) 0 else if (v > 255) 255 else v
+          // hs×vs blocks of this component per MCU, raster order (A.2.3)
+          var by = 0
+          while (by < c.vs) {
+            var bx = 0
+            while (bx < c.hs) {
+              if (!decodeBlock(in, td, ta, q, dcTab, acTab, dcPred, ci, coef))
+                return None
+              val px = idct8x8(coef)
+              // place block in the SUBSAMPLED plane, clamping and
+              // level-shifting (+128); edge blocks clip at cw/ch
+              val ox = (mx * c.hs + bx) * 8
+              val oy = (my * c.vs + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                val py = oy + yy
+                if (py < ch(ci)) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val pxx = ox + xx
+                    if (pxx < cw(ci)) {
+                      val v = px(yy * 8 + xx) + 128
+                      planes(ci)(py * cw(ci) + pxx) =
+                        if (v < 0) 0 else if (v > 255) 255 else v
+                    }
+                    xx += 1
+                  }
                 }
-                xx += 1
+                yy += 1
               }
+              bx += 1
             }
-            yy += 1
+            by += 1
           }
           ci += 1
         }
+        mcusSinceRestart += 1
         mx += 1
       }
       my += 1
     }
-    Some(Decoded(w, h, planes))
+    // upsample subsampled planes to w×h by pixel replication
+    val full = Array.tabulate(nc) { i =>
+      if (cw(i) == w && ch(i) == h) planes(i)
+      else {
+        val sx = hMax / comps(i).hs
+        val sy = vMax / comps(i).vs
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val row = (y / sy) * cw(i)
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = planes(i)(row + x / sx)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+    Some(Decoded(w, h, full))
   }
 
   // ---------- encoder (constant-block, integer-exact) ----------
@@ -334,6 +455,22 @@ object Jpeg {
         }
         i -= 1
       }
+    }
+    /** pad the current byte with 1s WITHOUT stuffing — only legal
+      * immediately before a marker (a padded 0xFF there is a fill byte
+      * per B.1.1.2, and stuffing a 0x00 after it would turn it into a
+      * phantom data byte for any decoder that reads on) */
+    def padToMarker(): Unit = {
+      if (n > 0) {
+        cur = (cur << (8 - n)) | ((1 << (8 - n)) - 1)
+        out.write(cur); cur = 0; n = 0
+      }
+    }
+    /** emit a marker (0xFF m) into the entropy stream — byte-aligned
+      * only (RSTn between restart intervals) */
+    def writeMarker(m: Int): Unit = {
+      require(n == 0, "marker must be byte-aligned")
+      out.write(0xff); out.write(m)
     }
     /** pad the final byte with 1s (F.1.2.3) and return the stream */
     def finish(): Array[Byte] = {
@@ -392,6 +529,78 @@ object Jpeg {
         bw.write(bits, s)
       }
       bw.write(0, 1) // EOB ('0' in the 1-bit AC table)
+    }
+    out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a baseline 4:2:0 color JPEG (Y sampled 2×2, chroma 1×1)
+    * whose tiles are CONSTANT — Y per 8×8 source tile via
+    * `blockVal(bx, by, 0)` on the (w/8)×(h/8) grid, Cb/Cr per 16×16
+    * source tile via `blockVal(bx, by, 1|2)` on the (w/16)×(h/16) grid
+    * (one chroma-plane block covers a 16×16 pixel area, so replication
+    * upsampling recovers it exactly). Width/height must be multiples
+    * of 16. With `restartInterval` > 0, a DRI segment is written and
+    * RST0–7 markers are emitted (byte-aligned, DC predictors reset)
+    * after every `restartInterval` MCUs — the resync structure nearly
+    * every camera JPEG carries. Same legal custom tables as
+    * [[encodeJpeg]]; decode through [[decode]] recovers every sample
+    * exactly. */
+  def encodeJpeg420(w: Int, h: Int, blockVal: (Int, Int, Int) => Int,
+                    restartInterval: Int = 0): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0 && restartInterval >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, data: Array[Int]): Unit = {
+      marker(m); out.write((data.length + 2) >> 8); out.write((data.length + 2) & 0xff)
+      data.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    segment(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT id 0, all ones
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    segment(0xc4, Array(0x00) ++ dcBits ++ (0 to 11).toArray)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    segment(0xc4, Array(0x10) ++ acBits ++ Array(0x00))
+    // SOF0: Y = component 1 at 2×2, Cb/Cr = components 2/3 at 1×1
+    segment(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    if (restartInterval > 0)
+      segment(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    segment(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val bw = new BitWriter
+    val dcPred = new Array[Int](3)
+    def emitBlock(c: Int, v: Int): Unit = {
+      require(v >= 0 && v <= 255)
+      val dc = 8 * (v - 128)
+      val diff = dc - dcPred(c)
+      dcPred(c) = dc
+      val s = dcCategory(diff)
+      require(s <= 11)
+      bw.write(s, 4)
+      if (s > 0) {
+        val bits = if (diff >= 0) diff else diff + (1 << s) - 1
+        bw.write(bits, s)
+      }
+      bw.write(0, 1) // EOB
+    }
+    val mcuW = w / 16; val mcuH = h / 16
+    var mcusSinceRestart = 0
+    var rstIdx = 0
+    for (my <- 0 until mcuH; mx <- 0 until mcuW) {
+      if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+        bw.padToMarker()
+        bw.writeMarker(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+        mcusSinceRestart = 0
+      }
+      // MCU: four Y blocks in 2×2 raster order, then Cb, then Cr (A.2.3)
+      for (by <- 0 until 2; bx <- 0 until 2)
+        emitBlock(0, blockVal(mx * 2 + bx, my * 2 + by, 0))
+      emitBlock(1, blockVal(mx, my, 1))
+      emitBlock(2, blockVal(mx, my, 2))
+      mcusSinceRestart += 1
     }
     out.write(bw.finish())
     marker(0xd9) // EOI

@@ -528,7 +528,9 @@ object Multimodal {
     while (o + 8 <= b.length && !sawIend) {
       val len = be32(o)
       val typ = new String(b, o + 4, 4, "US-ASCII")
-      if (len < 0 || o + 12 + len > b.length) return None
+      // Long bound: o + 12 + len wraps negative for len near 2^31 and
+      // would pass an Int comparison, sending CRC32.update out of bounds
+      if (len < 0 || o.toLong + 12 + len > b.length) return None
       val crc = new java.util.zip.CRC32()
       crc.update(b, o + 4, 4 + len)
       if (crc.getValue.toInt != be32(o + 8 + len)) return None
@@ -549,8 +551,16 @@ object Multimodal {
       o += 12 + len
     }
     if (!sawIhdr || !sawIend) return None
-    val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
+    // size guards BEFORE allocating (decodeBmp's treatment): a crafted
+    // IHDR with huge dims would overflow the Int stride/raw-length math
+    // (NegativeArraySizeException) or allocate multi-GB buffers. Deflate
+    // expands at most ~1032:1, so a raw size past that bound can never
+    // inflate fully anyway — reject it without allocating.
+    val strideL = w.toLong * channels
+    val rawLenL = h.toLong * (1 + strideL)
+    if (rawLenL > Int.MaxValue || rawLenL > 1032L * idat.size + 64) return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var got = 0

@@ -402,12 +402,16 @@ object Sampling {
     val uniDf = broadcast(uniRows.toDF("bucket", "c1"))
     val biDf = broadcast(biRows.toDF("bucket", "c2"))
     val toks = split(lower(col("text")), " ")
+    // word_bigram_structs emits (gram, prev, cur) in one native pass, so
+    // no re-`split` of the gram string it was concatenated from runs in
+    // the exploded hot path
     val pairs = docs
-      .select(col("doc_id"), explode(graft.functions.word_ngrams(toks, 2)).as("bi"))
       .select(col("doc_id"),
-        bucketOf(col("bi")).as("b2"),
-        bucketOf(element_at(split(col("bi"), " "), 1)).as("bprev"),
-        bucketOf(element_at(split(col("bi"), " "), 2)).as("bcur"))
+        explode(graft.functions.word_bigram_structs(toks)).as("bi"))
+      .select(col("doc_id"),
+        bucketOf(col("bi.gram")).as("b2"),
+        bucketOf(col("bi.prev")).as("bprev"),
+        bucketOf(col("bi.cur")).as("bcur"))
     val lp = pairs
       .join(biDf.select(col("bucket").as("b2"), col("c2")), Seq("b2"), "left")
       .join(uniDf.select(col("bucket").as("bprev"), col("c1").as("cprev")), Seq("bprev"), "left")

@@ -51,6 +51,21 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT distinct_shingles(array(1, 2, 3), 3)").collect()
     }
     assert(badType.getMessage.toLowerCase.contains("distinct_shingles"))
+    // the struct sibling: gram agrees with word_ngrams(n=2), and each
+    // struct's prev/cur ARE the gram's members (no re-split needed)
+    val bs = spark.sql(
+      "SELECT word_bigram_structs(split('a b a b c', ' ')) AS s").head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(bs == Seq(("a b", "a", "b"), ("b a", "b", "a"),
+      ("a b", "a", "b"), ("b c", "b", "c")))
+    // 0- and 1-token arrays yield empty (no pair exists)
+    assert(spark.sql("SELECT word_bigram_structs(array('x')) AS s").head
+      .getSeq[Any](0).isEmpty)
+    val badBs = intercept[Exception] {
+      spark.sql("SELECT word_bigram_structs(array(1, 2))").collect()
+    }
+    assert(badBs.getMessage.toLowerCase.contains("word_bigram_structs"))
   }
 
   test("extension injector: GraftExtensions.apply wires builders a registry can resolve") {

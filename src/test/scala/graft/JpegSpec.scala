@@ -113,9 +113,28 @@ class JpegSpec extends SparkSpec {
     val sofAt = ok.indices.find(i => (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(Jpeg.decode(prog).isEmpty)
-    // 2x1 sampling factors
+    // declared 2x1 sampling on a SINGLE-component frame: per A.2.2 a
+    // one-component scan is non-interleaved and sampling is ignored, so
+    // this must DECODE (it used to be rejected under the 4:4:4-only
+    // scope), identically to the 1x1 stream
     val sub = ok.clone(); sub(sofAt + 11) = 0x21.toByte
-    assert(Jpeg.decode(sub).isEmpty)
+    val Some(subD) = Jpeg.decode(sub)
+    assert(subD.planes(0).forall(_ == 100))
+    // sampling factor outside {1,2} (4x1): out of scope, rejected
+    val s41 = ok.clone(); s41(sofAt + 11) = 0x41.toByte
+    assert(Jpeg.decode(s41).isEmpty)
+    // SOF0 quant-table id past the 4-table baseline range: must REJECT
+    // at parse time, not AIOOBE inside decodeScan
+    val badQ = ok.clone(); badQ(sofAt + 12) = 0xfe.toByte
+    assert(Jpeg.decode(badQ).isEmpty)
+    // SOS huffman-table selector nibbles past the 4-table range: same
+    // reject-don't-throw contract (td=4 / ta=4 would index dcTab(4))
+    val grayScanAt = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda).get
+    val badTd = ok.clone(); badTd(grayScanAt + 6) = 0x40.toByte
+    assert(Jpeg.decode(badTd).isEmpty)
+    val badTa = ok.clone(); badTa(grayScanAt + 6) = 0x04.toByte
+    assert(Jpeg.decode(badTa).isEmpty)
     // truncated entropy data
     assert(Jpeg.decode(ok.dropRight(3)).isEmpty)
     // not a JPEG
@@ -139,6 +158,92 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++
       seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0)) ++
       seg(0xda, Seq(1)))).isEmpty)
+  }
+
+  // bit-string → padded bytes, for fixtures whose huffman codes and
+  // magnitude bits are derived on paper but whose byte packing is long
+  // enough that hand-packing would be the error source
+  private def pack(bits: String): Seq[Int] = {
+    val s = bits.replace(" ", "")
+    val padded = s + "1" * ((8 - s.length % 8) % 8)
+    padded.grouped(8).map(Integer.parseInt(_, 2)).toSeq
+  }
+
+  test("hand-packed 4:2:0 MCU: Y 2x2 + chroma, interleave order and replication upsampling") {
+    // 16x16, one MCU = 4 Y blocks (2x2 raster) + Cb + Cr. Flat DC table
+    // (category s = code s at 4 bits), 1-bit EOB AC table, all-ones DQT.
+    // Y quadrants 130/132/134/136 → DCs 16/32/48/64, per-component
+    // predictor → diffs all 16 (cat 5, bits 10000).
+    // Cb 140 → DC 96, diff 96 (cat 7, bits 1100000).
+    // Cr 120 → DC −64, diff −64 (cat 7, bits −64+127 = 63 = 0111111).
+    val dhtAc = seg(0xc4, Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    val sof = seg(0xc0, Seq(8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    val sos = seg(0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val scan = pack("0101 10000 0 " * 4 + "0111 1100000 0 " + "0111 0111111 0")
+    val jpeg = bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ sos ++
+      scan ++ Seq(0xff, 0xd9))
+    val Some(d) = Jpeg.decode(jpeg)
+    assert((d.width, d.height, d.planes.length) == ((16, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expectY = 130 + 2 * ((y / 8) * 2 + x / 8) // raster block order
+      assert(d.planes(0)(y * 16 + x) == expectY, s"Y ($x,$y)")
+      assert(d.planes(1)(y * 16 + x) == 140, s"Cb ($x,$y)")
+      assert(d.planes(2)(y * 16 + x) == 120, s"Cr ($x,$y)")
+    }
+  }
+
+  test("hand-packed DRI/RSTn: byte-aligned resync, DC predictor reset, sequence check") {
+    // 8x24 grayscale, DRI = 1: three MCUs separated by RST0, RST1. Each
+    // segment's DC diff is the block's FULL DC (predictor resets at each
+    // marker): 130 → +16 (cat 5), 135 → +56 (cat 6, bits 111000),
+    // 125 → −24 (cat 5, bits −24+31 = 7 = 00111).
+    val dhtAc = seg(0xc4, Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    val sof = seg(0xc0, Seq(8, 0, 24, 0, 8, 1, 1, 0x11, 0))
+    val dri = seg(0xdd, Seq(0, 1))
+    val sos = seg(0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    val jpeg = bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ dri ++ sos ++
+      pack("0101 10000 0") ++ Seq(0xff, 0xd0) ++
+      pack("0110 111000 0") ++ Seq(0xff, 0xd1) ++
+      pack("0101 00111 0") ++ Seq(0xff, 0xd9))
+    val Some(d) = Jpeg.decode(jpeg)
+    assert((d.width, d.height) == ((8, 24)))
+    for (y <- 0 until 24; x <- 0 until 8) {
+      val expect = if (y < 8) 130 else if (y < 16) 135 else 125
+      assert(d.planes(0)(y * 8 + x) == expect, s"($x,$y)")
+    }
+    // out-of-sequence restart marker (RST3 where RST1 is due): a decoder
+    // that ignored the modulo-8 sequence would silently resync across a
+    // dropped interval — must reject
+    val rst1At = jpeg.indices.find(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xd1).get
+    val bad = jpeg.clone(); bad(rst1At + 1) = 0xd3.toByte
+    assert(Jpeg.decode(bad).isEmpty)
+    // missing restart marker entirely (entropy data runs through the
+    // boundary): the expected-RSTn check must fail, not misdecode
+    val noRst = bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ dri ++ sos ++
+      pack("0101 10000 0" + "0110 111000 0" + "0101 00111 0") ++ Seq(0xff, 0xd9))
+    assert(Jpeg.decode(noRst).isEmpty)
+  }
+
+  test("4:2:0 + DRI encoder round-trip is integer-exact, including RST cycling past RST7") {
+    // 32x64: 8 MCUs; interval 3 → RST after MCUs 3 and 6 — and a taller
+    // variant with 18 MCUs crosses the RST0..7 → RST0 wraparound
+    def tile(seed: Long)(bx: Int, by: Int, c: Int): Int =
+      Multimodal.jpegPixelValue(seed, bx, by, c)
+    for (ri <- Seq(0, 3)) {
+      val enc = Jpeg.encodeJpeg420(32, 64, tile(5L), ri)
+      val Some(d) = Jpeg.decode(enc)
+      assert((d.width, d.height, d.planes.length) == ((32, 64, 3)))
+      for (y <- 0 until 64; x <- 0 until 32) {
+        assert(d.planes(0)(y * 32 + x) == tile(5L)(x / 8, y / 8, 0), s"Y ($x,$y) ri=$ri")
+        assert(d.planes(1)(y * 32 + x) == tile(5L)(x / 16, y / 16, 1), s"Cb ($x,$y) ri=$ri")
+        assert(d.planes(2)(y * 32 + x) == tile(5L)(x / 16, y / 16, 2), s"Cr ($x,$y) ri=$ri")
+      }
+    }
+    val tall = Jpeg.encodeJpeg420(16, 16 * 18, tile(7L), 2) // 18 MCUs, 8 RSTs → wraps
+    val Some(t) = Jpeg.decode(tall)
+    for (y <- 0 until 16 * 18; x <- 0 until 16)
+      assert(t.planes(0)(y * 16 + x) == tile(7L)(x / 8, y / 8, 0), s"tall Y ($x,$y)")
   }
 
   test("ZRL run crossing coefficient 63 is rejected, landing exactly on it is not") {

@@ -79,4 +79,19 @@ class SimilarityRecallSpec extends SparkSpec {
     val r = recallOf(Similarity.knnIvfTrained(emb, 5, 10))
     assert(r >= 0.9, f"trained-IVF recall regressed: $r%.3f < 0.9")
   }
+
+  test("adaptivePlanes cap equals the oracle's generated-term count (24)") {
+    // the s09/s10 oracle SQL generates exactly 24 bit terms per table
+    // (Oracles.adaptiveBandedBuckets(24, 4)); if the engine's cap ever
+    // exceeds that, buckets silently diverge for corpora past
+    // 64·2^24 vectors and verify would misreport it as an engine bug
+    assert(Similarity.adaptivePlanes(Long.MaxValue) == 24)
+    assert(Similarity.adaptivePlanes(64L << 24) == 24)
+    // below the cap the integer schedule matches ceil(log2(n/64)) with
+    // floor 4 — the formula the SQL side evaluates
+    for (n <- Seq(1L, 64L, 65L, 1024L, 1025L, 2000L, 1000000L)) {
+      val expect = math.max(4, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+      assert(Similarity.adaptivePlanes(n) == math.min(24, expect), s"n=$n")
+    }
+  }
 }

@@ -94,6 +94,85 @@ def main(table, mult, sf_dir="/root/testdata/sf0.1"):
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/{src}.parquet'").fetchone()[0]
     print(f"{out}/{src}.parquet rows={n}")
 
+def make_full(mult, sf_dir="/root/testdata/sf0.1", out=None):
+    """Complete scaled SF directory for running the WHOLE suite (Bench with
+    SPARK_GRAFT_SF_DIR pointed here):
+        python3 tools/make_scaled.py full 10   -> /tmp/sf1
+    Per-table scaling chosen so no operator becomes pathological BY
+    CONSTRUCTION (see the TABLES header note on quadratic LSH candidates):
+      - orders/lineitem: shifted-orderkey replicas (make_tpch shape);
+      - events: shifted event_id AND user_id per replica -> mult x users,
+        per-user history identical to the source (streaks/windows/sessions
+        scale in #keys, not in degenerate duplicate timestamps per key);
+      - documents: the mutated replication (replica-local trigrams), so
+        MinHash/SimHash candidate relations grow linearly;
+      - embeddings: per-replica CYCLIC ROTATION of the vector (norm and
+        intra-replica duplicate structure preserved; a rotated vector has
+        fresh hyperplane dots, so replicas don't collide in LSH buckets
+        the way exact copies would);
+      - dimension tables: copied as-is (same business, mult x history).
+    """
+    import shutil, glob
+    out = out or f"/tmp/sf{mult}x"
+    os.makedirs(out, exist_ok=True)
+    reps = f"(SELECT unnest(generate_series(0, {mult - 1})) AS i) r"
+    # orders + lineitem (make_tpch logic inline, targeting `out`)
+    oshift = duckdb.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{sf_dir}/orders.parquet'").fetchone()[0]
+    duckdb.sql(f"""
+      COPY (SELECT o_orderkey + r.i * {oshift} AS o_orderkey,
+                   COLUMNS(c -> c <> 'o_orderkey')
+            FROM '{sf_dir}/orders.parquet', {reps})
+      TO '{out}/orders.parquet' (FORMAT parquet)""")
+    duckdb.sql(f"""
+      COPY (SELECT l_orderkey + r.i * {oshift} AS l_orderkey,
+                   COLUMNS(c -> c <> 'l_orderkey')
+            FROM '{sf_dir}/lineitem.parquet', {reps})
+      TO '{out}/lineitem.parquet' (FORMAT parquet)""")
+    # events: new ids AND new users per replica
+    eshift, ushift = duckdb.sql(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 "
+        f"FROM '{sf_dir}/events.parquet'").fetchone()
+    duckdb.sql(f"""
+      COPY (SELECT event_id + r.i * {eshift} AS event_id,
+                   user_id + r.i * {ushift} AS user_id,
+                   COLUMNS(c -> c NOT IN ('event_id', 'user_id'))
+            FROM '{sf_dir}/events.parquet', {reps})
+      TO '{out}/events.parquet' (FORMAT parquet)""")
+    # documents: mutated replication (replica-unique token tags)
+    dshift = duckdb.sql(
+        f"SELECT max(doc_id) + 1 FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    duckdb.sql(f"""
+      COPY (SELECT doc_id + r.i * {dshift} AS doc_id,
+                   replace(text, ' ', ' r' || r.i || '_') AS text,
+                   lang, source, n_chars
+            FROM '{sf_dir}/documents.parquet', {reps})
+      TO '{out}/documents.parquet' (FORMAT parquet)""")
+    # embeddings: cyclic rotation by replica index (dim 64 >> mult)
+    vshift = duckdb.sql(
+        f"SELECT max(vec_id) + 1 FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    duckdb.sql(f"""
+      COPY (SELECT vec_id + r.i * {vshift} AS vec_id,
+                   list_concat(embedding[(r.i + 1):], embedding[1:r.i])
+                     ::FLOAT[] AS embedding,
+                   label
+            FROM '{sf_dir}/embeddings.parquet', {reps})
+      TO '{out}/embeddings.parquet' (FORMAT parquet)""")
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(f)
+        if name not in ("orders.parquet", "lineitem.parquet", "events.parquet",
+                        "documents.parquet", "embeddings.parquet"):
+            shutil.copy(f, f"{out}/{name}")
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        n = duckdb.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{out}/{t}.parquet rows={n}")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]),
-         sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
+    if sys.argv[1] == "full":
+        make_full(int(sys.argv[2]),
+                  sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1",
+                  sys.argv[4] if len(sys.argv) > 4 else None)
+    else:
+        main(sys.argv[1], int(sys.argv[2]),
+             sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
