@@ -1499,6 +1499,66 @@ FROM allc a JOIN topc c USING(domain)"""
       |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_hash
       |FROM c ORDER BY doc_id, chunk_no""".stripMargin),
 
+    // p25: the composed pipeline with the LM-perplexity gate — the p24
+    // machinery (hashed-bigram interpolated LM, CCNet terciles) applied
+    // to the QUALITY SURVIVORS (model trained on their en slice,
+    // terciles over their scored pool), tail dropped, unscored (< 2
+    // token) docs passed through, then the p16 sample + chunker.
+    "p25_curated_chunks_lm" -> (CurationCtes + """,
+      |surv AS (
+      |  SELECT e.doc_id FROM exact_kept e JOIN qual q USING (doc_id)
+      |  WHERE e.doc_id NOT IN (SELECT doc_id FROM drop_near)
+      |    AND q.quality_score >= 0.3),
+      |ptoks AS (
+      |  SELECT d.doc_id, d.lang, string_split(lower(d.text), ' ') AS w
+      |  FROM documents d JOIN surv USING (doc_id)),
+      |refuni AS (
+      |  SELECT (('0x' || substr(md5(w[CAST(i AS INTEGER)]), 1, 8))::BIGINT % 4096) AS bucket,
+      |         count(*) AS c1
+      |  FROM ptoks, unnest(generate_series(1, len(w))) t(i)
+      |  WHERE lang = 'en' GROUP BY 1),
+      |refbi AS (
+      |  SELECT (('0x' || substr(md5(w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT % 4096) AS bucket,
+      |         count(*) AS c2
+      |  FROM ptoks, unnest(generate_series(1, len(w) - 1)) t(i)
+      |  WHERE lang = 'en' AND len(w) >= 2 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM refuni),
+      |ppairs AS (
+      |  SELECT doc_id,
+      |    (('0x' || substr(md5(w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT % 4096) AS b2,
+      |    (('0x' || substr(md5(w[CAST(i AS INTEGER)]), 1, 8))::BIGINT % 4096) AS bprev,
+      |    (('0x' || substr(md5(w[CAST(i AS INTEGER) + 1]), 1, 8))::BIGINT % 4096) AS bcur
+      |  FROM ptoks, unnest(generate_series(1, len(w) - 1)) t(i)
+      |  WHERE len(w) >= 2),
+      |plp AS (
+      |  SELECT doc_id,
+      |    ln(0.7 * (coalesce(b2c.c2, 0) + 1.0) / (coalesce(cp.c1, 0) + 4096.0)
+      |     + (1.0 - 0.7) * (coalesce(cc.c1, 0) + 1.0) / ((SELECT t FROM tot) + 4096.0)) AS lp
+      |  FROM ppairs
+      |  LEFT JOIN refbi b2c ON b2c.bucket = ppairs.b2
+      |  LEFT JOIN refuni cp ON cp.bucket = ppairs.bprev
+      |  LEFT JOIN refuni cc ON cc.bucket = ppairs.bcur),
+      |pscored AS (
+      |  SELECT doc_id, round(-sum(lp) / count(*), 6) AS nll
+      |  FROM plp GROUP BY doc_id),
+      |pranked AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY nll, doc_id) AS r,
+      |         count(*) OVER () AS n
+      |  FROM pscored),
+      |ptail AS (SELECT doc_id FROM pranked WHERE r > ceil(2.0 * n / 3.0)),
+      |kept AS (
+      |  SELECT doc_id FROM surv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM ptail)
+      |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'),
+      |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |      FROM documents JOIN kept USING (doc_id)),
+      |c AS (SELECT doc_id, lang, w, CAST(i AS INTEGER) AS chunk_no
+      |      FROM t, unnest(generate_series(0, greatest((len(w) - 64 + 47) // 48, 0))) s(i))
+      |SELECT doc_id, lang, chunk_no,
+      |  CAST(len(w[chunk_no*48+1 : chunk_no*48+64]) AS INTEGER) AS n_tokens,
+      |  md5(array_to_string(w[chunk_no*48+1 : chunk_no*48+64], ' ')) AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin),
+
     // TRY_CAST mirrors Spark's tolerant cast (malformed k -> NULL, not an
     // error), and the double-% flooring mirrors pmod so negative k buckets
     // to the decade BELOW zero on both engines — DuckDB's plain k0 % 10
@@ -2390,27 +2450,65 @@ FROM allc a JOIN topc c USING(domain)"""
     }
   )
 
-  /** Multimodal metadata oracles — mirror Multimodal.attachMedia's pure
-    * derivations. m02's "binary decode" stub is structural arithmetic on
-    * the payload bytes, so even it is mirrorable: DuckDB walks the hex
-    * rendering of the blob two chars per byte. */
+  /** Multimodal oracles. m02/m04 mirror the REAL kind-routed decode
+    * pipeline (Multimodal.realMedia → the five codecs): every branch
+    * recomputes the decoded/resized value sequence from that format's
+    * pixel/sample formula — bytes never seen — with the branch's own
+    * canonical value-index definition, so a decode, plane-order,
+    * channel-pairing or resample error on the engine side diverges.
+    * Kind routing: doc_id%3 → image/audio/video; images rotate
+    * bmp/png/jpeg by (doc_id//3)%3. */
   val multimodal: Map[String, String] = Map(
+    // m02 value orders: BMP/PNG pixel-interleaved raster (i=(y·w+x)·3+c),
+    // JPEG plane-major over the DECODED (chroma-replicated) planes
+    // (i=c·w·h+y·w+x; Y tiles on the 8-grid, chroma on the 16-grid —
+    // the 4:2:0 layout), WAV channel-major (i=c·n+frame), AVI
+    // sampled-frame-major (f=0,5,…; i=(f//5)·w·h·3+(y·w+x)·3+c).
     "m02_media_features" ->
-      """SELECT doc_id,
-        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |  CAST(coalesce(list_sum(
-        |    [CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS BIGINT)
-        |     FOR i IN range(1, octet_length(encode(text)) + 1)]), 0)
-        |    % 1000000007 AS BIGINT) AS checksum,
-        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-        |    ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INTEGER)
-        |  END AS INTEGER) AS head_byte,
-        |  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-        |    ELSE CAST(('0x' || substr(hex(encode(text)),
-        |                2 * octet_length(encode(text)) - 1, 2)) AS INTEGER)
-        |  END AS INTEGER) AS tail_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, kind, format, count(*) AS n_values,
+        |  CAST(min(v) AS INTEGER) AS v_min, CAST(max(v) AS INTEGER) AS v_max,
+        |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS v_mean_ppm,
+        |  CAST(sum((i + 1) * v) AS BIGINT) AS v_wsum
+        |FROM (
+        |  SELECT d.doc_id, 'image' AS kind, 'bmp' AS format,
+        |         (y.y*(5 + d.doc_id % 8) + x.x)*3 + c.c AS i,
+        |         (d.doc_id*31 + y.y*7 + x.x*3 + c.c) % 256 AS v
+        |  FROM documents d, range(12) x(x), range(7) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 0
+        |    AND x.x < 5 + d.doc_id % 8 AND y.y < 3 + d.doc_id % 5
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image', 'png',
+        |         (y.y*(5 + d.doc_id % 8) + x.x)*3 + c.c,
+        |         (d.doc_id*37 + y.y*11 + x.x*5 + c.c) % 256
+        |  FROM documents d, range(12) x(x), range(9) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 1
+        |    AND x.x < 5 + d.doc_id % 8 AND y.y < 5 + d.doc_id % 5
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image', 'jpeg',
+        |         c.c*(16*(1 + d.doc_id % 2))*(16*(1 + d.doc_id % 3))
+        |           + y.y*(16*(1 + d.doc_id % 2)) + x.x,
+        |         (d.doc_id*41
+        |           + (y.y // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*13
+        |           + (x.x // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*7 + c.c) % 256
+        |  FROM documents d, range(32) x(x), range(48) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 2
+        |    AND x.x < 16*(1 + d.doc_id % 2) AND y.y < 16*(1 + d.doc_id % 3)
+        |  UNION ALL
+        |  SELECT d.doc_id, 'audio', 'wav',
+        |         ch.ch*(100 + d.doc_id % 50) + j.j,
+        |         ((d.doc_id*53 + j.j*17 + ch.ch*29) % 65536) - 32768
+        |  FROM documents d, range(150) j(j), range(2) ch(ch)
+        |  WHERE d.doc_id % 3 = 1
+        |    AND j.j < 100 + d.doc_id % 50 AND ch.ch < 1 + d.doc_id % 2
+        |  UNION ALL
+        |  SELECT d.doc_id, 'video', 'avi',
+        |         (f.f // 5)*(4 + d.doc_id % 5)*(3 + d.doc_id % 3)*3
+        |           + (y.y*(4 + d.doc_id % 5) + x.x)*3 + c.c,
+        |         (d.doc_id*59 + f.f*23 + y.y*11 + x.x*5 + c.c) % 256
+        |  FROM documents d, range(30) f(f), range(8) x(x), range(5) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 2 AND f.f < d.doc_id % 30 + 1 AND f.f % 5 = 0
+        |    AND x.x < 4 + d.doc_id % 5 AND y.y < 3 + d.doc_id % 3
+        |) t GROUP BY doc_id, kind, format ORDER BY doc_id""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id,
@@ -2421,31 +2519,81 @@ FROM allc a JOIN topc c USING(domain)"""
         |  octet_length(encode(text)) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // m04 resized orders mirror m02's per format, over the RESIZED
+    // grids: images/video AREA 2×2 (truncating mean of the source box —
+    // every box lies inside one JPEG tile because boxes start at even
+    // coordinates and tile edges are multiples of 8/16), audio
+    // pair-mean downsample (// truncates toward zero, matching Java's
+    // signed /).
     "m04_resized_media" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
-        |    CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
-        |    CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
-        |    octet_length(encode(text)) AS blen,
-        |    hex(encode(text)) AS hx
-        |  FROM documents),
-        |t AS (
-        |  SELECT *,
-        |    greatest(1, width * 64 // greatest(width, height)) AS tw,
-        |    greatest(1, height * 64 // greatest(width, height)) AS th
-        |  FROM m),
-        |s AS (
-        |  SELECT *, greatest(1, (width * height) // (tw * th)) AS strd FROM t)
-        |SELECT doc_id, kind, width, height,
-        |  CAST(tw AS INTEGER) AS target_w, CAST(th AS INTEGER) AS target_h,
-        |  CAST(strd AS INTEGER) AS stride,
-        |  CAST((blen + strd - 1) // strd AS INTEGER) AS resized_len,
-        |  CAST(coalesce(list_sum(
-        |    [CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT)
-        |     FOR i IN range(0, blen) IF i % strd = 0]), 0)
-        |    % 1000000007 AS BIGINT) AS resized_checksum
-        |FROM s ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, kind, format,
+        |  CAST(src_w AS INTEGER) AS src_w, CAST(src_h AS INTEGER) AS src_h,
+        |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+        |  count(*) AS n_out,
+        |  CAST(min(v) AS INTEGER) AS o_min, CAST(max(v) AS INTEGER) AS o_max,
+        |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS o_mean_ppm,
+        |  CAST(sum((j + 1) * v) AS BIGINT) AS o_wsum
+        |FROM (
+        |  SELECT d.doc_id, 'image' AS kind, 'bmp' AS format,
+        |         5 + d.doc_id % 8 AS src_w, 3 + d.doc_id % 5 AS src_h,
+        |         (5 + d.doc_id % 8) // 2 AS out_w, (3 + d.doc_id % 5) // 2 AS out_h,
+        |         (y.y*((5 + d.doc_id % 8) // 2) + x.x)*3 + c.c AS j,
+        |         (((d.doc_id*31 + (2*y.y)*7   + (2*x.x)*3   + c.c) % 256)
+        |        + ((d.doc_id*31 + (2*y.y)*7   + (2*x.x+1)*3 + c.c) % 256)
+        |        + ((d.doc_id*31 + (2*y.y+1)*7 + (2*x.x)*3   + c.c) % 256)
+        |        + ((d.doc_id*31 + (2*y.y+1)*7 + (2*x.x+1)*3 + c.c) % 256)) // 4 AS v
+        |  FROM documents d, range(6) x(x), range(3) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 0
+        |    AND x.x < (5 + d.doc_id % 8) // 2 AND y.y < (3 + d.doc_id % 5) // 2
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image', 'png',
+        |         5 + d.doc_id % 8, 5 + d.doc_id % 5,
+        |         (5 + d.doc_id % 8) // 2, (5 + d.doc_id % 5) // 2,
+        |         (y.y*((5 + d.doc_id % 8) // 2) + x.x)*3 + c.c,
+        |         (((d.doc_id*37 + (2*y.y)*11   + (2*x.x)*5   + c.c) % 256)
+        |        + ((d.doc_id*37 + (2*y.y)*11   + (2*x.x+1)*5 + c.c) % 256)
+        |        + ((d.doc_id*37 + (2*y.y+1)*11 + (2*x.x)*5   + c.c) % 256)
+        |        + ((d.doc_id*37 + (2*y.y+1)*11 + (2*x.x+1)*5 + c.c) % 256)) // 4
+        |  FROM documents d, range(6) x(x), range(4) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 1
+        |    AND x.x < (5 + d.doc_id % 8) // 2 AND y.y < (5 + d.doc_id % 5) // 2
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image', 'jpeg',
+        |         16*(1 + d.doc_id % 2), 16*(1 + d.doc_id % 3),
+        |         8*(1 + d.doc_id % 2), 8*(1 + d.doc_id % 3),
+        |         c.c*(8*(1 + d.doc_id % 2))*(8*(1 + d.doc_id % 3))
+        |           + y.y*(8*(1 + d.doc_id % 2)) + x.x,
+        |         (d.doc_id*41
+        |           + ((2*y.y) // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*13
+        |           + ((2*x.x) // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*7 + c.c) % 256
+        |  FROM documents d, range(16) x(x), range(24) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 2
+        |    AND x.x < 8*(1 + d.doc_id % 2) AND y.y < 8*(1 + d.doc_id % 3)
+        |  UNION ALL
+        |  SELECT d.doc_id, 'audio', 'wav',
+        |         100 + d.doc_id % 50, 1 + d.doc_id % 2,
+        |         (100 + d.doc_id % 50) // 2, 1 + d.doc_id % 2,
+        |         ch.ch*((100 + d.doc_id % 50) // 2) + j.j,
+        |         ((((d.doc_id*53 + (2*j.j)*17   + ch.ch*29) % 65536) - 32768
+        |         + (((d.doc_id*53 + (2*j.j+1)*17 + ch.ch*29) % 65536) - 32768)) // 2)
+        |  FROM documents d, range(75) j(j), range(2) ch(ch)
+        |  WHERE d.doc_id % 3 = 1
+        |    AND j.j < (100 + d.doc_id % 50) // 2 AND ch.ch < 1 + d.doc_id % 2
+        |  UNION ALL
+        |  SELECT d.doc_id, 'video', 'avi',
+        |         4 + d.doc_id % 5, 3 + d.doc_id % 3,
+        |         (4 + d.doc_id % 5) // 2, (3 + d.doc_id % 3) // 2,
+        |         (f.f // 5)*((4 + d.doc_id % 5) // 2)*((3 + d.doc_id % 3) // 2)*3
+        |           + (y.y*((4 + d.doc_id % 5) // 2) + x.x)*3 + c.c,
+        |         (((d.doc_id*59 + f.f*23 + (2*y.y)*11   + (2*x.x)*5   + c.c) % 256)
+        |        + ((d.doc_id*59 + f.f*23 + (2*y.y)*11   + (2*x.x+1)*5 + c.c) % 256)
+        |        + ((d.doc_id*59 + f.f*23 + (2*y.y+1)*11 + (2*x.x)*5   + c.c) % 256)
+        |        + ((d.doc_id*59 + f.f*23 + (2*y.y+1)*11 + (2*x.x+1)*5 + c.c) % 256)) // 4
+        |  FROM documents d, range(30) f(f), range(4) x(x), range(2) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 2 AND f.f < d.doc_id % 30 + 1 AND f.f % 5 = 0
+        |    AND x.x < (4 + d.doc_id % 5) // 2 AND y.y < (3 + d.doc_id % 3) // 2
+        |) t GROUP BY doc_id, kind, format, src_w, src_h, out_w, out_h
+        |ORDER BY doc_id""".stripMargin,
 
     "m03_sampled_frames" ->
       """SELECT doc_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames,
@@ -2643,7 +2791,35 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
         |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
         |  CAST(sum((y*hw + x + 1) * (b + 2*g + 3*r)) AS BIGINT) AS wsum
-        |FROM ch GROUP BY doc_id, hw, hh ORDER BY doc_id""".stripMargin
+        |FROM ch GROUP BY doc_id, hw, hh ORDER BY doc_id""".stripMargin,
+
+    // m12: the WIDENED decoder scope — engine encodes 4:2:0 JPEGs with
+    // restart intervals (DRI=2, RSTn resync + DC reset every 2 MCUs) and
+    // entropy-decodes them back; chroma planes come back replicated to
+    // full resolution. The oracle recomputes Y from the 8-grid tile
+    // formula and Cb/Cr from the 16-grid one — any subsampling-layout,
+    // MCU-interleave, upsampling or resync error diverges.
+    "m12_jpeg420_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(16 * (1 + d.doc_id % 2) AS INTEGER) AS pw,
+        |         CAST(16 * (1 + d.doc_id % 3) AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         (d.doc_id*41 + (y.y//8)*13  + (x.x//8)*7  + 0) % 256 AS yv,
+        |         (d.doc_id*41 + (y.y//16)*13 + (x.x//16)*7 + 1) % 256 AS cb,
+        |         (d.doc_id*41 + (y.y//16)*13 + (x.x//16)*7 + 2) % 256 AS cr
+        |  FROM documents d, range(48) y(y), range(32) x(x)
+        |  WHERE y.y < 16 * (1 + d.doc_id % 3) AND x.x < 16 * (1 + d.doc_id % 2))
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(yv) AS INTEGER) AS y_min, CAST(max(yv) AS INTEGER) AS y_max,
+        |  CAST(sum(yv) * 1000000 // count(*) AS BIGINT) AS y_mean_ppm,
+        |  CAST(min(cb) AS INTEGER) AS cb_min, CAST(max(cb) AS INTEGER) AS cb_max,
+        |  CAST(sum(cb) * 1000000 // count(*) AS BIGINT) AS cb_mean_ppm,
+        |  CAST(min(cr) AS INTEGER) AS cr_min, CAST(max(cr) AS INTEGER) AS cr_max,
+        |  CAST(sum(cr) * 1000000 // count(*) AS BIGINT) AS cr_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (yv + 2*cb + 3*cr)) % 1000000007 AS BIGINT) AS wsum
+        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

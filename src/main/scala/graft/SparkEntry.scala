@@ -270,6 +270,10 @@ object SparkEntry {
     // quality floor -> deterministic 3/4 sample), oracle-checked end-to-end
     "p09_curated_corpus"      -> ((s, d) => Pipeline.curate(Tables.documents(s, d), sampleBuckets = 192)),
     "p16_curated_chunks"      -> ((s, d) => Pipeline.curatedChunks(Tables.documents(s, d), sampleBuckets = 192)),
+    // p25: curation with the LM-perplexity gate composed in
+    // (exact -> near -> quality -> perplexity -> sample -> chunk)
+    "p25_curated_chunks_lm"   -> ((s, d) =>
+      Pipeline.curatedChunksLm(Tables.documents(s, d), col("lang") === "en", sampleBuckets = 192)),
     "p12_packed_sequences"    -> ((s, d) => Packing.packSequences(Tables.documents(s, d))),
     "p13_bin_manifest"        -> ((s, d) => Packing.binManifest(Tables.documents(s, d))),
     "p14_chunked_docs"        -> ((s, d) => Packing.chunkDocs(Tables.documents(s, d))),
@@ -295,7 +299,9 @@ object SparkEntry {
     "m08_jpeg_pixel_stats"    -> ((s, d) => Multimodal.jpegPixelStats(Tables.documents(s, d))),
     "m09_wav_pcm_stats"       -> ((s, d) => Multimodal.wavPcmStats(Tables.documents(s, d))),
     "m10_avi_frame_stats"     -> ((s, d) => Multimodal.aviFrameStats(Tables.documents(s, d))),
-    "m11_bmp_resized"         -> ((s, d) => Multimodal.bmpResized(Tables.documents(s, d)))
+    "m11_bmp_resized"         -> ((s, d) => Multimodal.bmpResized(Tables.documents(s, d))),
+    // widened JPEG scope: 4:2:0 chroma subsampling + restart intervals
+    "m12_jpeg420_pixel_stats" -> ((s, d) => Multimodal.jpegPixelStats420(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

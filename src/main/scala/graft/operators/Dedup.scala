@@ -909,34 +909,51 @@ object Dedup {
   def fuzzyDecontaminate(docs: DataFrame, evalSource: String = "src0",
                          threshold: Double = 0.5, k: Int = 16,
                          bands: Int = 4): DataFrame = {
-    val shT = wordShingles(docs.filter(col("source") =!= evalSource))
-    val shE = wordShingles(docs.filter(col("source") === evalSource))
-    def banded(sh: DataFrame): DataFrame = {
-      val rows = k / bands
-      val structs = (0 until bands).map { b =>
-        val slice = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-        struct(lit(b).as("band_idx"), md5(concat_ws(",", slice: _*)).as("band_key"))
-      }
-      signaturesFrom(sh, k)
-        .select(col("doc_id"), explode(array(structs: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-          col("band.band_key").as("band_key"))
-    }
-    val cands = banded(shT)
-      .join(broadcast(banded(shE)
-          .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))),
-        Seq("band_idx", "band_key"))
+    val (evalBands, evalShingles) =
+      evalFuzzyIndex(docs.filter(col("source") === evalSource), k, bands)
+    fuzzyDecontaminateAgainst(docs.filter(col("source") =!= evalSource),
+      evalBands, evalShingles, threshold, k, bands)
+  }
+
+  /** The PREBUILT eval side of fuzzy decontamination: the banded
+    * MinHash index (band_idx, band_key, eval_id) plus the eval shingle
+    * relation (eval_id, s) — built once per benchmark set (both are
+    * benchmark-sized, so a streaming caller persists and broadcasts
+    * them) and probed by every arriving train batch
+    * ([[graft.streaming.StreamingFuzzyDecontam]], the d11
+    * probe-stored-index pattern applied to the d14 cross-corpus join). */
+  def evalFuzzyIndex(evalDocs: DataFrame, k: Int = 16,
+                     bands: Int = 4): (DataFrame, DataFrame) = {
+    val shE = wordShingles(evalDocs)
+    val eb = bandedFromSig(signaturesFrom(shE, k), k, bands)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("eval_id"))
+    (eb, shE.select(col("doc_id").as("eval_id"), col("s")))
+  }
+
+  /** d14's verdict for exactly the docs in `batch` against a prebuilt
+    * eval index: batch-side signatures (O(batch)), band-key join with
+    * the BROADCAST eval bands, exact Jaccard verify on the candidate
+    * sliver. A train doc's row depends only on its own shingles and the
+    * static eval side, so stream ≡ batch regardless of how docs split
+    * across micro-batches (StreamingSpec pins it) — and per-batch cost
+    * is O(batch + candidates) no matter how large the accumulated
+    * corpus has grown. */
+  def fuzzyDecontaminateAgainst(batch: DataFrame, evalBands: DataFrame,
+                                evalShingles: DataFrame, threshold: Double = 0.5,
+                                k: Int = 16, bands: Int = 4): DataFrame = {
+    val shT = wordShingles(batch)
+    val cands = bandedFromSig(signaturesFrom(shT, k), k, bands)
+      .join(broadcast(evalBands), Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("eval_id")).distinct()
     val shTc = shT.join(broadcast(cands.select("doc_id").distinct()),
       Seq("doc_id"), "left_semi")
-    val shEc = shE.join(broadcast(cands.select(col("eval_id").as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi")
+    val shEc = evalShingles.join(broadcast(cands.select("eval_id").distinct()),
+      Seq("eval_id"), "left_semi")
     val nT = shTc.groupBy("doc_id").agg(count(lit(1)).as("n_train"))
-    val nE = shEc.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
-      .withColumnRenamed("doc_id", "eval_id")
+    val nE = shEc.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
     val common = cands
       .join(shTc, Seq("doc_id"))
-      .join(shEc.select(col("doc_id").as("eval_id"), col("s")), Seq("eval_id", "s"))
+      .join(shEc, Seq("eval_id", "s"))
       .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("common"))
     common.join(nT, Seq("doc_id")).join(nE, Seq("eval_id"))
       .select(col("doc_id"), col("eval_id"), col("common"), col("n_train"),

@@ -7,25 +7,32 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, and batch feature extraction over partitions.
   *
-  * Decode depth varies by format, honestly labeled per method:
-  *   - REAL pixel decodes: uncompressed 24-bpp BMP ([[decodeBmp]] —
-  *     stride, padding, bottom-up, BGR) and full PNG ([[decodePng]] —
-  *     zlib inflate, CRC verification, all five scanline filters), both
-  *     oracle-checked end-to-end (m06/m07);
-  *   - REAL entropy decode: baseline JPEG ([[Jpeg.decode]] — huffman
-  *     scan decode, dequantize, IDCT; scope bounded to 8-bit SOF0 with
-  *     1×1 sampling, m08);
-  *   - REAL audio decode: RIFF/WAVE PCM16 ([[Wav.decodeWav]] — chunk
+  * Decode depth by format — all REAL byte decodes, oracle-checked
+  * end-to-end against formulas the DuckDB side recomputes independently:
+  *   - pixel decodes: uncompressed 24-bpp BMP ([[decodeBmp]] — stride,
+  *     padding, bottom-up, BGR) and full PNG ([[decodePng]] — zlib
+  *     inflate, CRC verification, all five scanline filters) (m06/m07);
+  *   - entropy decode: baseline JPEG ([[Jpeg.decode]] — huffman scan
+  *     decode, dequantize, IDCT; 8-bit SOF0, sampling factors {1,2}
+  *     incl. 4:2:0, restart intervals) (m08 4:4:4, m12 4:2:0+DRI);
+  *   - audio decode: RIFF/WAVE PCM16 ([[Wav.decodeWav]] — chunk
   *     walk, de-interleave, sign extension, m09);
-  *   - REAL video container walk + frame decode: uncompressed AVI
+  *   - video container walk + frame decode: uncompressed AVI
   *     ([[Avi]] — RIFF hdrl/movi walk, frame extraction by offset
   *     seek, DIB pixel decode, m10);
-  *   - REAL header decodes: PNG/BMP/JPEG dimension probes
+  *   - header decodes: PNG/BMP/JPEG dimension probes
   *     ([[parsePng]]/[[parseBmp]]/[[parseJpeg]], m05);
-  *   - STUBS: wild entropy-coded content beyond the documented scopes
-  *     (progressive/subsampled JPEG, compressed video/audio codecs) —
-  *     the m01–m04 structural-feature stages keep their deterministic
-  *     fake payloads and are labeled as such.
+  *   - the kind-routed pipeline stages run over these same real codecs:
+  *     feature extraction ([[extractFeatures]], m02) and per-modality
+  *     resize/resample ([[resizeMedia]], m04) decode real BMP/PNG/JPEG/
+  *     WAV/AVI files end-to-end. Out of scope (decoders return None):
+  *     progressive/arithmetic JPEG, compressed video/audio codecs —
+  *     real codec libraries slot into the same mapPartitions bodies.
+  *     m01/m03 are the intentionally payload-FREE stages: m01's whole
+  *     point is answering from typed metadata with the binary column
+  *     pruned out of the scan (its synthetic byte_len/dims metadata is
+  *     labeled), m03 is frame-index arithmetic that plans decode work
+  *     without doing any.
   * What is REAL and load-bearing everywhere is the Spark shape:
   *   - schema: `media: binary` + `meta: struct<kind,width,height,n_frames>`
   *     — exactly how an image/video column rides in a 100 TB parquet
@@ -80,47 +87,205 @@ object Multimodal {
           lit(every))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** JVM twin of [[attachBmpMedia]]'s byte layout (54-byte header,
+    * 4-byte-aligned rows, bottom-up, BGR, pixel formula [[pixelValue]])
+    * for the kind-routed m02/m04 stages that build payloads inside
+    * mapPartitions rather than as Spark expressions. MultimodalSpec
+    * pins byte-identity against the expression builder. */
+  private[graft] def buildBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val imgSize = rowSize * h
+    val out = new Array[Byte](54 + imgSize)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + imgSize); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24 // planes, bpp
+    le32(34, imgSize)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // stored bottom-up
+      var o = 0
+      while (o < w * 3) {
+        out(54 + r * rowSize + o) = pixelValue(id, o / 3, y, o % 3).toByte
+        o += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** The REAL payload for doc `id`, routed by kind: every third doc is
+    * an image (rotating BMP / PNG / 4:2:0-with-restarts JPEG by
+    * doc_id/3 % 3), then WAV audio, then AVI video — the five in-repo
+    * encoders, dims and content from the same per-format formulas the
+    * m06–m10 oracles recompute. Returns (kind, format, bytes). */
+  private[graft] def realMedia(id: Long): (String, String, Array[Byte]) =
+    (id % 3) match {
+      case 0 => ((id / 3) % 3) match {
+        case 0 => ("image", "bmp",
+          buildBmp(id, 5 + (id % 8).toInt, 3 + (id % 5).toInt))
+        case 1 => ("image", "png",
+          buildPng(id, 5 + (id % 8).toInt, 5 + (id % 5).toInt))
+        case _ => ("image", "jpeg",
+          Jpeg.encodeJpeg420(16 * (1 + (id % 2).toInt), 16 * (1 + (id % 3).toInt),
+            (bx, by, c) => jpegPixelValue(id, bx, by, c), restartInterval = 2))
+      }
+      case 1 => ("audio", "wav",
+        Wav.encodeWav(100 + (id % 50).toInt, 1 + (id % 2).toInt,
+          8000 + (id % 4).toInt * 4000, (i, c) => wavSample(id, i, c)))
+      case _ => ("video", "avi",
+        Avi.encodeAvi(4 + (id % 5).toInt, 3 + (id % 3).toInt, (id % 30).toInt + 1,
+          (f, x, y, c) => aviPixel(id, f, x, y, c)))
+    }
+
+  /** Decode a [[realMedia]] payload to its canonical flat value
+    * sequence — the order each format's oracle indexes by:
+    * BMP/PNG pixel-interleaved raster (i = (y·w+x)·3 + c), JPEG
+    * plane-major (i = c·w·h + y·w + x; chroma replicated to full res),
+    * WAV channel-major (i = c·n + frame), AVI sampled-frame-major
+    * (every 5th frame, i = (f/5)·w·h·3 + (y·w+x)·3 + c). None on any
+    * malformed payload (reject-don't-throw, like the m05–m11 arms). */
+  private[graft] def decodeValues(format: String, bytes: Array[Byte]): Option[Array[Int]] =
+    format match {
+      case "bmp" => decodeBmp(bytes).map(_._3)
+      case "png" => decodePng(bytes).collect { case (_, _, 3, px) => px }
+      case "jpeg" => Jpeg.decode(bytes).map(d => d.planes.flatten)
+      case "wav" => Wav.decodeWav(bytes).map(_.samples.flatten)
+      case "avi" => Avi.parseAvi(bytes).flatMap { idx =>
+        val frames = (0 until idx.nFrames by 5)
+          .map(f => Avi.decodeFrame(bytes, idx, f))
+        if (frames.exists(_.isEmpty)) None
+        else Some(frames.flatMap(_.get).toArray)
+      }
+      case _ => None
+    }
+
+  /** AREA (2×2 box-average, truncating) downscale of a channel-
+    * interleaved raster — m11's kernel, shared by the m04 image and
+    * video arms. Odd trailing rows/columns dropped. */
+  private[graft] def halveInterleaved(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val hw = w / 2; val hh = h / 2
+    val out = new Array[Int](hw * hh * 3)
+    var p = 0
+    while (p < hw * hh) {
+      val y = p / hw; val x = p % hw
+      var c = 0
+      while (c < 3) {
+        out(p * 3 + c) = (px(((2 * y) * w + 2 * x) * 3 + c)
+          + px(((2 * y) * w + 2 * x + 1) * 3 + c)
+          + px(((2 * y + 1) * w + 2 * x) * 3 + c)
+          + px(((2 * y + 1) * w + 2 * x + 1) * 3 + c)) / 4
+        c += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  /** AREA downscale of one planar channel (the JPEG arm). */
+  private[graft] def halvePlane(pl: Array[Int], w: Int, h: Int): Array[Int] = {
+    val hw = w / 2; val hh = h / 2
+    val out = new Array[Int](hw * hh)
+    var p = 0
+    while (p < hw * hh) {
+      val y = p / hw; val x = p % hw
+      out(p) = (pl((2 * y) * w + 2 * x) + pl((2 * y) * w + 2 * x + 1)
+        + pl((2 * y + 1) * w + 2 * x) + pl((2 * y + 1) * w + 2 * x + 1)) / 4
+      p += 1
+    }
+    out
+  }
+
   private val resizedSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = true),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("target_w", IntegerType, nullable = false),
-    StructField("target_h", IntegerType, nullable = false),
-    StructField("stride", IntegerType, nullable = false),
-    StructField("resized_len", IntegerType, nullable = false),
-    StructField("resized_checksum", LongType, nullable = false)))
+    StructField("kind", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("src_w", IntegerType, nullable = false),
+    StructField("src_h", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("n_out", LongType, nullable = false),
+    StructField("o_min", IntegerType, nullable = false),
+    StructField("o_max", IntegerType, nullable = false),
+    StructField("o_mean_ppm", LongType, nullable = false),
+    StructField("o_wsum", LongType, nullable = false)))
 
-  /** The resize stage of an image pipeline: fit (width, height) into a
-    * `box`×`box` target preserving aspect ratio, then "resample" the
-    * payload by pixel-decimation stride. The geometry and the stride are
-    * pure integer arithmetic (oracle-mirrorable); the byte decimation
-    * stands in for the codec's scaler. Same mapPartitions shape as
-    * [[extractFeatures]] — a real scaler initializes once per partition
-    * and only the body of `resize` changes. */
-  def resizeMedia(docs: DataFrame, box: Int = 64): DataFrame = {
+  private def valueStats(id: Long, kind: String, fmt: String,
+                         sw: Int, sh: Int, ow: Int, oh: Int,
+                         vs: Array[Int]): Row = {
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var sum = 0L; var wsum = 0L
+    var i = 0
+    while (i < vs.length) {
+      val v = vs(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      wsum += (i + 1L) * v
+      i += 1
+    }
+    Row(id, kind, fmt, sw, sh, ow, oh, vs.length.toLong,
+      mn, mx, sum * 1000000L / vs.length, wsum)
+  }
+
+  /** m04: REAL resize over REAL decoded media — the per-kind resample a
+    * vision/audio pipeline runs, expressed exactly per modality:
+    *   - images (BMP/PNG/decoded-4:2:0 JPEG): AREA 2×2 box-average over
+    *     the decoded pixels (interleaved rasters for BMP/PNG, per plane
+    *     for JPEG), m11's kernel;
+    *   - audio (WAV): downsample-by-2 — each output sample the
+    *     truncating mean of its source pair, per channel;
+    *   - video (AVI): every 5th frame (sample-before-decode, the m03
+    *     plan), each sampled frame AREA-downscaled.
+    * Output = per-doc stats over the resized value sequence (min / max
+    * / truncating mean_ppm / order-weighted Σ(j+1)·v), so the oracle —
+    * which recomputes every resized value from the per-format pixel/
+    * sample formulas without seeing bytes — catches a box-offset,
+    * plane-order, channel-pairing or rounding divergence. mapPartitions
+    * (one codec init per partition); a payload that fails its decoder
+    * is REJECTED (dropped), never thrown. */
+  def resizeMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val src = attachMedia(docs).select(col("doc_id"), col("media"),
-      col("meta.kind"), col("meta.width"), col("meta.height"))
-    val rdd = src.rdd.mapPartitions { rows =>
-      // real pipeline: val scaler = Codec.acquireScaler() here, once per partition
-      def resize(r: Row): Row = {
-        val id    = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val kind  = r.getString(2)
-        val w     = r.getInt(3)
-        val h     = r.getInt(4)
-        val m  = math.max(w, h)
-        val tw = math.max(1, w * box / m)
-        val th = math.max(1, h * box / m)
-        val stride = math.max(1, (w.toLong * h / (tw.toLong * th)).toInt)
-        var sum = 0L
-        var n   = 0
-        var i   = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); n += 1; i += stride }
-        Row(id, kind, w, h, tw, th, stride, n, sum % 1000000007L)
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val (kind, fmt, bytes) = realMedia(id)
+        fmt match {
+          case "bmp" => decodeBmp(bytes).map { case (w, h, px) =>
+            valueStats(id, kind, fmt, w, h, w / 2, h / 2,
+              halveInterleaved(px, w, h))
+          }
+          case "png" => decodePng(bytes).collect { case (w, h, 3, px) =>
+            valueStats(id, kind, fmt, w, h, w / 2, h / 2,
+              halveInterleaved(px, w, h))
+          }
+          case "jpeg" => Jpeg.decode(bytes).map { d =>
+            val out = d.planes.flatMap(halvePlane(_, d.width, d.height))
+            valueStats(id, kind, fmt, d.width, d.height,
+              d.width / 2, d.height / 2, out)
+          }
+          case "wav" => Wav.decodeWav(bytes).map { pcm =>
+            val n = pcm.samples(0).length
+            val out = pcm.samples.flatMap { s =>
+              Array.tabulate(n / 2)(j => (s(2 * j) + s(2 * j + 1)) / 2)
+            }
+            valueStats(id, kind, fmt, n, pcm.channels, n / 2, pcm.channels, out)
+          }
+          case "avi" => Avi.parseAvi(bytes).flatMap { idx =>
+            val frames = (0 until idx.nFrames by 5)
+              .map(f => Avi.decodeFrame(bytes, idx, f))
+            if (frames.exists(_.isEmpty)) None
+            else Some(valueStats(id, kind, fmt, idx.width, idx.height,
+              idx.width / 2, idx.height / 2,
+              frames.flatMap(px => halveInterleaved(px.get, idx.width, idx.height)).toArray))
+          }
+          case _ => None
+        }
       }
-      rows.map(resize)
     }
     spark.createDataFrame(rdd, resizedSchema).orderBy("doc_id")
   }
@@ -942,36 +1107,95 @@ object Multimodal {
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = true),
-    StructField("byte_len", IntegerType, nullable = false),
-    StructField("checksum", LongType, nullable = false),
-    StructField("head_byte", IntegerType, nullable = false),
-    StructField("tail_byte", IntegerType, nullable = false)))
+    StructField("kind", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_values", LongType, nullable = false),
+    StructField("v_min", IntegerType, nullable = false),
+    StructField("v_max", IntegerType, nullable = false),
+    StructField("v_mean_ppm", LongType, nullable = false),
+    StructField("v_wsum", LongType, nullable = false)))
 
-  /** The decode/feature-extract stage: mapPartitions so a real decoder
-    * initializes once per partition. The stub computes deterministic
-    * structural features; a real implementation replaces only the body of
-    * `extract`. Oracle-checked: the DuckDB side reproduces the byte walk
-    * over hex(encode(text)) (m02 in Oracles.multimodal); ScalaTest
-    * additionally pins exact values. */
+  /** m02: the decode/feature-extract stage over REAL media — every doc's
+    * payload is one of the five in-repo codecs' files ([[realMedia]]),
+    * decoded back through the GENERAL decoder for its format
+    * ([[decodeValues]]), and the features are computed from the DECODED
+    * values: count, min, max, truncating mean_ppm and the order-weighted
+    * checksum Σ(i+1)·v over each format's canonical value order. The
+    * oracle recomputes all of it from the per-format pixel/sample
+    * formulas without ever seeing bytes, so a decode error anywhere in
+    * any of the five codecs diverges. mapPartitions so a real decoder
+    * initializes once per partition; payloads that fail their decoder
+    * are REJECTED (dropped), never thrown — a crawl's poison bytes
+    * can't fail the task. */
   def extractFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val withMedia = attachMedia(docs).select("doc_id", "media", "meta.kind")
-    val rdd = withMedia.rdd.mapPartitions { rows =>
-      // real pipeline: val decoder = Codec.acquire() here, once per partition
-      def extract(r: Row): Row = {
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val kind = r.getString(2)
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-        Row(id, kind, bytes.length, sum % 1000000007L,
-          if (bytes.nonEmpty) bytes(0) & 0xff else -1,
-          if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else -1)
+        val (kind, fmt, bytes) = realMedia(id)
+        decodeValues(fmt, bytes).map { vs =>
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < vs.length) {
+            val v = vs(i)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sum += v
+            wsum += (i + 1L) * v
+            i += 1
+          }
+          Row(id, kind, fmt, vs.length.toLong, mn, mx,
+            sum * 1000000L / vs.length, wsum)
+        }
       }
-      rows.map(extract)
     }
     spark.createDataFrame(rdd, featureSchema).orderBy("doc_id")
+  }
+
+  /** m12: the [[jpegPixelStats]] aggregate surface over the WIDENED
+    * decoder scope — 4:2:0 chroma subsampling AND restart intervals
+    * ([[Jpeg.encodeJpeg420]] with DRI=2, so every file crosses RSTn
+    * resync boundaries with DC-predictor resets). Constant tiles keep
+    * the subsampled lossy codec integer-exact; chroma planes come back
+    * replicated to full resolution, so the oracle recomputes Y from the
+    * 8-grid tile formula and Cb/Cr from the 16-grid one — a subsampling
+    * layout, upsampling or resync error diverges. */
+  def jpegPixelStats420(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 16 * (1 + (id % 2).toInt); val h = 16 * (1 + (id % 3).toInt)
+        val bytes = Jpeg.encodeJpeg420(w, h,
+          (bx, by, c) => jpegPixelValue(id, bx, by, c), restartInterval = 2)
+        Jpeg.decode(bytes).map { d =>
+          val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+          val sums = new Array[Long](3)
+          var wsum = 0L
+          var p = 0
+          while (p < w * h) {
+            var c = 0
+            while (c < 3) {
+              val v = d.planes(c)(p)
+              if (v < mins(c)) mins(c) = v
+              if (v > maxs(c)) maxs(c) = v
+              sums(c) += v
+              c += 1
+            }
+            wsum = (wsum + (p + 1L) *
+              (d.planes(0)(p) + 2L * d.planes(1)(p) + 3L * d.planes(2)(p))) % 1000000007L
+            p += 1
+          }
+          val n = w.toLong * h
+          Row(id, w, h, n,
+            mins(0), maxs(0), sums(0) * 1000000L / n,
+            mins(1), maxs(1), sums(1) * 1000000L / n,
+            mins(2), maxs(2), sums(2) * 1000000L / n,
+            wsum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
   }
 }

@@ -38,9 +38,11 @@ object Pipeline {
     curateRel(docs, jaccardThreshold, minQuality, sampleBuckets, ccMaxIter)
       .orderBy("doc_id")
 
-  private def curateRel(docs: DataFrame, jaccardThreshold: Double,
-                        minQuality: Double, sampleBuckets: Int,
-                        ccMaxIter: Int): DataFrame = {
+  /** Stages 1–3 (exact → near → quality), text still attached — the
+    * relation the sample stage and the p25 perplexity gate both
+    * consume. */
+  private def qualitySurvivors(docs: DataFrame, jaccardThreshold: Double,
+                               minQuality: Double, ccMaxIter: Int): DataFrame = {
     // stage 1: exact-duplicate canonical (no shuffle beyond the window)
     val wExact = Window.partitionBy(md5(col("text")))
     val exactKept = docs
@@ -51,18 +53,24 @@ object Pipeline {
     val dropNear = Dedup.verifiedClusters(docs, jaccardThreshold, maxIter = ccMaxIter)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("_drop_id"))
-    // stage 3 + 4: quality floor and deterministic sample membership.
-    // quality_score is a pure per-row function of text, so it is scored
-    // IN PLACE (qualityScoreExpr) — joining back to a second scan of the
-    // corpus would add a full doc_id shuffle and a redundant read for a
-    // value the surviving rows already carry the input to.
+    // stage 3: quality floor. quality_score is a pure per-row function
+    // of text, so it is scored IN PLACE (qualityScoreExpr) — joining
+    // back to a second scan of the corpus would add a full doc_id
+    // shuffle and a redundant read for a value the surviving rows
+    // already carry the input to.
     exactKept
       .join(dropNear, col("doc_id") === col("_drop_id"), "left_anti")
       .withColumn("quality_score", TextAnalysis.qualityScoreExpr(col("text")))
       .filter(col("quality_score") >= minQuality)
+  }
+
+  private def curateRel(docs: DataFrame, jaccardThreshold: Double,
+                        minQuality: Double, sampleBuckets: Int,
+                        ccMaxIter: Int): DataFrame =
+    // stage 4: deterministic sample membership
+    qualitySurvivors(docs, jaccardThreshold, minQuality, ccMaxIter)
       .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score"))
-  }
 
   /** The corpus → training-chunks handoff (p16): the curated keep set,
     * texts re-attached by a doc_id semi-join, then the p14 chunker over
@@ -78,6 +86,40 @@ object Pipeline {
                     ccMaxIter: Int = 20): DataFrame = {
     val kept = curateRel(docs, jaccardThreshold, minQuality, sampleBuckets,
       ccMaxIter).select("doc_id")
+    Packing.chunkDocs(docs.join(kept, Seq("doc_id"), "left_semi"), window, stride)
+  }
+
+  /** p25: the curation pipeline with the LM-PERPLEXITY gate composed in
+    * — exact → near → quality → perplexity → sample → chunk. The
+    * perplexity stage is [[Sampling.lmPerplexity]] run over the
+    * QUALITY SURVIVORS (model estimated on their `refPred` slice,
+    * CCNet terciles over their scored pool): the filter's passes ride
+    * the survivor relation, never the raw corpus — no extra corpus
+    * pass beyond the scorer's own. Docs with < 2 tokens carry no LM
+    * evidence and pass through unjudged (left-anti against the TAIL
+    * tercile, the same contract the span/gram operators use for
+    * too-short docs).
+    *
+    * The survivor relation is localCheckpoint'ed before scoring:
+    * [[Sampling.lmPerplexity]] executes model-estimation and rank jobs
+    * eagerly, and each would otherwise re-run the LSH + verify +
+    * components curation plan (5× the most expensive stage). One
+    * materialization of the SUBTRACTIVE survivor set is the composed
+    * pipeline's cost model — at deployment scale that table persists
+    * to storage between the curation and scoring phases anyway. */
+  def curatedChunksLm(docs: DataFrame, refPred: org.apache.spark.sql.Column,
+                      jaccardThreshold: Double = 0.8, minQuality: Double = 0.3,
+                      sampleBuckets: Int = 256, window: Int = 64,
+                      stride: Int = 48, lambda: Double = 0.7,
+                      ccMaxIter: Int = 20): DataFrame = {
+    val surv = qualitySurvivors(docs, jaccardThreshold, minQuality, ccMaxIter)
+      .select("doc_id", "text", "lang").localCheckpoint()
+    val tail = Sampling.lmPerplexity(surv, refPred, lambda)
+      .filter(col("ppl_bucket") === "tail").select("doc_id")
+    val kept = surv
+      .join(tail, Seq("doc_id"), "left_anti")
+      .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets))
+      .select("doc_id")
     Packing.chunkDocs(docs.join(kept, Seq("doc_id"), "left_semi"), window, stride)
   }
 }

@@ -26,13 +26,52 @@ class MultimodalSpec extends SparkSpec {
     assert(r(5L) == (("video", 104, 104, 6)))
   }
 
-  test("feature extraction: exact stub values through mapPartitions") {
-    val feats = Multimodal.extractFeatures(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))).toMap
-    val bytes = "hello world".getBytes("UTF-8")
-    assert(feats(0L) == ((bytes.length, bytes.map(_ & 0xff).map(_.toLong).sum % 1000000007L,
-      'h'.toInt, 'd'.toInt)))
-    assert(feats(2L) == ((0, 0L, -1, -1))) // empty payload
+  // independent recompute of m02/m04's stats contract: (n, min, max,
+  // truncating mean_ppm, Σ(i+1)·v) over a value sequence
+  private def vstats(vs: Seq[Int]): (Long, Int, Int, Long, Long) =
+    (vs.length.toLong, vs.min, vs.max,
+      vs.map(_.toLong).sum * 1000000L / vs.length,
+      vs.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum)
+
+  private val manyDocs = df("doc_id BIGINT, text STRING",
+    (0L to 8L).map(Row(_, "t")))
+
+  test("m02: features computed from REAL decoded media — all five formats") {
+    val feats = Multimodal.extractFeatures(manyDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        (r.getLong(3), r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7))))).toMap
+    assert(feats.size == 9) // reject-don't-throw never dropped a doc
+    // doc 0: BMP 5×3, interleaved raster BGR — formula recompute
+    val bmp = for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      yield ((0L * 31 + y * 7 + x * 3 + c) % 256).toInt
+    assert(feats(0L) == (("image", "bmp", vstats(bmp))))
+    // doc 3: PNG 8×8 RGB
+    val png = for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      yield ((3L * 37 + y * 11 + x * 5 + c) % 256).toInt
+    assert(feats(3L) == (("image", "png", vstats(png))))
+    // doc 6: 4:2:0 JPEG 16×16, plane-major, chroma on the 16-grid
+    val jpg = (for (c <- 0 until 3; y <- 0 until 16; x <- 0 until 16) yield {
+      val g = if (c == 0) 8 else 16
+      ((6L * 41 + (y / g) * 13 + (x / g) * 7 + c) % 256).toInt
+    })
+    assert(feats(6L) == (("image", "jpeg", vstats(jpg))))
+    // doc 1: WAV, 101 frames × 2 channels, channel-major signed PCM
+    val wav = for (c <- 0 until 2; i <- 0 until 101)
+      yield (((1L * 53 + i * 17 + c * 29) % 65536) - 32768).toInt
+    assert(feats(1L) == (("audio", "wav", vstats(wav))))
+    // doc 2: AVI 6×5, 3 frames sampled every 5th → frame 0 only
+    val avi = for (y <- 0 until 5; x <- 0 until 6; c <- 0 until 3)
+      yield ((2L * 59 + y * 11 + x * 5 + c) % 256).toInt
+    assert(feats(2L) == (("video", "avi", vstats(avi))))
+  }
+
+  test("buildBmp is byte-identical to the attachBmpMedia expression builder") {
+    val viaExpr = Multimodal.attachBmpMedia(manyDocs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (id <- 0L to 8L) {
+      val jvm = Multimodal.buildBmp(id, 5 + (id % 8).toInt, 3 + (id % 5).toInt)
+      assert(java.util.Arrays.equals(jvm, viaExpr(id)), s"doc $id")
+    }
   }
 
   test("frame sampling: every 5th index within n_frames, videos only") {
@@ -42,23 +81,37 @@ class MultimodalSpec extends SparkSpec {
     assert(fr.filter(_._1 == 5L).map(_._2).toSeq == Seq(0, 5)) // n_frames=6 → 0,5
   }
 
-  test("resize: aspect-preserving box fit + stride decimation, exact stub values") {
-    val r = Multimodal.resizeMedia(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getLong(8)))).toMap
-    // doc 0: w=h=64 → box fit 64×64, stride = 1 → every byte kept
-    val b0 = "hello world".getBytes("UTF-8")
-    assert(r(0L) == ((64, 64, 1, b0.length, b0.map(_ & 0xff).map(_.toLong).sum % 1000000007L)))
-    // doc 5: w=h=104 → 64×64, stride = floor(104*104/(64*64)) = 2 → every 2nd byte
-    val b5 = "video doc".getBytes("UTF-8")
-    val kept = b5.indices.filter(_ % 2 == 0).map(b5(_) & 0xff)
-    assert(r(5L) == ((64, 64, 2, kept.length, kept.map(_.toLong).sum % 1000000007L)))
-    // doc 2: empty payload → zero resized bytes, zero checksum
-    assert(r(2L)._4 == 0 && r(2L)._5 == 0L)
-    // target box never exceeded, never degenerate
-    Multimodal.resizeMedia(docs).collect().foreach { row =>
-      assert(row.getInt(4) >= 1 && row.getInt(4) <= 64)
-      assert(row.getInt(5) >= 1 && row.getInt(5) <= 64)
+  test("m04: per-modality resize over REAL decoded media, exact values") {
+    val r = Multimodal.resizeMedia(manyDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+        (r.getLong(7), r.getInt(8), r.getInt(9), r.getLong(10), r.getLong(11))))).toMap
+    assert(r.size == 9)
+    // doc 0: BMP 5×3 → AREA 2×2 → 2×1, interleaved
+    def bmpPx(id: Long, x: Int, y: Int, c: Int) = ((id * 31 + y * 7 + x * 3 + c) % 256).toInt
+    val bmpOut = for (y <- 0 until 1; x <- 0 until 2; c <- 0 until 3) yield
+      (bmpPx(0, 2 * x, 2 * y, c) + bmpPx(0, 2 * x + 1, 2 * y, c)
+        + bmpPx(0, 2 * x, 2 * y + 1, c) + bmpPx(0, 2 * x + 1, 2 * y + 1, c)) / 4
+    assert(r(0L) == (("image", "bmp", 5, 3, 2, 1, vstats(bmpOut))))
+    // doc 6: 4:2:0 JPEG 16×16 → 8×8 per plane; each 2×2 box sits inside
+    // one tile, so the resized value IS the tile value
+    val jpgOut = for (c <- 0 until 3; y <- 0 until 8; x <- 0 until 8) yield {
+      val g = if (c == 0) 8 else 16
+      ((6L * 41 + ((2 * y) / g) * 13 + ((2 * x) / g) * 7 + c) % 256).toInt
     }
+    assert(r(6L) == (("image", "jpeg", 16, 16, 8, 8, vstats(jpgOut))))
+    // doc 1: WAV 101 frames × 2 ch → 50 pair-means per channel,
+    // truncating signed division
+    def s(i: Int, c: Int) = (((1L * 53 + i * 17 + c * 29) % 65536) - 32768).toInt
+    val wavOut = for (c <- 0 until 2; j <- 0 until 50)
+      yield (s(2 * j, c) + s(2 * j + 1, c)) / 2
+    assert(r(1L) == (("audio", "wav", 101, 2, 50, 2, vstats(wavOut))))
+    // doc 2: AVI 6×5 → 3×2 per sampled frame (frame 0 only)
+    def aviPx(f: Int, x: Int, y: Int, c: Int) = ((2L * 59 + f * 23 + y * 11 + x * 5 + c) % 256).toInt
+    val aviOut = for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3) yield
+      (aviPx(0, 2 * x, 2 * y, c) + aviPx(0, 2 * x + 1, 2 * y, c)
+        + aviPx(0, 2 * x, 2 * y + 1, c) + aviPx(0, 2 * x + 1, 2 * y + 1, c)) / 4
+    assert(r(2L) == (("video", "avi", 6, 5, 3, 2, vstats(aviOut))))
   }
 
   test("metadata query prunes the binary column from the scan") {

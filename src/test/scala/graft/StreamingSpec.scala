@@ -376,6 +376,48 @@ class StreamingSpec extends SparkSpec {
     evalSh.unpersist()
   }
 
+  test("streaming fuzzy decontamination: quarantine equals the d14 batch operator across a split") {
+    import graft.streaming.StreamingFuzzyDecontam
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = df("doc_id BIGINT, text STRING", Seq(org.apache.spark.sql.Row(
+      100L, "the quick brown fox jumps over the lazy dog today")))
+    val (evalBands, evalShingles) = graft.operators.Dedup.evalFuzzyIndex(evalDocs)
+    val eb = evalBands.persist(); val es = evalShingles.persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_decontam").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = StreamingFuzzyDecontam.start(stream, eb, es, s"$dir/out", s"$dir/ckpt",
+      threshold = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog now"),  // near-dup
+      (2L, "completely different words here nothing shared at all"), // clean
+      (3L, "the quick brown fox jumps over the lazy dog today")) // verbatim, late batch
+    try {
+      input.addData(train(0), train(1))
+      q.processAllAvailable()
+      // a near-dup arriving in a LATER batch must flag identically
+      input.addData(train(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+    // batch reference: the one-shot d14 over the union with a source col
+    val allDocs = df("doc_id BIGINT, text STRING, source STRING",
+      train.map { case (id, t) => org.apache.spark.sql.Row(id, t, "train") } :+
+        org.apache.spark.sql.Row(100L, "the quick brown fox jumps over the lazy dog today", "src0"))
+    val batch = graft.operators.Dedup.fuzzyDecontaminate(allDocs, "src0", 0.5)
+    val asSet = (d: org.apache.spark.sql.DataFrame) => d
+      .select("doc_id", "eval_id", "common", "n_train", "n_eval", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(asSet(streamed) == asSet(batch))
+    // the verbatim copy flags at jac 1.0; the clean doc never appears
+    assert(asSet(streamed).map(_._1).contains(3L))
+    assert(!asSet(streamed).map(_._1).contains(2L))
+    eb.unpersist(); es.unpersist()
+  }
+
   test("streaming near-dup ingest: drained pairs equal the from-scratch batch table") {
     import graft.streaming.StreamingNearDup
     import spark.implicits._
