@@ -507,8 +507,7 @@ object Multimodal {
     * Σ (y·w + x + 1)·(b + 2g + 3r) mod 1e9+7: sums and extrema alone are
     * invariant under row-order/channel-order mistakes, the weighted sum
     * is not. mapPartitions like the other decode stages (a real codec
-    * initializes once per partition); unlike them, this body decodes
-    * actual pixels, not structural checksums. Layout pinned two ways:
+    * initializes once per partition). Layout pinned two ways:
     * MultimodalSpec decodes a hand-assembled fixture with known pixels
     * (incl. padding bytes that must be skipped), and the m06 oracle
     * recomputes the stats from the pixel formula without ever seeing the
@@ -1050,9 +1049,8 @@ object Multimodal {
     spark.createDataFrame(rdd, aviStatsSchema).orderBy("doc_id", "frame_idx")
   }
 
-  /** m11: REAL resize — the m04 stage's stride-decimation stand-in
-    * replaced by an actual AREA (box-average) downscale over DECODED
-    * pixels: each output pixel is the integer mean of its 2×2 source
+  /** m11: REAL resize — an AREA (box-average) downscale over DECODED
+    * pixels (the kernel [[resizeMedia]]'s image arm shares): each output pixel is the integer mean of its 2×2 source
     * box ((v₀₀+v₁₀+v₀₁+v₁₁) / 4, truncating), odd trailing rows/columns
     * dropped (floor-half dims) — the well-defined exact form a vision
     * pipeline's antialiased downscale approximates. Source bytes are
