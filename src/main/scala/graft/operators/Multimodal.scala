@@ -514,11 +514,15 @@ object Multimodal {
     * bytes. */
   def bmpPixelStats(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val src = attachBmpMedia(docs)
-    val rdd = src.rdd.mapPartitions { rows =>
+    // payload built in-body via buildBmp (the m08/m09/m10 shape) — the
+    // expression builder [[attachBmpMedia]] stays as the cross-check
+    // (byte-identity pinned in MultimodalSpec) but its per-byte
+    // interpreted `transform` lambda cost ~150 µs/doc at sf1, 5× the
+    // decode it was feeding
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
       rows.flatMap { row =>
         val id = row.getLong(0)
-        val b = row.getAs[Array[Byte]](1)
+        val b = buildBmp(id, 5 + (id % 8).toInt, 3 + (id % 5).toInt)
         decodeBmp(b).map { case (w, h, px) =>
           // px is image-ordered (y-major, top row first), 3 ints per pixel
           val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
@@ -1060,11 +1064,12 @@ object Multimodal {
     * a box-offset or rounding error diverges. */
   def bmpResized(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val src = attachBmpMedia(docs)
-    val rdd = src.rdd.mapPartitions { rows =>
+    // in-body buildBmp, same rationale as [[bmpPixelStats]]
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
       rows.flatMap { row =>
         val id = row.getLong(0)
-        decodeBmp(row.getAs[Array[Byte]](1)).flatMap { case (w, h, px) =>
+        val bytes = buildBmp(id, 5 + (id % 8).toInt, 3 + (id % 5).toInt)
+        decodeBmp(bytes).flatMap { case (w, h, px) =>
           val hw = w / 2; val hh = h / 2
           if (hw == 0 || hh == 0) None
           else {
