@@ -942,6 +942,11 @@ object Dedup {
                                 evalShingles: DataFrame, threshold: Double = 0.5,
                                 k: Int = 16, bands: Int = 4): DataFrame = {
     val shT = wordShingles(batch)
+    // `cands` feeds three consumers; measured (sf1 cut): pinning it with
+    // localCheckpoint does NOT move the query — exchange reuse already
+    // serves the repeated subplan, and the floor is the md5 signature
+    // aggregate itself (the oracle-mirrorable hash; d09 is the xxhash64
+    // fast twin for callers who don't need the DuckDB mirror).
     val cands = bandedFromSig(signaturesFrom(shT, k), k, bands)
       .join(broadcast(evalBands), Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("eval_id")).distinct()
