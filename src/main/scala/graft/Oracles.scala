@@ -1977,7 +1977,11 @@ FROM allc a JOIN topc c USING(domain)"""
     * form exactly, including at power-of-two boundaries where log2 is
     * exact in IEEE arithmetic. */
   private val adaptivePlanesCte: String =
-    "pp AS (SELECT greatest(4, CAST(ceil(log2(count(*) / 64.0)) AS INTEGER)) AS planes FROM embeddings)"
+    // least(24, …) mirrors the engine's cap: without it, past 64·2^24
+    // vectors pp.planes would exceed 24 and the generated plane id
+    // `t · pp.planes + j` would misalign with the engine's planeOffset
+    // t·24 for every table t ≥ 1 (buckets diverge, verify misreports)
+    "pp AS (SELECT greatest(4, least(24, CAST(ceil(log2(count(*) / 64.0)) AS INTEGER))) AS planes FROM embeddings)"
 
   /** Adaptive variant of [[lshBucket]]: bit j of table t participates
     * only when j < pp.planes, and the global plane id t·planes + j is

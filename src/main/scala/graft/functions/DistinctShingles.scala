@@ -140,15 +140,19 @@ object WordNgrams {
   * LM scorer buckets all three): emitting them together in one pass
   * means the downstream Project never re-`split`s the gram string it
   * was just concatenated from (two splits per exploded pair in the
-  * p24 hot path before this). Same analysis-time type check and null
-  * semantics as the sibling (null tokens unreachable from `split()`
-  * outputs). */
+  * p24 hot path before this). Same analysis-time type check as the
+  * sibling. NULL tokens (unreachable from `split()` outputs, but the
+  * SQL surface accepts any array): `gram` follows concat_ws semantics
+  * (null member skipped) and the member fields carry the null through
+  * — so prev/cur are declared NULLABLE; a non-null declaration would
+  * let downstream null checks be optimized away over a value that can
+  * in fact be null. */
 case class WordBigramStructs(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("gram", StringType, nullable = false),
-    StructField("prev", StringType, nullable = false),
-    StructField("cur", StringType, nullable = false))), containsNull = false)
+    StructField("prev", StringType, nullable = true),
+    StructField("cur", StringType, nullable = true))), containsNull = false)
   override def prettyName: String = "word_bigram_structs"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

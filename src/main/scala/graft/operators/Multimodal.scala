@@ -155,13 +155,20 @@ object Multimodal {
       case "png" => decodePng(bytes).collect { case (_, _, 3, px) => px }
       case "jpeg" => Jpeg.decode(bytes).map(d => d.planes.flatten)
       case "wav" => Wav.decodeWav(bytes).map(_.samples.flatten)
-      case "avi" => Avi.parseAvi(bytes).flatMap { idx =>
-        val frames = (0 until idx.nFrames by 5)
-          .map(f => Avi.decodeFrame(bytes, idx, f))
-        if (frames.exists(_.isEmpty)) None
-        else Some(frames.flatMap(_.get).toArray)
-      }
+      case "avi" => sampledAviFrames(bytes).map(_._2.flatten.toArray)
       case _ => None
+    }
+
+  /** Every 5th frame of an AVI payload, decoded — the m03 sampling plan
+    * m02 and m04 share, with the shared all-or-none reject policy: None
+    * if the container or ANY sampled frame fails. (m10 deliberately
+    * differs: it emits per-frame rows and drops failed frames
+    * individually.) */
+  private def sampledAviFrames(bytes: Array[Byte]): Option[(Avi.AviIndex, Seq[Array[Int]])] =
+    Avi.parseAvi(bytes).flatMap { idx =>
+      val frames = (0 until idx.nFrames by 5).map(f => Avi.decodeFrame(bytes, idx, f))
+      if (frames.exists(_.isEmpty)) None
+      else Some((idx, frames.map(_.get)))
     }
 
   /** AREA (2×2 box-average, truncating) downscale of a channel-
@@ -214,9 +221,10 @@ object Multimodal {
     StructField("o_mean_ppm", LongType, nullable = false),
     StructField("o_wsum", LongType, nullable = false)))
 
-  private def valueStats(id: Long, kind: String, fmt: String,
-                         sw: Int, sh: Int, ow: Int, oh: Int,
-                         vs: Array[Int]): Row = {
+  /** (n, min, max, truncating mean_ppm, Σ(i+1)·v) over a value
+    * sequence — the ONE stats contract m02 and m04 share and their
+    * oracles mirror; single-sourced so the two queries cannot drift. */
+  private def accumulate(vs: Array[Int]): (Long, Int, Int, Long, Long) = {
     var mn = Int.MaxValue; var mx = Int.MinValue
     var sum = 0L; var wsum = 0L
     var i = 0
@@ -228,8 +236,14 @@ object Multimodal {
       wsum += (i + 1L) * v
       i += 1
     }
-    Row(id, kind, fmt, sw, sh, ow, oh, vs.length.toLong,
-      mn, mx, sum * 1000000L / vs.length, wsum)
+    (vs.length.toLong, mn, mx, sum * 1000000L / vs.length, wsum)
+  }
+
+  private def valueStats(id: Long, kind: String, fmt: String,
+                         sw: Int, sh: Int, ow: Int, oh: Int,
+                         vs: Array[Int]): Row = {
+    val (n, mn, mx, meanPpm, wsum) = accumulate(vs)
+    Row(id, kind, fmt, sw, sh, ow, oh, n, mn, mx, meanPpm, wsum)
   }
 
   /** m04: REAL resize over REAL decoded media — the per-kind resample a
@@ -275,13 +289,10 @@ object Multimodal {
             }
             valueStats(id, kind, fmt, n, pcm.channels, n / 2, pcm.channels, out)
           }
-          case "avi" => Avi.parseAvi(bytes).flatMap { idx =>
-            val frames = (0 until idx.nFrames by 5)
-              .map(f => Avi.decodeFrame(bytes, idx, f))
-            if (frames.exists(_.isEmpty)) None
-            else Some(valueStats(id, kind, fmt, idx.width, idx.height,
+          case "avi" => sampledAviFrames(bytes).map { case (idx, frames) =>
+            valueStats(id, kind, fmt, idx.width, idx.height,
               idx.width / 2, idx.height / 2,
-              frames.flatMap(px => halveInterleaved(px.get, idx.width, idx.height)).toArray))
+              frames.flatMap(px => halveInterleaved(px, idx.width, idx.height)).toArray)
           }
           case _ => None
         }
@@ -886,6 +897,37 @@ object Multimodal {
     * formula over the tile grid, bytes never seen — matches exactly.
     * JpegSpec pins the decoder separately on hand-computed bitstreams
     * with nonzero ACs and run lengths the encoder never emits. */
+  /** Per-channel stats row over a decoded 3-plane JPEG — the ONE
+    * contract m08 and m12 share (per-plane min/max/truncating mean_ppm
+    * + the (p+1)-weighted Y+2Cb+3Cr wsum mod 1e9+7), single-sourced so
+    * the two queries' loops cannot drift from their oracles. */
+  private def jpegStatsRow(id: Long, d: Jpeg.Decoded): Row = {
+    val w = d.width; val h = d.height
+    val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+    val sums = new Array[Long](3)
+    var wsum = 0L
+    var p = 0
+    while (p < w * h) {
+      var c = 0
+      while (c < 3) {
+        val v = d.planes(c)(p)
+        if (v < mins(c)) mins(c) = v
+        if (v > maxs(c)) maxs(c) = v
+        sums(c) += v
+        c += 1
+      }
+      wsum = (wsum + (p + 1L) *
+        (d.planes(0)(p) + 2L * d.planes(1)(p) + 3L * d.planes(2)(p))) % 1000000007L
+      p += 1
+    }
+    val n = w.toLong * h
+    Row(id, w, h, n,
+      mins(0), maxs(0), sums(0) * 1000000L / n,
+      mins(1), maxs(1), sums(1) * 1000000L / n,
+      mins(2), maxs(2), sums(2) * 1000000L / n,
+      wsum)
+  }
+
   def jpegPixelStats(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
@@ -893,31 +935,7 @@ object Multimodal {
         val id = r.getLong(0)
         val w = 8 * (1 + (id % 3).toInt); val h = 8 * (1 + (id % 2).toInt)
         val bytes = Jpeg.encodeJpeg(w, h, 3, (bx, by, c) => jpegPixelValue(id, bx, by, c))
-        Jpeg.decode(bytes).map { d =>
-          val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
-          val sums = new Array[Long](3)
-          var wsum = 0L
-          var p = 0
-          while (p < w * h) {
-            var c = 0
-            while (c < 3) {
-              val v = d.planes(c)(p)
-              if (v < mins(c)) mins(c) = v
-              if (v > maxs(c)) maxs(c) = v
-              sums(c) += v
-              c += 1
-            }
-            wsum = (wsum + (p + 1L) *
-              (d.planes(0)(p) + 2L * d.planes(1)(p) + 3L * d.planes(2)(p))) % 1000000007L
-            p += 1
-          }
-          val n = w.toLong * h
-          Row(id, w, h, n,
-            mins(0), maxs(0), sums(0) * 1000000L / n,
-            mins(1), maxs(1), sums(1) * 1000000L / n,
-            mins(2), maxs(2), sums(2) * 1000000L / n,
-            wsum)
-        }
+        Jpeg.decode(bytes).map(jpegStatsRow(id, _))
       }
     }
     spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
@@ -1137,19 +1155,8 @@ object Multimodal {
         val id = r.getLong(0)
         val (kind, fmt, bytes) = realMedia(id)
         decodeValues(fmt, bytes).map { vs =>
-          var mn = Int.MaxValue; var mx = Int.MinValue
-          var sum = 0L; var wsum = 0L
-          var i = 0
-          while (i < vs.length) {
-            val v = vs(i)
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            sum += v
-            wsum += (i + 1L) * v
-            i += 1
-          }
-          Row(id, kind, fmt, vs.length.toLong, mn, mx,
-            sum * 1000000L / vs.length, wsum)
+          val (n, mn, mx, meanPpm, wsum) = accumulate(vs)
+          Row(id, kind, fmt, n, mn, mx, meanPpm, wsum)
         }
       }
     }
@@ -1172,31 +1179,7 @@ object Multimodal {
         val w = 16 * (1 + (id % 2).toInt); val h = 16 * (1 + (id % 3).toInt)
         val bytes = Jpeg.encodeJpeg420(w, h,
           (bx, by, c) => jpegPixelValue(id, bx, by, c), restartInterval = 2)
-        Jpeg.decode(bytes).map { d =>
-          val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
-          val sums = new Array[Long](3)
-          var wsum = 0L
-          var p = 0
-          while (p < w * h) {
-            var c = 0
-            while (c < 3) {
-              val v = d.planes(c)(p)
-              if (v < mins(c)) mins(c) = v
-              if (v > maxs(c)) maxs(c) = v
-              sums(c) += v
-              c += 1
-            }
-            wsum = (wsum + (p + 1L) *
-              (d.planes(0)(p) + 2L * d.planes(1)(p) + 3L * d.planes(2)(p))) % 1000000007L
-            p += 1
-          }
-          val n = w.toLong * h
-          Row(id, w, h, n,
-            mins(0), maxs(0), sums(0) * 1000000L / n,
-            mins(1), maxs(1), sums(1) * 1000000L / n,
-            mins(2), maxs(2), sums(2) * 1000000L / n,
-            wsum)
-        }
+        Jpeg.decode(bytes).map(jpegStatsRow(id, _))
       }
     }
     spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")

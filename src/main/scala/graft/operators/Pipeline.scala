@@ -116,10 +116,13 @@ object Pipeline {
       .select("doc_id", "text", "lang").localCheckpoint()
     val tail = Sampling.lmPerplexity(surv, refPred, lambda)
       .filter(col("ppl_bucket") === "tail").select("doc_id")
-    val kept = surv
-      .join(tail, Seq("doc_id"), "left_anti")
-      .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets))
-      .select("doc_id")
-    Packing.chunkDocs(docs.join(kept, Seq("doc_id"), "left_semi"), window, stride)
+    // chunk straight off the checkpointed survivors — they already carry
+    // (doc_id, text, lang), so no second corpus scan + semi-join to
+    // re-attach text (p16 rejoins because ITS curated relation dropped
+    // text; that precondition doesn't hold here)
+    Packing.chunkDocs(
+      surv.join(tail, Seq("doc_id"), "left_anti")
+        .filter(Sampling.hashBucketPred(col("doc_id"), sampleBuckets)),
+      window, stride)
   }
 }
