@@ -301,7 +301,9 @@ object SparkEntry {
     "m10_avi_frame_stats"     -> ((s, d) => Multimodal.aviFrameStats(Tables.documents(s, d))),
     "m11_bmp_resized"         -> ((s, d) => Multimodal.bmpResized(Tables.documents(s, d))),
     // widened JPEG scope: 4:2:0 chroma subsampling + restart intervals
-    "m12_jpeg420_pixel_stats" -> ((s, d) => Multimodal.jpegPixelStats420(Tables.documents(s, d)))
+    "m12_jpeg420_pixel_stats" -> ((s, d) => Multimodal.jpegPixelStats420(Tables.documents(s, d))),
+    // content-addressable dedup keys over decoded, canonicalized media
+    "m13_media_fingerprints"  -> ((s, d) => Multimodal.mediaFingerprints(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

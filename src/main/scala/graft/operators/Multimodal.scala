@@ -92,7 +92,13 @@ object Multimodal {
     * for the kind-routed m02/m04 stages that build payloads inside
     * mapPartitions rather than as Spark expressions. MultimodalSpec
     * pins byte-identity against the expression builder. */
-  private[graft] def buildBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def buildBmp(id: Long, w: Int, h: Int): Array[Byte] =
+    buildBmpFrom(w, h, (x, y, c) => pixelValue(id, x, y, c))
+
+  /** [[buildBmp]] generalized over the pixel function (c is the STORED
+    * channel index, 0=B 1=G 2=R). */
+  private[graft] def buildBmpFrom(w: Int, h: Int,
+                                  px: (Int, Int, Int) => Int): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4
     val imgSize = rowSize * h
     val out = new Array[Byte](54 + imgSize)
@@ -110,7 +116,7 @@ object Multimodal {
       val y = h - 1 - r // stored bottom-up
       var o = 0
       while (o < w * 3) {
-        out(54 + r * rowSize + o) = pixelValue(id, o / 3, y, o % 3).toByte
+        out(54 + r * rowSize + o) = px(o / 3, y, o % 3).toByte
         o += 1
       }
       r += 1
@@ -638,12 +644,19 @@ object Multimodal {
     * spec's inverse direction (filt = orig − predictor mod 256); the
     * compressor is the JDK's zlib (java.util.zip.Deflater), so the file
     * is readable by any standard decoder. */
-  private[graft] def buildPng(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def buildPng(id: Long, w: Int, h: Int): Array[Byte] =
+    buildPngFrom(w, h, (x, y, c) => pngPixelValue(id, x, y, c))
+
+  /** [[buildPng]] generalized over the pixel function — lets the
+    * cross-format canonicalization test encode the SAME pixel matrix
+    * as both a PNG and a BMP ([[buildBmpFrom]]). */
+  private[graft] def buildPngFrom(w: Int, h: Int,
+                                  px: (Int, Int, Int) => Int): Array[Byte] = {
     val bpp = 3
     val stride = w * bpp
     val recon = new Array[Int](h * stride)
     for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
-      recon(y * stride + x * bpp + c) = pngPixelValue(id, x, y, c)
+      recon(y * stride + x * bpp + c) = px(x, y, c)
     val raw = new Array[Byte](h * (1 + stride))
     for (y <- 0 until h) {
       val ft = y % 5
@@ -1171,6 +1184,84 @@ object Multimodal {
     * replicated to full resolution, so the oracle recomputes Y from the
     * 8-grid tile formula and Cb/Cr from the 16-grid one — a subsampling
     * layout, upsampling or resync error diverges. */
+  /** Canonical content string for a decoded payload — the value a
+    * media file's identity hangs on once the container is stripped:
+    *   - lossless images (BMP/PNG): RGB-interleaved raster regardless
+    *     of STORED channel order (BMP's BGR is swapped), prefixed
+    *     `rgb:WxH:` — so one picture encoded in either container
+    *     canonicalizes identically (pinned by the cross-format test);
+    *   - JPEG: coded-space planes, `ycbcr:WxH:` — lossy formats dedup
+    *     within format (re-encoding is never bit-stable across
+    *     encoders, so cross-format identity is not claimed);
+    *   - audio: channel-major PCM with rate + layout, `pcm:RATE:CH:`;
+    *   - video: EVERY frame (exact dedup hashes everything — the
+    *     sampled tier is the approximate variant), `vid:WxH:NF:`.
+    * None on any malformed payload. */
+  private[graft] def canonicalContent(format: String, bytes: Array[Byte]): Option[String] =
+    format match {
+      case "bmp" => decodeBmp(bytes).map { case (w, h, px) =>
+        val sb = new StringBuilder(s"rgb:${w}x$h:")
+        var p = 0
+        while (p < w * h) {
+          if (p > 0) sb.append(',')
+          sb.append(px(p * 3 + 2)).append(',')
+            .append(px(p * 3 + 1)).append(',').append(px(p * 3))
+          p += 1
+        }
+        sb.toString
+      }
+      case "png" => decodePng(bytes).collect { case (w, h, 3, px) =>
+        s"rgb:${w}x$h:" + px.mkString(",")
+      }
+      case "jpeg" => Jpeg.decode(bytes).map(d =>
+        s"ycbcr:${d.width}x${d.height}:" + d.planes.flatten.mkString(","))
+      case "wav" => Wav.decodeWav(bytes).map(p =>
+        s"pcm:${p.sampleRate}:${p.channels}:" + p.samples.flatten.mkString(","))
+      case "avi" => Avi.parseAvi(bytes).flatMap { idx =>
+        val frames = (0 until idx.nFrames).map(f => Avi.decodeFrame(bytes, idx, f))
+        if (frames.exists(_.isEmpty)) None
+        else Some(s"vid:${idx.width}x${idx.height}:${idx.nFrames}:" +
+          frames.flatMap(_.get).mkString(","))
+      }
+      case _ => None
+    }
+
+  private[graft] def contentFingerprint(format: String, bytes: Array[Byte]): Option[String] =
+    canonicalContent(format, bytes).map { s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+
+  private val fingerprintSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("fingerprint", StringType, nullable = false)))
+
+  /** m13: CONTENT-ADDRESSABLE media fingerprints — the dedup key for a
+    * multimodal corpus. Byte-level dedup (d01 on the binary column)
+    * misses re-encodes: the same picture saved through a different
+    * writer — other ancillary chunks, row padding, IDAT splits, channel
+    * order — hashes differently at the byte level but identically
+    * here, because the key is md5 over the DECODED, CANONICALIZED
+    * content ([[canonicalContent]]). Downstream dedup is then d01's
+    * groupBy on (kind, fingerprint). Map-only like the rest of the
+    * decode family (reject-don't-throw); the oracle recomputes every
+    * fingerprint by building the identical canonical string from the
+    * per-format pixel/sample formulas in SQL — a decode, channel-swap,
+    * plane-order or frame-order error diverges. */
+  def mediaFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val (kind, fmt, bytes) = realMedia(id)
+        contentFingerprint(fmt, bytes).map(fp => Row(id, kind, fmt, fp))
+      }
+    }
+    spark.createDataFrame(rdd, fingerprintSchema).orderBy("doc_id")
+  }
+
   def jpegPixelStats420(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>

@@ -65,6 +65,38 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L) == (("video", "avi", vstats(avi))))
   }
 
+  test("m13: one pixel matrix as BMP and as PNG canonicalizes to ONE fingerprint") {
+    // logical image in RGB channel order; the BMP encoder stores BGR
+    def rgb(x: Int, y: Int, ch: Int): Int = (x * 3 + y * 7 + ch * 11) % 256
+    val bmp = Multimodal.buildBmpFrom(6, 4, (x, y, c) => rgb(x, y, 2 - c))
+    val png = Multimodal.buildPngFrom(6, 4, (x, y, c) => rgb(x, y, c))
+    assert(!java.util.Arrays.equals(bmp, png)) // container bytes differ...
+    val fb = Multimodal.contentFingerprint("bmp", bmp)
+    val fp = Multimodal.contentFingerprint("png", png)
+    assert(fb.isDefined && fb == fp, s"$fb vs $fp") // ...content identity doesn't
+    // a one-channel-value change breaks the identity
+    val png2 = Multimodal.buildPngFrom(6, 4,
+      (x, y, c) => if ((x, y, c) == ((5, 3, 2))) (rgb(x, y, c) + 1) % 256 else rgb(x, y, c))
+    assert(Multimodal.contentFingerprint("png", png2) != fp)
+    // dims participate: same values, different shape
+    val png3 = Multimodal.buildPngFrom(4, 6, (x, y, c) => rgb(x, y, c))
+    assert(Multimodal.contentFingerprint("png", png3) != fp)
+  }
+
+  test("m13: fingerprints are deterministic per doc and malformed payloads reject") {
+    val fps = Multimodal.mediaFingerprints(manyDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(fps.size == 9)
+    // independent recompute of doc 0 (BMP 5x3): canonical RGB string
+    val s = "rgb:5x3:" + (for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      yield ((0L * 31 + y * 7 + x * 3 + (2 - c)) % 256).toInt).mkString(",")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(fps(0L) == (("image", "bmp", md5)))
+    assert(Multimodal.contentFingerprint("png", Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.contentFingerprint("webp", Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("buildBmp is byte-identical to the attachBmpMedia expression builder") {
     val viaExpr = Multimodal.attachBmpMedia(manyDocs).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
