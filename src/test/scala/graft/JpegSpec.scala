@@ -211,6 +211,25 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("hand-packed 4:4:0 MCU: 1x2 Y sampling, vertical-only chroma replication") {
+    // 8x16, one MCU = 2 Y blocks (by 0,1) + Cb + Cr; chroma planes are
+    // 8x8 (halved vertically only). Y top 130 → +16, Y bottom 132 →
+    // diff +16 again; Cb/Cr as in the 4:2:0 test.
+    val dhtAc = seg(0xc4, Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    val sof = seg(0xc0, Seq(8, 0, 16, 0, 8, 3, 1, 0x12, 0, 2, 0x11, 0, 3, 0x11, 0))
+    val sos = seg(0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val scan = pack("0101 10000 0 " * 2 + "0111 1100000 0 " + "0111 0111111 0")
+    val jpeg = bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ sos ++
+      scan ++ Seq(0xff, 0xd9))
+    val Some(d) = Jpeg.decode(jpeg)
+    assert((d.width, d.height, d.planes.length) == ((8, 16, 3)))
+    for (y <- 0 until 16; x <- 0 until 8) {
+      assert(d.planes(0)(y * 8 + x) == (if (y < 8) 130 else 132), s"Y ($x,$y)")
+      assert(d.planes(1)(y * 8 + x) == 140, s"Cb ($x,$y)")
+      assert(d.planes(2)(y * 8 + x) == 120, s"Cr ($x,$y)")
+    }
+  }
+
   test("hand-packed DRI/RSTn: byte-aligned resync, DC predictor reset, sequence check") {
     // 8x24 grayscale, DRI = 1: three MCUs separated by RST0, RST1. Each
     // segment's DC diff is the block's FULL DC (predictor resets at each
