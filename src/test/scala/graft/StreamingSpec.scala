@@ -418,6 +418,53 @@ class StreamingSpec extends SparkSpec {
     eb.unpersist(); es.unpersist()
   }
 
+  test("streaming media dedup: content-fingerprint verdicts equal the batch keep-first form") {
+    import graft.streaming.StreamingMediaDedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc 11520 routes to the SAME bmp dims and pixel formula residues
+    // as doc 0 (11520 ≡ 0 mod 256, mod 8, mod 5, mod 9) — identical
+    // decoded content under a different doc id: the dedup target
+    val ids = Seq(0L, 9L, 1L) // batch 1: two distinct images + one wav
+    val ids2 = Seq(11520L, 3L, 2L) // batch 2: the re-encounter + png + avi
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_dedup").toString
+    StreamingMediaDedup.seed(
+      df("doc_id BIGINT, text STRING", Seq.empty), s"$dir/idx") // empty corpus
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = StreamingMediaDedup.start(stream, s"$dir/idx", s"$dir/out", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(ids.map((_, "t")): _*)
+      q.processAllAvailable()
+      input.addData(ids2.map((_, "t")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch reference: keep = min doc_id of the (kind, fingerprint) group
+    val allDocs = df("doc_id BIGINT, text STRING", (ids ++ ids2).map(
+      org.apache.spark.sql.Row(_, "t")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kind", "fingerprint")
+    val batch = graft.operators.Multimodal.mediaFingerprints(allDocs)
+      .withColumn("is_dup", col("doc_id") =!=
+        org.apache.spark.sql.functions.min(col("doc_id")).over(w))
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch)
+    assert(streamed(11520L)) // the cross-batch content duplicate is caught
+    assert(!streamed(0L) && !streamed(3L) && !streamed(2L))
+    // the index holds one row per distinct content: 5 keeps, no dup rows
+    assert(spark.read.parquet(s"$dir/idx").count() == 5)
+    // replay idempotence: re-running the last batch id rewrites, not appends
+    StreamingMediaDedup.ingestBatch(
+      df("doc_id BIGINT, text STRING", ids2.map(org.apache.spark.sql.Row(_, "t"))),
+      1L, s"$dir/idx", s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == 6)
+    assert(spark.read.parquet(s"$dir/idx").count() == 5)
+  }
+
   test("streaming near-dup ingest: drained pairs equal the from-scratch batch table") {
     import graft.streaming.StreamingNearDup
     import spark.implicits._
