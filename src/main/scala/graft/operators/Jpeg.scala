@@ -341,6 +341,12 @@ object Jpeg {
                          acTab: Array[HuffTable],
                          restartInterval: Int): Option[Decoded] = {
     val nc = comps.length
+    // crafted-dims guard (reject-don't-throw — the PNG/BMP treatment):
+    // plane and upsample buffers are Int-indexed w*h arrays, so a SOF
+    // claiming up to 65535×65535 would overflow cw*ch / w*h in Int
+    // (NegativeArraySizeException) or attempt multi-GB allocations.
+    // Bound the full-resolution pixel count BEFORE any allocation.
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 8) return None
     val hMax = comps.map(_.hs).max
     val vMax = comps.map(_.vs).max
     // subsampled plane dims (A.1.1: ceil(dim * factor / max))
@@ -349,6 +355,12 @@ object Jpeg {
     // an MCU covers 8·hMax × 8·vMax source pixels
     val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
     val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    // a frame claiming more 8×8 blocks than the remaining entropy bytes
+    // could possibly code (each block needs ≥2 bits: one DC code + EOB)
+    // is structurally truncated — reject before allocating planes
+    val blocksPerMcu = comps.map(c => c.hs * c.vs).sum
+    val totalBlocks = mcuW.toLong * mcuH * blocksPerMcu
+    if (totalBlocks * 2L > 8L * math.max(0, b.length - start)) return None
     val planes = Array.tabulate(nc)(i => new Array[Int](cw(i) * ch(i)))
     val in = new BitReader(b, start)
     val dcPred = new Array[Int](nc)

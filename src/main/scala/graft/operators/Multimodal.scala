@@ -229,7 +229,10 @@ object Multimodal {
 
   /** (n, min, max, truncating mean_ppm, Σ(i+1)·v) over a value
     * sequence — the ONE stats contract m02 and m04 share and their
-    * oracles mirror; single-sourced so the two queries cannot drift. */
+    * oracles mirror; single-sourced so the two queries cannot drift.
+    * Callers MUST reject empty sequences first (mean_ppm divides by
+    * length) — the decode family's contract is reject-don't-throw, so
+    * a decoded-but-empty payload drops its row, never throws. */
   private def accumulate(vs: Array[Int]): (Long, Int, Int, Long, Long) = {
     var mn = Int.MaxValue; var mx = Int.MinValue
     var sum = 0L; var wsum = 0L
@@ -247,10 +250,12 @@ object Multimodal {
 
   private def valueStats(id: Long, kind: String, fmt: String,
                          sw: Int, sh: Int, ow: Int, oh: Int,
-                         vs: Array[Int]): Row = {
-    val (n, mn, mx, meanPpm, wsum) = accumulate(vs)
-    Row(id, kind, fmt, sw, sh, ow, oh, n, mn, mx, meanPpm, wsum)
-  }
+                         vs: Array[Int]): Option[Row] =
+    if (vs.isEmpty) None // decoded-but-empty → reject, don't divide by 0
+    else {
+      val (n, mn, mx, meanPpm, wsum) = accumulate(vs)
+      Some(Row(id, kind, fmt, sw, sh, ow, oh, n, mn, mx, meanPpm, wsum))
+    }
 
   /** m04: REAL resize over REAL decoded media — the per-kind resample a
     * vision/audio pipeline runs, expressed exactly per modality:
@@ -275,27 +280,29 @@ object Multimodal {
         val id = r.getLong(0)
         val (kind, fmt, bytes) = realMedia(id)
         fmt match {
-          case "bmp" => decodeBmp(bytes).map { case (w, h, px) =>
+          case "bmp" => decodeBmp(bytes).flatMap { case (w, h, px) =>
             valueStats(id, kind, fmt, w, h, w / 2, h / 2,
               halveInterleaved(px, w, h))
           }
-          case "png" => decodePng(bytes).collect { case (w, h, 3, px) =>
-            valueStats(id, kind, fmt, w, h, w / 2, h / 2,
-              halveInterleaved(px, w, h))
+          case "png" => decodePng(bytes).flatMap {
+            case (w, h, 3, px) =>
+              valueStats(id, kind, fmt, w, h, w / 2, h / 2,
+                halveInterleaved(px, w, h))
+            case _ => None
           }
-          case "jpeg" => Jpeg.decode(bytes).map { d =>
+          case "jpeg" => Jpeg.decode(bytes).flatMap { d =>
             val out = d.planes.flatMap(halvePlane(_, d.width, d.height))
             valueStats(id, kind, fmt, d.width, d.height,
               d.width / 2, d.height / 2, out)
           }
-          case "wav" => Wav.decodeWav(bytes).map { pcm =>
+          case "wav" => Wav.decodeWav(bytes).flatMap { pcm =>
             val n = pcm.samples(0).length
             val out = pcm.samples.flatMap { s =>
               Array.tabulate(n / 2)(j => (s(2 * j) + s(2 * j + 1)) / 2)
             }
             valueStats(id, kind, fmt, n, pcm.channels, n / 2, pcm.channels, out)
           }
-          case "avi" => sampledAviFrames(bytes).map { case (idx, frames) =>
+          case "avi" => sampledAviFrames(bytes).flatMap { case (idx, frames) =>
             valueStats(id, kind, fmt, idx.width, idx.height,
               idx.width / 2, idx.height / 2,
               frames.flatMap(px => halveInterleaved(px, idx.width, idx.height)).toArray)
@@ -1167,7 +1174,7 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val (kind, fmt, bytes) = realMedia(id)
-        decodeValues(fmt, bytes).map { vs =>
+        decodeValues(fmt, bytes).filter(_.nonEmpty).map { vs =>
           val (n, mn, mx, meanPpm, wsum) = accumulate(vs)
           Row(id, kind, fmt, n, mn, mx, meanPpm, wsum)
         }

@@ -17,49 +17,83 @@ import graft.operators.Multimodal
   * picture (different container bytes, same decoded content) is caught
   * exactly, which byte-level dedup cannot do.
   *
-  * Verdict semantics: keep-FIRST-ARRIVAL. A doc is a duplicate iff its
+  * Verdict semantics: keep-FIRST-ARRIVAL — these are INGEST-ORDER
+  * semantics, not min-doc_id semantics. A doc is a duplicate iff its
   * (kind, fingerprint) already exists in a strictly-EARLIER index shard
   * (`batch_id < batchId` — the [[StreamingSpanDedup]] treatment, so an
   * at-least-once replay does not see its own appended fingerprints and
   * flip verdicts) or a lower-doc_id member of its own batch carries it.
   * Only KEPT docs' fingerprints are appended, so the index stays one
-  * row per distinct content ever seen. When arrival order is doc_id
-  * order, the drained verdicts equal the batch form `keep = doc_id is
-  * the min of its (kind, fingerprint) group` (StreamingSpec pins it,
-  * including a cross-batch re-encoded duplicate).
+  * row per distinct content ever seen. The StreamingSpec stream≡batch
+  * equivalence (drained verdicts = the batch form `keep = doc_id is the
+  * min of its (kind, fingerprint) group`) therefore holds ONLY when
+  * doc_ids arrive in non-decreasing order across batches — if a later
+  * batch carried a SMALLER doc_id for already-stored content, the
+  * stream would flag the smaller id as the dup (first arrival wins)
+  * where the batch keep-min reference keeps it. That conditionality is
+  * deliberate: an ingest gate's job is to admit the copy it saw first.
   *
   * All writes are batchId-keyed overwrites (idempotent replay, the
   * package's shared recipe); per-batch cost is O(batch + index probe)
-  * regardless of how much content the index has accumulated — the
-  * probe is a broadcast-able join against a relation of one md5 per
-  * distinct content. */
+  * regardless of how much content the index has accumulated. The index
+  * probe is SIZE-GATED like [[graft.operators.ConnectedComponents]]'s
+  * driver fold: while the stored index (one md5 per distinct content
+  * ever ingested) is small it is broadcast — a map-side hash probe,
+  * no shuffle of the batch — but past `broadcastMaxRows` the hint is
+  * withheld and the join degrades to a shuffled exchange instead of
+  * pinning an unboundedly-growing relation into executor memory (at
+  * 100 TB of distinct content the index is GBs; a forced broadcast
+  * there is an OOM, not a speedup). */
 object StreamingMediaDedup {
+
+  /** Past this many distinct stored fingerprints, stop broadcasting
+    * the index side of the probe join. 1M rows ≈ tens of MB of
+    * (kind, md5) pairs — comfortably under the executor-memory bar;
+    * 10× that is not. */
+  val DefaultBroadcastMaxRows: Long = 1000000L
 
   /** Seed the fingerprint index from the initial corpus (batch_id=-1). */
   def seed(docs: DataFrame, indexDir: String): Unit =
     Multimodal.mediaFingerprints(docs)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
 
-  /** Verdict one micro-batch (or any static frame) against the stored
-    * index shards strictly earlier than `batchId`, append the kept
-    * docs' fingerprints, and return the verdicts
-    * (doc_id, kind, format, fingerprint, is_dup). */
-  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
-                  outDir: String): Unit = {
+  /** The verdict plan for one batch against the stored index shards
+    * strictly earlier than `batchId` — exposed (package-private) so the
+    * spec can assert the gate's plan shape (broadcast vs shuffled)
+    * without going through the sink. */
+  private[graft] def verdictBatch(batch: DataFrame, batchId: Long,
+                                  indexDir: String,
+                                  broadcastMaxRows: Long): DataFrame = {
     val spark = batch.sparkSession
     spark.catalog.refreshByPath(indexDir)
     val stored = spark.read.parquet(indexDir)
       .filter(col("batch_id") < batchId)
       .select(col("kind"), col("fingerprint")).distinct()
       .withColumn("_seen", lit(1))
+    // size gate: count the index (a cheap parquet scan of the one
+    // relation we are about to join anyway) and only hint broadcast
+    // while it fits — the CC driver-fold recipe applied to a join
+    val probe =
+      if (stored.count() <= broadcastMaxRows) broadcast(stored) else stored
     val fps = Multimodal.mediaFingerprints(batch)
     // batch-local keep-first: min doc_id per (kind, fingerprint)
     val w = Window.partitionBy("kind", "fingerprint")
-    val verdicts = fps
+    fps
       .withColumn("_min_id", min(col("doc_id")).over(w))
-      .join(broadcast(stored), Seq("kind", "fingerprint"), "left")
+      .join(probe, Seq("kind", "fingerprint"), "left")
       .select(col("doc_id"), col("kind"), col("format"), col("fingerprint"),
         (col("_seen").isNotNull || col("doc_id") =!= col("_min_id")).as("is_dup"))
+  }
+
+  /** Verdict one micro-batch (or any static frame) against the stored
+    * index shards strictly earlier than `batchId`, append the kept
+    * docs' fingerprints, and return the verdicts
+    * (doc_id, kind, format, fingerprint, is_dup). */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                  outDir: String,
+                  broadcastMaxRows: Long = DefaultBroadcastMaxRows): Unit = {
+    val spark = batch.sparkSession
+    val verdicts = verdictBatch(batch, batchId, indexDir, broadcastMaxRows)
     verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     spark.catalog.refreshByPath(outDir)
     spark.read.parquet(s"$outDir/batch_id=$batchId")
@@ -73,10 +107,11 @@ object StreamingMediaDedup {
     * `outDir`; the fingerprint index grows by each batch's kept docs. */
   def start(docs: DataFrame, indexDir: String, outDir: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            broadcastMaxRows: Long = DefaultBroadcastMaxRows): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, indexDir, outDir)
+        ingestBatch(batch, batchId, indexDir, outDir, broadcastMaxRows)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -465,6 +465,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx").count() == 5)
   }
 
+  test("streaming media dedup: index probe broadcast is size-gated — over the gate the join shuffles, verdicts unchanged") {
+    import graft.streaming.StreamingMediaDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_gate").toString
+    // seed 5 distinct contents; the probe batch re-encounters one of them
+    StreamingMediaDedup.seed(
+      df("doc_id BIGINT, text STRING",
+        Seq(0L, 1L, 2L, 3L, 9L).map(org.apache.spark.sql.Row(_, "t"))),
+      s"$dir/idx")
+    val batch = df("doc_id BIGINT, text STRING",
+      Seq(11520L, 4L).map(org.apache.spark.sql.Row(_, "t"))) // 11520 dups doc 0's bmp
+    val collectVerdicts = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("doc_id", "is_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // under the gate: the hint is present in the analyzed plan
+    val hinted = StreamingMediaDedup.verdictBatch(batch, 0L, s"$dir/idx",
+      broadcastMaxRows = StreamingMediaDedup.DefaultBroadcastMaxRows)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // over the gate (5 stored rows > max 1): no hint, and with Spark's
+    // own size-based broadcast off the join genuinely shuffles
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = StreamingMediaDedup.verdictBatch(batch, 0L, s"$dir/idx",
+        broadcastMaxRows = 1L)
+      assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"))
+      val physical = gated.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastHashJoin"))
+      assert(physical.contains("SortMergeJoin") || physical.contains("ShuffledHashJoin"))
+      val expected = Map(11520L -> true, 4L -> false)
+      assert(collectVerdicts(gated) == expected)
+      assert(collectVerdicts(hinted) == expected)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("streaming near-dup ingest: drained pairs equal the from-scratch batch table") {
     import graft.streaming.StreamingNearDup
     import spark.implicits._
