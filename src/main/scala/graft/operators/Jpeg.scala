@@ -31,6 +31,12 @@ package graft.operators
   * table shapes, independent of the encoder. */
 object Jpeg {
 
+  /** Decode-side resource bound: frames past 64 MP are rejected (a
+    * 64 MP 3-plane decode is already ~768 MB of Int planes; corpus
+    * images live orders of magnitude below this). Part of the decoder's
+    * documented scope, like the baseline-only arm list. */
+  val MaxPixels: Long = 1L << 26
+
   // zigzag order: zigzag(k) = raster index of the k-th coefficient
   private[graft] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -345,8 +351,12 @@ object Jpeg {
     // plane and upsample buffers are Int-indexed w*h arrays, so a SOF
     // claiming up to 65535×65535 would overflow cw*ch / w*h in Int
     // (NegativeArraySizeException) or attempt multi-GB allocations.
-    // Bound the full-resolution pixel count BEFORE any allocation.
-    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 8) return None
+    // Bound the full-resolution pixel count BEFORE any allocation:
+    // MaxPixels (64 MP — beyond any training-corpus image; a crafted
+    // SOF near the old Int.MaxValue/8 bound could still demand ~3 GB
+    // of plane allocations from a ~3 MB payload, r13 advice) plus the
+    // Int-overflow belt.
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
     val hMax = comps.map(_.hs).max
     val vMax = comps.map(_.vs).max
     // subsampled plane dims (A.1.1: ceil(dim * factor / max))
@@ -360,6 +370,9 @@ object Jpeg {
     // is structurally truncated — reject before allocating planes
     val blocksPerMcu = comps.map(c => c.hs * c.vs).sum
     val totalBlocks = mcuW.toLong * mcuH * blocksPerMcu
+    // this also bounds allocation amplification: totalBlocks ≤ 4·bytes
+    // ⇒ nc·w·h ≤ 64·4·(max 4× upsample)·bytes — a few KB of planes per
+    // entropy byte, with [[MaxPixels]] as the absolute ceiling
     if (totalBlocks * 2L > 8L * math.max(0, b.length - start)) return None
     val planes = Array.tabulate(nc)(i => new Array[Int](cw(i) * ch(i)))
     val in = new BitReader(b, start)

@@ -248,7 +248,7 @@ object Multimodal {
     (vs.length.toLong, mn, mx, sum * 1000000L / vs.length, wsum)
   }
 
-  private def valueStats(id: Long, kind: String, fmt: String,
+  private[graft] def valueStats(id: Long, kind: String, fmt: String,
                          sw: Int, sh: Int, ow: Int, oh: Int,
                          vs: Array[Int]): Option[Row] =
     if (vs.isEmpty) None // decoded-but-empty → reject, don't divide by 0

@@ -43,7 +43,12 @@ import graft.operators.Multimodal
   * withheld and the join degrades to a shuffled exchange instead of
   * pinning an unboundedly-growing relation into executor memory (at
   * 100 TB of distinct content the index is GBs; a forced broadcast
-  * there is an OOM, not a speedup). */
+  * there is an OOM, not a speedup). The gate's input is a running
+  * kept-count sidecar (`_counts/<batchId>.count`, maintained by
+  * [[seed]]/[[ingestBatch]]) read driver-side in O(#batches) — NOT a
+  * per-batch `count()` of the index, which at scale would be a full
+  * parquet-footer sweep per micro-batch on top of the join's own
+  * scan. */
 object StreamingMediaDedup {
 
   /** Past this many distinct stored fingerprints, stop broadcasting
@@ -52,10 +57,55 @@ object StreamingMediaDedup {
     * 10× that is not. */
   val DefaultBroadcastMaxRows: Long = 1000000L
 
+  /** Write the running-count sidecar for one index shard:
+    * `indexDir/_counts/<batchId>.count` holds the shard's row count as
+    * text. Underscore-prefixed, so Spark's file index never treats it
+    * as data. Overwrite (idempotent replay, like the shard itself). */
+  private def writeShardCount(spark: SparkSession, indexDir: String,
+                              batchId: Long, n: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_counts/$batchId.count")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Sum the sidecar counts of index shards strictly earlier than
+    * `batchId` — the O(#batches) DRIVER-side gate input that replaced
+    * the per-batch `stored.count()` Spark job (round-13 verdict: at
+    * 100 TB-class index sizes that count was a full parquet-footer
+    * sweep per micro-batch, and `stored` was computed twice). Rows per
+    * shard, not distinct contents — an upper bound, so the gate only
+    * ever degrades to the SAFE side (shuffle instead of broadcast).
+    * None when the sidecar is absent or unreadable (pre-sidecar index
+    * dirs) — the caller falls back to counting once. */
+  private def sidecarCountBefore(spark: SparkSession, indexDir: String,
+                                 batchId: Long): Option[Long] =
+    scala.util.Try {
+      val dir = new org.apache.hadoop.fs.Path(s"$indexDir/_counts")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).iterator.map { st =>
+        val name = st.getPath.getName
+        require(name.endsWith(".count"))
+        val id = name.stripSuffix(".count").toLong
+        if (id >= batchId) 0L
+        else {
+          val in = fs.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        }
+      }.sum
+    }.toOption
+
   /** Seed the fingerprint index from the initial corpus (batch_id=-1). */
-  def seed(docs: DataFrame, indexDir: String): Unit =
+  def seed(docs: DataFrame, indexDir: String): Unit = {
+    val spark = docs.sparkSession
     Multimodal.mediaFingerprints(docs)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
+    // count the WRITTEN shard (parquet metadata count), not the decode
+    // plan — the one-time seed cost, O(seed corpus footers)
+    val n = spark.read.parquet(s"$indexDir/batch_id=-1").count()
+    writeShardCount(spark, indexDir, -1L, n)
+  }
 
   /** The verdict plan for one batch against the stored index shards
     * strictly earlier than `batchId` — exposed (package-private) so the
@@ -70,11 +120,13 @@ object StreamingMediaDedup {
       .filter(col("batch_id") < batchId)
       .select(col("kind"), col("fingerprint")).distinct()
       .withColumn("_seen", lit(1))
-    // size gate: count the index (a cheap parquet scan of the one
-    // relation we are about to join anyway) and only hint broadcast
-    // while it fits — the CC driver-fold recipe applied to a join
+    // size gate from the running-count sidecar: O(#batches) driver-side
+    // file reads, NO Spark job, and `stored` is scanned exactly once
+    // (in the join). Pre-sidecar index dirs fall back to counting once.
+    val storedRows = sidecarCountBefore(spark, indexDir, batchId)
+      .getOrElse(stored.count())
     val probe =
-      if (stored.count() <= broadcastMaxRows) broadcast(stored) else stored
+      if (storedRows <= broadcastMaxRows) broadcast(stored) else stored
     val fps = Multimodal.mediaFingerprints(batch)
     // batch-local keep-first: min doc_id per (kind, fingerprint)
     val w = Window.partitionBy("kind", "fingerprint")
@@ -101,6 +153,9 @@ object StreamingMediaDedup {
       .select("doc_id", "kind", "format", "fingerprint")
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
     spark.catalog.refreshByPath(indexDir)
+    // maintain the gate's running count: O(this batch's shard footers)
+    val kept = spark.read.parquet(s"$indexDir/batch_id=$batchId").count()
+    writeShardCount(spark, indexDir, batchId, kept)
   }
 
   /** Run the stream: verdicts land in batchId-keyed parquet under

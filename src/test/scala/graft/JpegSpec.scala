@@ -304,4 +304,47 @@ class JpegSpec extends SparkSpec {
     val Some(d) = Jpeg.decode(jpegWithScan(Seq(0x0b, 0x6e, 0xff, 0x00)))
     assert(d.width == 8 && d.height == 8)
   }
+
+  test("crafted-dims guard: a SOF claiming huge dimensions rejects before allocating") {
+    val ok = Jpeg.encodeJpeg(8, 8, 1, (_, _, _) => 100)
+    assert(Jpeg.decode(ok).isDefined) // the unpatched stream decodes
+    val sofAt = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    // SOF layout: FF C0 len(2) prec h(2) w(2) — dims at sofAt+5..+8
+    def withDims(h: Int, w: Int): Array[Byte] = {
+      val p = ok.clone()
+      p(sofAt + 5) = (h >> 8).toByte; p(sofAt + 6) = h.toByte
+      p(sofAt + 7) = (w >> 8).toByte; p(sofAt + 8) = w.toByte
+      p
+    }
+    // 65535×65535: w*h overflows Int (×8 planes would be multi-GB) —
+    // must return None, not NegativeArraySizeException/OOM
+    assert(Jpeg.decode(withDims(65535, 65535)).isEmpty)
+    // just past MaxPixels (64 MP): 8200×8200 = 67.24M px > 2^26
+    assert(8200L * 8200 > Jpeg.MaxPixels)
+    assert(Jpeg.decode(withDims(8200, 8200)).isEmpty)
+    // and the bound is not inverted: 8192×8192 sits exactly AT the cap
+    assert(8192L * 8192 == Jpeg.MaxPixels)
+  }
+
+  test("blocks-vs-entropy guard: claimed blocks exceeding the payload reject; a real small file does not") {
+    val ok = Jpeg.encodeJpeg(8, 8, 1, (_, _, _) => 100)
+    val sofAt = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
+    // claim 48×48 (36 blocks → ≥9 entropy bytes at the 2-bit floor)
+    // over a payload that carries ~2: structurally truncated, reject
+    // BEFORE allocating the 48×48 planes
+    val inflated = ok.clone()
+    inflated(sofAt + 5) = 0; inflated(sofAt + 6) = 48
+    inflated(sofAt + 7) = 0; inflated(sofAt + 8) = 48
+    assert(Jpeg.decode(inflated).isEmpty)
+    // red-green for the inequality direction (r13 verdict: a floor that
+    // rejected LEGITIMATE small images would pass every other test): a
+    // real 48×48 stream, whose constant tiles make it about as small as
+    // a legal file gets, must still decode
+    val real = Jpeg.encodeJpeg(48, 48, 1, (bx, by, _) => (10 + bx + by) % 256)
+    val Some(d) = Jpeg.decode(real)
+    assert(d.width == 48 && d.height == 48)
+    assert(d.planes(0)(0) == 10)
+  }
 }

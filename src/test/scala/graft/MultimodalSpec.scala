@@ -558,4 +558,21 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     assert(Multimodal.parseBmp(media(5L)).contains((10, 3, 24)))
   }
+
+  test("decoded-but-empty payloads REJECT (drop the row), never divide by zero") {
+    // the m02/m04 stats contract divides by the value count — a decoder
+    // that legitimately returns zero values (e.g. a 1-frame WAV resized
+    // by 2 → 0 output samples) must drop its row, not throw (r13 guard,
+    // previously untested)
+    assert(Multimodal.valueStats(7L, "audio", "wav", 1, 1, 0, 1,
+      Array.empty[Int]).isEmpty)
+    // red-green for the inequality: a single-value payload is NOT
+    // empty and must produce the exact stats row
+    val row = Multimodal.valueStats(7L, "audio", "wav", 2, 1, 1, 1,
+      Array(-6)).get
+    assert(row.getLong(7) == 1L)                 // n_out
+    assert(row.getInt(8) == -6 && row.getInt(9) == -6)  // o_min/o_max
+    assert(row.getLong(10) == -6000000L)         // truncating mean_ppm
+    assert(row.getLong(11) == -6L)               // Σ(i+1)·v
+  }
 }
