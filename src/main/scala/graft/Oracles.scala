@@ -2462,13 +2462,14 @@ FROM allc a JOIN topc c USING(domain)"""
     * channel-pairing or resample error on the engine side diverges.
     * Kind routing: doc_id%3 → image/audio/video; images rotate
     * bmp/png/jpeg by (doc_id//3)%3. */
-  val multimodal: Map[String, String] = Map(
-    // m02 value orders: BMP/PNG pixel-interleaved raster (i=(y·w+x)·3+c),
-    // JPEG plane-major over the DECODED (chroma-replicated) planes
-    // (i=c·w·h+y·w+x; Y tiles on the 8-grid, chroma on the 16-grid —
-    // the 4:2:0 layout), WAV channel-major (i=c·n+frame), AVI
-    // sampled-frame-major (f=0,5,…; i=(f//5)·w·h·3+(y·w+x)·3+c).
-    "m02_media_features" ->
+  // m02 value orders: BMP/PNG pixel-interleaved raster (i=(y·w+x)·3+c),
+  // JPEG plane-major over the DECODED (chroma-replicated) planes
+  // (i=c·w·h+y·w+x; Y tiles on the 8-grid, chroma on the 16-grid —
+  // the 4:2:0 layout), WAV channel-major (i=c·n+frame), AVI
+  // sampled-frame-major (f=0,5,…; i=(f//5)·w·h·3+(y·w+x)·3+c).
+  // SHARED with m14: the stored m00 table's content IS realMedia, so
+  // the from-column decode must hash-match the same formula recompute.
+  private val m02FeaturesSql: String =
       """SELECT doc_id, kind, format, count(*) AS n_values,
         |  CAST(min(v) AS INTEGER) AS v_min, CAST(max(v) AS INTEGER) AS v_max,
         |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS v_mean_ppm,
@@ -2512,7 +2513,66 @@ FROM allc a JOIN topc c USING(domain)"""
         |  FROM documents d, range(30) f(f), range(8) x(x), range(5) y(y), range(3) c(c)
         |  WHERE d.doc_id % 3 = 2 AND f.f < d.doc_id % 30 + 1 AND f.f % 5 = 0
         |    AND x.x < 4 + d.doc_id % 5 AND y.y < 3 + d.doc_id % 3
-        |) t GROUP BY doc_id, kind, format ORDER BY doc_id""".stripMargin,
+        |) t GROUP BY doc_id, kind, format ORDER BY doc_id""".stripMargin
+
+  // m13's canonical-content md5 recompute, shared with m15 (stored path)
+  private val m13FingerprintsSql: String =
+      """SELECT doc_id, kind, format,
+        |  md5(prefix || string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS fingerprint
+        |FROM (
+        |  SELECT d.doc_id, 'image' AS kind, 'bmp' AS format,
+        |         'rgb:' || (5 + d.doc_id % 8) || 'x' || (3 + d.doc_id % 5) || ':' AS prefix,
+        |         (y.y*(5 + d.doc_id % 8) + x.x)*3 + c.c AS i,
+        |         (d.doc_id*31 + y.y*7 + x.x*3 + (2 - c.c)) % 256 AS v
+        |  FROM documents d, range(12) x(x), range(7) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 0
+        |    AND x.x < 5 + d.doc_id % 8 AND y.y < 3 + d.doc_id % 5
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image', 'png',
+        |         'rgb:' || (5 + d.doc_id % 8) || 'x' || (5 + d.doc_id % 5) || ':',
+        |         (y.y*(5 + d.doc_id % 8) + x.x)*3 + c.c,
+        |         (d.doc_id*37 + y.y*11 + x.x*5 + c.c) % 256
+        |  FROM documents d, range(12) x(x), range(9) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 1
+        |    AND x.x < 5 + d.doc_id % 8 AND y.y < 5 + d.doc_id % 5
+        |  UNION ALL
+        |  SELECT d.doc_id, 'image', 'jpeg',
+        |         'ycbcr:' || (16*(1 + d.doc_id % 2)) || 'x' || (16*(1 + d.doc_id % 3)) || ':',
+        |         c.c*(16*(1 + d.doc_id % 2))*(16*(1 + d.doc_id % 3))
+        |           + y.y*(16*(1 + d.doc_id % 2)) + x.x,
+        |         (d.doc_id*41
+        |           + (y.y // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*13
+        |           + (x.x // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*7 + c.c) % 256
+        |  FROM documents d, range(32) x(x), range(48) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 2
+        |    AND x.x < 16*(1 + d.doc_id % 2) AND y.y < 16*(1 + d.doc_id % 3)
+        |  UNION ALL
+        |  SELECT d.doc_id, 'audio', 'wav',
+        |         'pcm:' || (8000 + (d.doc_id % 4) * 4000) || ':' || (1 + d.doc_id % 2) || ':',
+        |         ch.ch*(100 + d.doc_id % 50) + j.j,
+        |         ((d.doc_id*53 + j.j*17 + ch.ch*29) % 65536) - 32768
+        |  FROM documents d, range(150) j(j), range(2) ch(ch)
+        |  WHERE d.doc_id % 3 = 1
+        |    AND j.j < 100 + d.doc_id % 50 AND ch.ch < 1 + d.doc_id % 2
+        |  UNION ALL
+        |  SELECT d.doc_id, 'video', 'avi',
+        |         'vid:' || (4 + d.doc_id % 5) || 'x' || (3 + d.doc_id % 3) || ':'
+        |           || (d.doc_id % 30 + 1) || ':',
+        |         f.f*(4 + d.doc_id % 5)*(3 + d.doc_id % 3)*3
+        |           + (y.y*(4 + d.doc_id % 5) + x.x)*3 + c.c,
+        |         (d.doc_id*59 + f.f*23 + y.y*11 + x.x*5 + c.c) % 256
+        |  FROM documents d, range(30) f(f), range(8) x(x), range(5) y(y), range(3) c(c)
+        |  WHERE d.doc_id % 3 = 2 AND f.f < d.doc_id % 30 + 1
+        |    AND x.x < 4 + d.doc_id % 5 AND y.y < 3 + d.doc_id % 3
+        |) t GROUP BY doc_id, kind, format, prefix ORDER BY doc_id""".stripMargin
+
+  val multimodal: Map[String, String] = Map(
+    "m02_media_features" -> m02FeaturesSql,
+    // the stored-binary twins: same formula recompute — the engine side
+    // differs only in WHERE the bytes come from (parquet scan vs
+    // in-body build), which is exactly what the hash equality proves
+    "m14_stored_media_features" -> m02FeaturesSql,
+    "m15_stored_fingerprints" -> m13FingerprintsSql,
 
     "m01_media_meta" ->
       """SELECT doc_id,
@@ -2832,55 +2892,7 @@ FROM allc a JOIN topc c USING(domain)"""
     // space; PCM channel-major; video ALL frames) and md5s it, so any
     // decode/channel-swap/plane-order/frame-order divergence on the
     // engine side mismatches.
-    "m13_media_fingerprints" ->
-      """SELECT doc_id, kind, format,
-        |  md5(prefix || string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS fingerprint
-        |FROM (
-        |  SELECT d.doc_id, 'image' AS kind, 'bmp' AS format,
-        |         'rgb:' || (5 + d.doc_id % 8) || 'x' || (3 + d.doc_id % 5) || ':' AS prefix,
-        |         (y.y*(5 + d.doc_id % 8) + x.x)*3 + c.c AS i,
-        |         (d.doc_id*31 + y.y*7 + x.x*3 + (2 - c.c)) % 256 AS v
-        |  FROM documents d, range(12) x(x), range(7) y(y), range(3) c(c)
-        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 0
-        |    AND x.x < 5 + d.doc_id % 8 AND y.y < 3 + d.doc_id % 5
-        |  UNION ALL
-        |  SELECT d.doc_id, 'image', 'png',
-        |         'rgb:' || (5 + d.doc_id % 8) || 'x' || (5 + d.doc_id % 5) || ':',
-        |         (y.y*(5 + d.doc_id % 8) + x.x)*3 + c.c,
-        |         (d.doc_id*37 + y.y*11 + x.x*5 + c.c) % 256
-        |  FROM documents d, range(12) x(x), range(9) y(y), range(3) c(c)
-        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 1
-        |    AND x.x < 5 + d.doc_id % 8 AND y.y < 5 + d.doc_id % 5
-        |  UNION ALL
-        |  SELECT d.doc_id, 'image', 'jpeg',
-        |         'ycbcr:' || (16*(1 + d.doc_id % 2)) || 'x' || (16*(1 + d.doc_id % 3)) || ':',
-        |         c.c*(16*(1 + d.doc_id % 2))*(16*(1 + d.doc_id % 3))
-        |           + y.y*(16*(1 + d.doc_id % 2)) + x.x,
-        |         (d.doc_id*41
-        |           + (y.y // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*13
-        |           + (x.x // (CASE WHEN c.c = 0 THEN 8 ELSE 16 END))*7 + c.c) % 256
-        |  FROM documents d, range(32) x(x), range(48) y(y), range(3) c(c)
-        |  WHERE d.doc_id % 3 = 0 AND (d.doc_id // 3) % 3 = 2
-        |    AND x.x < 16*(1 + d.doc_id % 2) AND y.y < 16*(1 + d.doc_id % 3)
-        |  UNION ALL
-        |  SELECT d.doc_id, 'audio', 'wav',
-        |         'pcm:' || (8000 + (d.doc_id % 4) * 4000) || ':' || (1 + d.doc_id % 2) || ':',
-        |         ch.ch*(100 + d.doc_id % 50) + j.j,
-        |         ((d.doc_id*53 + j.j*17 + ch.ch*29) % 65536) - 32768
-        |  FROM documents d, range(150) j(j), range(2) ch(ch)
-        |  WHERE d.doc_id % 3 = 1
-        |    AND j.j < 100 + d.doc_id % 50 AND ch.ch < 1 + d.doc_id % 2
-        |  UNION ALL
-        |  SELECT d.doc_id, 'video', 'avi',
-        |         'vid:' || (4 + d.doc_id % 5) || 'x' || (3 + d.doc_id % 3) || ':'
-        |           || (d.doc_id % 30 + 1) || ':',
-        |         f.f*(4 + d.doc_id % 5)*(3 + d.doc_id % 3)*3
-        |           + (y.y*(4 + d.doc_id % 5) + x.x)*3 + c.c,
-        |         (d.doc_id*59 + f.f*23 + y.y*11 + x.x*5 + c.c) % 256
-        |  FROM documents d, range(30) f(f), range(8) x(x), range(5) y(y), range(3) c(c)
-        |  WHERE d.doc_id % 3 = 2 AND f.f < d.doc_id % 30 + 1
-        |    AND x.x < 4 + d.doc_id % 5 AND y.y < 3 + d.doc_id % 3
-        |) t GROUP BY doc_id, kind, format, prefix ORDER BY doc_id""".stripMargin
+    "m13_media_fingerprints" -> m13FingerprintsSql
   )
 
   /** Assembled in [[SparkEntry.oracleSql]]; sections appended per module. */

@@ -303,7 +303,16 @@ object SparkEntry {
     // widened JPEG scope: 4:2:0 chroma subsampling + restart intervals
     "m12_jpeg420_pixel_stats" -> ((s, d) => Multimodal.jpegPixelStats420(Tables.documents(s, d))),
     // content-addressable dedup keys over decoded, canonicalized media
-    "m13_media_fingerprints"  -> ((s, d) => Multimodal.mediaFingerprints(Tables.documents(s, d)))
+    "m13_media_fingerprints"  -> ((s, d) => Multimodal.mediaFingerprints(Tables.documents(s, d))),
+    // the STORED-binary path: payloads sunk once to a parquet BINARY
+    // column (the m00 media table), then decoded from the SCANNED bytes
+    // — the plan shape that dominates a 100 TB multimodal corpus
+    "m14_stored_media_features" -> ((s, d) =>
+      Multimodal.extractFeaturesFromBinary(
+        Multimodal.storedMedia(Tables.documents(s, d), d))),
+    "m15_stored_fingerprints" -> ((s, d) =>
+      Multimodal.fingerprintsFromBinary(
+        Multimodal.storedMedia(Tables.documents(s, d), d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

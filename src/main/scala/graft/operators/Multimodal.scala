@@ -1282,4 +1282,94 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
   }
+
+  // ---------- stored-binary media path (m00 table + m14/m15) ----------
+
+  /** The m00 media table's schema: payload as an opaque parquet BINARY
+    * column + the typed routing metadata beside it — how media rides in
+    * a 100 TB lake. */
+  private[graft] val mediaTableSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("media", BinaryType, nullable = false)))
+
+  /** Sink each doc's [[realMedia]] payload to a parquet BINARY column at
+    * `path` — the one-time ingest write that turns the in-body builders
+    * into a STORED corpus the m14/m15 queries then scan. Map-only. */
+  def sinkMedia(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (kind, fmt, bytes) = realMedia(id)
+        Row(id, kind, fmt, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, mediaTableSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  // one sink per (JVM, source dir): Verify/Bench run many queries over
+  // the same dir in one JVM — m14 and m15 share the materialized table.
+  // The path is process-unique (tmpdir + pid) because the bench and a
+  // test JVM may run concurrently; /root/testdata is read-only, so the
+  // "beside documents" placement of a real lake lands in tmp here.
+  private val mediaStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The stored m00 media table for the corpus at `key` (the testdata
+    * dir), materialized once per JVM via [[sinkMedia]] and then READ
+    * BACK from parquet — every downstream decode pays the real
+    * binary-column scan, not an in-body rebuild. */
+  def storedMedia(docs: DataFrame, key: String): DataFrame = {
+    val spark = docs.sparkSession
+    val path = mediaStorePaths.computeIfAbsent(key, _ => {
+      val pid = ProcessHandle.current().pid()
+      val target = s"${System.getProperty("java.io.tmpdir")}/graft_media_${pid}_" +
+        java.lang.Integer.toHexString(key.hashCode)
+      sinkMedia(docs, target)
+      target
+    })
+    spark.read.parquet(path)
+  }
+
+  /** m14: [[extractFeatures]]'s exact output contract, but decoding
+    * bytes READ FROM STORAGE (the m00 BINARY column) instead of built
+    * in-body — the plan shape a 100 TB multimodal corpus is dominated
+    * by: parquet binary scan → per-partition decode. The oracle is
+    * m02's (stored content IS [[realMedia]]), so the round trip
+    * write → scan → decode is hash-checked end-to-end. */
+  def extractFeaturesFromBinary(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("kind"), col("format"), col("media"))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1); val fmt = r.getString(2)
+          decodeValues(fmt, r.getAs[Array[Byte]](3)).filter(_.nonEmpty).map { vs =>
+            val (n, mn, mx, meanPpm, wsum) = accumulate(vs)
+            Row(id, kind, fmt, n, mn, mx, meanPpm, wsum)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema).orderBy("doc_id")
+  }
+
+  /** m15: [[mediaFingerprints]]'s contract over stored bytes — the
+    * content-addressable dedup key computed where it actually runs at
+    * scale, on payloads scanned from the lake. Oracle = m13's. */
+  def fingerprintsFromBinary(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("kind"), col("format"), col("media"))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1); val fmt = r.getString(2)
+          contentFingerprint(fmt, r.getAs[Array[Byte]](3))
+            .map(fp => Row(id, kind, fmt, fp))
+        }
+      }
+    spark.createDataFrame(rdd, fingerprintSchema).orderBy("doc_id")
+  }
 }

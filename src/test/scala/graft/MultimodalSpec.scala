@@ -559,6 +559,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(media(5L)).contains((10, 3, 24)))
   }
 
+  test("stored-binary path: sink → scan → decode equals the in-body m02/m13 results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_store").toString
+    Multimodal.sinkMedia(manyDocs, s"$dir/m00")
+    val stored = spark.read.parquet(s"$dir/m00")
+    // the scan actually reads the BINARY column (the cost m14 exists to
+    // pay — a variant that silently rebuilt payloads in-body would not);
+    // the decode runs in RDD-land, so the scan shape lives in the INNER
+    // select the mapPartitions consumes
+    val scan = stored.select("doc_id", "kind", "format", "media")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && scan.contains("media:binary"),
+      s"media column pruned from scan:\n$scan")
+    val fromColumn = Multimodal.extractFeaturesFromBinary(stored).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val inBody = Multimodal.extractFeatures(manyDocs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fromColumn == inBody && fromColumn.size == 9)
+    val fpFromColumn = Multimodal.fingerprintsFromBinary(stored).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val fpInBody = Multimodal.mediaFingerprints(manyDocs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fpFromColumn == fpInBody && fpFromColumn.size == 9)
+    // a corrupted stored payload REJECTS (drops), never throws — the
+    // poison-bytes contract survives the storage hop
+    import org.apache.spark.sql.Row
+    val poison = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(99L, "image", "png", "not a png".getBytes("UTF-8")))),
+      stored.schema)
+    assert(Multimodal.extractFeaturesFromBinary(poison).count() == 0)
+  }
+
   test("decoded-but-empty payloads REJECT (drop the row), never divide by zero") {
     // the m02/m04 stats contract divides by the value count — a decoder
     // that legitimately returns zero values (e.g. a 1-frame WAV resized
