@@ -2885,6 +2885,35 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(sum((y*pw + x + 1) * (yv + 2*cb + 3*cr)) % 1000000007 AS BIGINT) AS wsum
         |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
 
+    // m16: the PROGRESSIVE decoder scope — engine encodes nine-scan
+    // SOF2 files (DC first + 4 successive-approximation refinements,
+    // per-component AC EOB-run scans, DRI=2 resync throughout) and
+    // decodes them back via coefficient accumulation + EOI reconstruct;
+    // constant tiles keep it integer-exact, so the oracle is the same
+    // 8-grid tile recompute as m08 over m16's dimension schedule
+    // (w = 8·(1+id%4), h = 8·(1+id%3), 4:4:4).
+    "m16_jpeg_progressive_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(8 * (1 + d.doc_id % 4) AS INTEGER) AS pw,
+        |         CAST(8 * (1 + d.doc_id % 3) AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         (d.doc_id*41 + (y.y//8)*13 + (x.x//8)*7 + 0) % 256 AS yv,
+        |         (d.doc_id*41 + (y.y//8)*13 + (x.x//8)*7 + 1) % 256 AS cb,
+        |         (d.doc_id*41 + (y.y//8)*13 + (x.x//8)*7 + 2) % 256 AS cr
+        |  FROM documents d, range(24) y(y), range(32) x(x)
+        |  WHERE y.y < 8 * (1 + d.doc_id % 3) AND x.x < 8 * (1 + d.doc_id % 4))
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(yv) AS INTEGER) AS y_min, CAST(max(yv) AS INTEGER) AS y_max,
+        |  CAST(sum(yv) * 1000000 // count(*) AS BIGINT) AS y_mean_ppm,
+        |  CAST(min(cb) AS INTEGER) AS cb_min, CAST(max(cb) AS INTEGER) AS cb_max,
+        |  CAST(sum(cb) * 1000000 // count(*) AS BIGINT) AS cb_mean_ppm,
+        |  CAST(min(cr) AS INTEGER) AS cr_min, CAST(max(cr) AS INTEGER) AS cr_max,
+        |  CAST(sum(cr) * 1000000 // count(*) AS BIGINT) AS cr_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (yv + 2*cb + 3*cr)) % 1000000007 AS BIGINT) AS wsum
+        |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
+
     // m13: content-addressable fingerprints — the oracle rebuilds each
     // payload's CANONICAL content string from the per-format formulas
     // (lossless images RGB-interleaved — BMP's stored BGR is re-swapped,

@@ -302,6 +302,9 @@ object SparkEntry {
     "m11_bmp_resized"         -> ((s, d) => Multimodal.bmpResized(Tables.documents(s, d))),
     // widened JPEG scope: 4:2:0 chroma subsampling + restart intervals
     "m12_jpeg420_pixel_stats" -> ((s, d) => Multimodal.jpegPixelStats420(Tables.documents(s, d))),
+    // progressive (SOF2) scope: multi-scan spectral selection +
+    // successive approximation, decoded through the same general path
+    "m16_jpeg_progressive_stats" -> ((s, d) => Multimodal.jpegProgressiveStats(Tables.documents(s, d))),
     // content-addressable dedup keys over decoded, canonicalized media
     "m13_media_fingerprints"  -> ((s, d) => Multimodal.mediaFingerprints(Tables.documents(s, d))),
     // the STORED-binary path: payloads sunk once to a parquet BINARY

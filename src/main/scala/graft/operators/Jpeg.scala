@@ -10,8 +10,15 @@ package graft.operators
   * which covers grayscale, 4:4:4, 4:2:2 (2×1), 4:4:0 (1×2) and 4:2:0
   * (2×2), i.e. the subsampling virtually every camera/web JPEG uses —
   * plus restart intervals (DRI + RST0–7 resync with DC-predictor
-  * reset, T.81 E.2.4/F.2.1.3.1). Not in scope: progressive/arithmetic
-  * coding, 12-bit samples, multi-scan files. Subsampled chroma planes
+  * reset, T.81 E.2.4/F.2.1.3.1), plus PROGRESSIVE mode (SOF2, Annex G
+  * — the other format share the web actually serves): multi-scan
+  * spectral selection and successive approximation, DC first/refine
+  * (interleaved or single-component), AC first/refine with EOB-run
+  * coding and correction bits (G.1.2), restart resync in every scan,
+  * coefficients accumulated per component and reconstructed at EOI.
+  * Progressive scans must cover all frame components or exactly one
+  * (the shapes real encoders emit). Not in scope: arithmetic coding,
+  * 12-bit samples, hierarchical mode. Subsampled chroma planes
   * are upsampled to full resolution by pixel replication (T.81 leaves
   * the reconstruction filter to the decoder; replication keeps
   * constant-tile fixtures integer-exact). Output is the decoded
@@ -142,6 +149,24 @@ object Jpeg {
       }
       v
     }
+    /** Byte offset of the 0xFF opening the next marker after the
+      * entropy data consumed so far (skipping stuffed 0xFF00 pairs and
+      * 0xFF fill bytes); -1 if none remains. The progressive scan loop
+      * uses this to hand control back to the marker walk between
+      * scans. */
+    def nextMarkerOffset(): Int = {
+      nBits = 0
+      if (dead) return if (markerVal < 0) -1 else markerEnd - 2
+      var p = pos
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xff) == 0xff) {
+          val n = b(p + 1) & 0xff
+          if (n != 0x00 && n != 0xff) return p
+          p += (if (n == 0xff) 1 else 2) // fill byte / stuffed data 0xFF
+        } else p += 1
+      }
+      -1
+    }
   }
 
   /** DC/AC magnitude extension (F.2.2.1 EXTEND): a category-`s` value
@@ -199,7 +224,10 @@ object Jpeg {
   // marker-segment cursor helpers
   private def be16(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
-  /** Full baseline decode within the documented scope; None otherwise. */
+  /** Full baseline OR progressive decode within the documented scope;
+    * None otherwise. Baseline returns at the first (single) scan;
+    * progressive (SOF2) iterates scans, accumulating coefficients in a
+    * [[ProgStore]], and reconstructs at EOI. */
   def decode(b: Array[Byte]): Option[Decoded] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     val quant = new Array[Array[Int]](4) // qtable id → 64 coefs (raster via zigzag later)
@@ -207,17 +235,22 @@ object Jpeg {
     val acTab = new Array[HuffTable](4)
     var w = 0; var h = 0
     var comps: Array[Comp] = null
+    var progressive = false
+    var store: ProgStore = null // allocated at the first progressive scan
     var restartInterval = 0 // MCUs between RSTn markers; 0 = disabled
     var o = 2
-    while (o + 4 <= b.length) {
+    while (o + 2 <= b.length) {
       if ((b(o) & 0xff) != 0xff) return None
       val m = b(o + 1) & 0xff
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { o += 2 }
-      else if (m == 0xd9) return None // EOI before any scan
+      else if (m == 0xd9) // EOI: reconstruct a scanned progressive frame
+        return if (store != null) reconstructProgressive(store, quant) else None
+      else if (o + 4 > b.length) return None
       else {
         val len = be16(b, o + 2)
         if (o + 2 + len > b.length || len < 2) return None
         val seg = o + 4
+        var resumeAt = o + 2 + len // progressive SOS overrides (scan data)
         m match {
           case 0xdb => // DQT: one or more (precision/id, 64 coefs) entries
             var p = seg
@@ -240,13 +273,14 @@ object Jpeg {
               if (tc == 0) dcTab(th) = t else acTab(th) = t
               p += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
             if (len < 8) return None // 2 len + prec + h + w + nc minimum
             val prec = b(seg) & 0xff
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             val nc = b(seg + 5) & 0xff
             if (prec != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
             if (len < 8 + 3 * nc) return None // truncated component list
+            progressive = m == 0xc2
             comps = Array.tabulate(nc) { i =>
               val cid = b(seg + 6 + 3 * i) & 0xff
               val hv = b(seg + 7 + 3 * i) & 0xff
@@ -263,12 +297,12 @@ object Jpeg {
               // one block and declared sampling is ignored (A.2.2)
               if (nc == 1) Comp(cid, qid, 1, 1) else Comp(cid, qid, hs, vs)
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
-               0xcd | 0xce | 0xcf => return None // non-baseline frame
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf => return None // non-baseline/-progressive frame
           case 0xdd => // DRI: 2-byte restart interval in MCUs
             if (len != 4) return None
             restartInterval = be16(b, seg)
-          case 0xda => // SOS: header, then entropy data to EOI
+          case 0xda if !progressive => // baseline SOS: single scan to EOI
             if (comps == null || len < 3) return None
             val ns = b(seg) & 0xff
             if (ns != comps.length) return None
@@ -290,9 +324,58 @@ object Jpeg {
             }
             return decodeScan(b, o + 2 + len, w, h, comps, tabs, quant,
                               dcTab, acTab, restartInterval)
+          case 0xda => // progressive SOS: one of several scans
+            if (comps == null || len < 3) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > comps.length) return None
+            if (len < 2 + 1 + 2 * ns + 3) return None
+            // selectors map to FRAME components by id, in frame order;
+            // interleaved scans must cover ALL components (the shape
+            // real progressive files use) or exactly one (A.2.2)
+            if (ns != 1 && ns != comps.length) return None
+            val scanComps = new Array[Int](ns)
+            val tabs = Array.tabulate(ns) { i =>
+              val cs = b(seg + 1 + 2 * i) & 0xff
+              val td = (b(seg + 2 + 2 * i) & 0xff) >> 4
+              val ta = b(seg + 2 + 2 * i) & 0x0f
+              if (td > 3 || ta > 3) return None
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0 || (i > 0 && ci <= scanComps(i - 1))) return None
+              scanComps(i) = ci
+              (td, ta)
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahAl = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahAl >> 4; val al = ahAl & 0x0f
+            // G.1.1.1.1: spectral band within 0..63; DC scans are the
+            // band (0,0), AC scans start past it and are single-
+            // component; successive approximation refines one bit at a
+            // time (Ah = Al + 1); point transforms past 13 are illegal
+            if (se > 63 || ss > se || al > 13 || ah > 13) return None
+            if (ss == 0 && se != 0) return None // (0, >0) is sequential-only
+            if (ss > 0 && ns != 1) return None
+            if (ah != 0 && ah != al + 1) return None
+            val dataStart = o + 2 + len
+            if (store == null) {
+              // first scan: must be a DC first scan (G.1.1.1.1 — DC
+              // before any AC, full precision head first), which gives
+              // the ≥1-bit-per-block floor the allocation guard needs
+              if (ss != 0 || ah != 0) return None
+              if (w.toLong * h > MaxPixels) return None
+              val st = new ProgStore(w, h, comps)
+              val blocks = scanComps.map(ci =>
+                st.padW(ci).toLong * st.padH(ci)).sum
+              if (blocks > 8L * math.max(0, b.length - dataStart)) return None
+              store = st
+            }
+            val next = decodeProgressiveScan(b, dataStart, store, scanComps,
+              tabs, ss, se, ah, al, dcTab, acTab, restartInterval)
+            if (next < 0) return None
+            resumeAt = next
           case _ => () // APPn/COM/etc: skip
         }
-        o += 2 + len
+        o = resumeAt
       }
     }
     None
@@ -462,6 +545,286 @@ object Jpeg {
     Some(Decoded(w, h, full))
   }
 
+  // ---------- progressive mode (T.81 Annex G, DCT-based) ----------
+
+  /** Coefficient store for a progressive frame: per-component ZIGZAG-
+    * order coefficients for every block, accumulated across scans.
+    * Interleaved (DC) scans cover the full MCU grid including the dummy
+    * blocks past the image edge, so the arrays are MCU-padded; non-
+    * interleaved (AC / single-component DC) scans traverse only the
+    * component's own ceil(dim/8) grid, indexed into the same padded
+    * array by the padded row stride. */
+  private final class ProgStore(val w: Int, val h: Int, val comps: Array[Comp]) {
+    val hMax: Int = comps.map(_.hs).max
+    val vMax: Int = comps.map(_.vs).max
+    val mcuW: Int = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH: Int = (h + 8 * vMax - 1) / (8 * vMax)
+    val padW: Array[Int] = comps.map(c => mcuW * c.hs) // blocks, MCU-padded
+    val padH: Array[Int] = comps.map(c => mcuH * c.vs)
+    val cw: Array[Int] = comps.map(c => (w * c.hs + hMax - 1) / hMax)
+    val ch: Array[Int] = comps.map(c => (h * c.vs + vMax - 1) / vMax)
+    val bw: Array[Int] = Array.tabulate(comps.length)(i => (cw(i) + 7) / 8)
+    val bh: Array[Int] = Array.tabulate(comps.length)(i => (ch(i) + 7) / 8)
+    val coef: Array[Array[Int]] =
+      Array.tabulate(comps.length)(i => new Array[Int](padW(i) * padH(i) * 64))
+  }
+
+  /** Decode one progressive scan (G.1.2) into the store: DC first /
+    * refinement over the scan components' interleaved MCU order (or a
+    * single component's own block grid), or AC first / refinement over
+    * one component's spectral band with EOB-run coding. Returns the
+    * byte offset of the next marker, or -1 on any bitstream error. */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, st: ProgStore,
+      scanComps: Array[Int], tabs: Array[(Int, Int)],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcTab: Array[HuffTable], acTab: Array[HuffTable],
+      restartInterval: Int): Int = {
+    val in = new BitReader(b, start)
+    val dcPred = new Array[Int](scanComps.length)
+    var eobrun = 0L
+    var rstIdx = 0
+    var sinceRestart = 0
+    // E.2.4 applies to progressive scans unchanged: byte-align, check
+    // the RSTn cycle, reset DC predictors AND the EOB run (G.1.2.2)
+    def restart(): Boolean = {
+      val m = in.consumeMarker()
+      if (m != 0xd0 + rstIdx) return false
+      rstIdx = (rstIdx + 1) & 7
+      java.util.Arrays.fill(dcPred, 0)
+      eobrun = 0
+      sinceRestart = 0
+      true
+    }
+    // --- the four block decoders ---
+    def dcFirst(i: Int, coefArr: Array[Int], idx: Int): Boolean = {
+      val s = dcTab(tabs(i)._1).decode(in)
+      if (s < 0 || s > 11) return false
+      val diffBits = if (s == 0) 0 else { val v = in.readBits(s); if (v < 0) return false; v }
+      dcPred(i) += extend(diffBits, s)
+      // the scan codes the point-transformed value (G.1.2.1); undo the
+      // transform when storing — refinements OR the lower bits back in
+      coefArr(idx) = dcPred(i) << al
+      true
+    }
+    def dcRefine(coefArr: Array[Int], idx: Int): Boolean = {
+      val bit = in.readBit()
+      if (bit < 0) return false
+      if (bit == 1) coefArr(idx) |= 1 << al
+      true
+    }
+    def acFirst(ta: Int, coefArr: Array[Int], idx: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = acTab(ta).decode(in)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of (1<<r)+bits blocks ending here
+            eobrun = (1L << r) - 1
+            if (r > 0) {
+              val eb = in.readBits(r); if (eb < 0) return false
+              eobrun += eb
+            }
+            return true
+          }
+          k += 16 // ZRL
+          if (k > se + 1) return false
+        } else {
+          k += r
+          if (k > se) return false
+          val vb = in.readBits(s); if (vb < 0) return false
+          coefArr(idx + k) = extend(vb, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    // G.1.2.3: refinement appends one correction bit to every NONZERO-
+    // history coefficient it passes; the run length R counts only
+    // zero-history positions; new coefficients are coded with s=1 and
+    // land on the (R+1)-th zero-history position
+    def acRefine(ta: Int, coefArr: Array[Int], idx: Int): Boolean = {
+      val p1 = 1 << al
+      def correct(k: Int): Boolean = {
+        val cur = coefArr(idx + k)
+        val bit = in.readBit()
+        if (bit < 0) return false
+        if (bit == 1 && (cur & p1) == 0)
+          coefArr(idx + k) = if (cur >= 0) cur + p1 else cur - p1
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = acTab(ta).decode(in)
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 0x0f
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = 1L << r
+              if (r > 0) {
+                val eb = in.readBits(r); if (eb < 0) return false
+                eobrun += eb
+              }
+              atEob = true // the rest of the band is EOB-run territory
+            }
+            // r == 15: ZRL — skip 16 zero-history positions, newVal 0
+          } else {
+            if (s != 1) return false // refinement codes magnitude-1 only
+            val bit = in.readBit(); if (bit < 0) return false
+            newVal = if (bit == 1) p1 else -p1
+          }
+          if (!atEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              if (coefArr(idx + k) != 0) {
+                if (!correct(k)) return false
+              } else if (r == 0) {
+                if (newVal != 0) coefArr(idx + k) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed) return false // run/new coefficient past the band
+          }
+        }
+      }
+      if (eobrun > 0) { // correction bits for the rest of the band
+        while (k <= se) {
+          if (coefArr(idx + k) != 0 && !correct(k)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    // --- traversal ---
+    def doUnit(i: Int, bx: Int, by: Int): Boolean = {
+      val ci = scanComps(i)
+      val idx = (by * st.padW(ci) + bx) * 64
+      val coefArr = st.coef(ci)
+      if (ss == 0) {
+        if (ah == 0) dcFirst(i, coefArr, idx) else dcRefine(coefArr, idx)
+      } else {
+        if (ah == 0) acFirst(tabs(i)._2, coefArr, idx)
+        else acRefine(tabs(i)._2, coefArr, idx)
+      }
+    }
+    if (scanComps.length == 1) {
+      // non-interleaved: the component's own block grid, no dummies
+      val ci = scanComps(0)
+      var by = 0
+      while (by < st.bh(ci)) {
+        var bx = 0
+        while (bx < st.bw(ci)) {
+          if (restartInterval > 0 && sinceRestart == restartInterval &&
+              !restart()) return -1
+          if (!doUnit(0, bx, by)) return -1
+          sinceRestart += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved (all components): MCU order, hs×vs blocks each
+      var my = 0
+      while (my < st.mcuH) {
+        var mx = 0
+        while (mx < st.mcuW) {
+          if (restartInterval > 0 && sinceRestart == restartInterval &&
+              !restart()) return -1
+          var i = 0
+          while (i < scanComps.length) {
+            val c = st.comps(scanComps(i))
+            var by = 0
+            while (by < c.vs) {
+              var bx = 0
+              while (bx < c.hs) {
+                if (!doUnit(i, mx * c.hs + bx, my * c.vs + by)) return -1
+                bx += 1
+              }
+              by += 1
+            }
+            i += 1
+          }
+          sinceRestart += 1
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    in.nextMarkerOffset()
+  }
+
+  /** Dequantize, de-zigzag, IDCT and place every REAL block (dummy
+    * MCU-padding blocks dropped), then replication-upsample — the
+    * baseline tail applied to the accumulated progressive store. */
+  private def reconstructProgressive(st: ProgStore,
+                                     quant: Array[Array[Int]]): Option[Decoded] = {
+    val nc = st.comps.length
+    val planes = Array.tabulate(nc)(i => new Array[Int](st.cw(i) * st.ch(i)))
+    val f = new Array[Int](64)
+    var ci = 0
+    while (ci < nc) {
+      val q = quant(st.comps(ci).qid)
+      if (q == null) return None
+      var by = 0
+      while (by < st.bh(ci)) {
+        var bx = 0
+        while (bx < st.bw(ci)) {
+          val idx = (by * st.padW(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { f(Zigzag(k)) = st.coef(ci)(idx + k) * q(k); k += 1 }
+          val px = idct8x8(f)
+          val ox = bx * 8; val oy = by * 8
+          var yy = 0
+          while (yy < 8) {
+            val py = oy + yy
+            if (py < st.ch(ci)) {
+              var xx = 0
+              while (xx < 8) {
+                val pxx = ox + xx
+                if (pxx < st.cw(ci)) {
+                  val v = px(yy * 8 + xx) + 128
+                  planes(ci)(py * st.cw(ci) + pxx) =
+                    if (v < 0) 0 else if (v > 255) 255 else v
+                }
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    val full = Array.tabulate(nc) { i =>
+      if (st.cw(i) == st.w && st.ch(i) == st.h) planes(i)
+      else {
+        val sx = st.hMax / st.comps(i).hs
+        val sy = st.vMax / st.comps(i).vs
+        val out = new Array[Int](st.w * st.h)
+        var y = 0
+        while (y < st.h) {
+          val row = (y / sy) * st.cw(i)
+          var x = 0
+          while (x < st.w) {
+            out(y * st.w + x) = planes(i)(row + x / sx)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+    Some(Decoded(st.w, st.h, full))
+  }
+
   // ---------- encoder (constant-block, integer-exact) ----------
 
   private final class BitWriter {
@@ -481,14 +844,19 @@ object Jpeg {
         i -= 1
       }
     }
-    /** pad the current byte with 1s WITHOUT stuffing — only legal
-      * immediately before a marker (a padded 0xFF there is a fill byte
-      * per B.1.1.2, and stuffing a 0x00 after it would turn it into a
-      * phantom data byte for any decoder that reads on) */
+    /** pad the current byte with 1s before a marker. Stuffing applies
+      * even here (F.1.2.3 covers EVERY 0xFF in entropy-coded data): the
+      * padded byte still carries real data bits, so a decoder reads it
+      * — if it rendered as a bare 0xFF the decoder would see a marker
+      * and lose those bits (a real bug this fixed: specific pixel data
+      * padding to 0xFF right before an RSTn made the file undecodable,
+      * by this decoder and any spec-conforming one) */
     def padToMarker(): Unit = {
       if (n > 0) {
         cur = (cur << (8 - n)) | ((1 << (8 - n)) - 1)
-        out.write(cur); cur = 0; n = 0
+        out.write(cur)
+        if (cur == 0xff) out.write(0x00)
+        cur = 0; n = 0
       }
     }
     /** emit a marker (0xFF m) into the entropy stream — byte-aligned
@@ -556,6 +924,117 @@ object Jpeg {
       bw.write(0, 1) // EOB ('0' in the 1-bit AC table)
     }
     out.write(bw.finish())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a PROGRESSIVE (SOF2) 4:4:4 color or grayscale JPEG with
+    * constant 8×8 tiles, exercising the mode's whole structure over an
+    * integer-exact stream: an interleaved DC first scan at point
+    * transform Al=4 (diffs of dc≫4), four successive DC refinement
+    * scans (Al 3→0, one raw bit per block — Al=4 reaches below the
+    * ×8 FDCT factor, so the refined bits are REAL data, not zeros),
+    * then per-component AC scans (first pass Al=1, refinement Al=0)
+    * that are pure EOB runs (constant tiles have zero ACs). With
+    * `restartInterval` > 0, RSTn resync runs through every scan (DC
+    * predictors and EOB runs reset). Same legal custom tables idea as
+    * [[encodeJpeg]], plus a flat 4-bit AC table holding the fifteen
+    * EOBn codes. Decode through [[decode]] recovers every sample
+    * exactly. */
+  def encodeJpegProgressive(w: Int, h: Int, nc: Int,
+                            blockVal: (Int, Int, Int) => Int,
+                            restartInterval: Int = 0): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0 && (nc == 1 || nc == 3) && restartInterval >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, data: Array[Int]): Unit = {
+      marker(m); out.write((data.length + 2) >> 8); out.write((data.length + 2) & 0xff)
+      data.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    segment(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT id 0, all ones
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    segment(0xc4, Array(0x00) ++ dcBits ++ (0 to 11).toArray)
+    // AC table 0: fifteen 4-bit codes, value r<<4 = the EOBn categories
+    val acBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    segment(0xc4, Array(0x10) ++ acBits ++ (0 to 14).map(_ << 4).toArray)
+    // SOF2: components 1..nc, all 1×1 sampling, qtable 0
+    segment(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
+      (1 to nc).flatMap(c => Seq(c, 0x11, 0)).toArray)
+    if (restartInterval > 0)
+      segment(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      segment(0xda, Array(compIds.length) ++
+        compIds.flatMap(c => Seq(c, 0x00)) ++ Array(ss, se, (ah << 4) | al))
+    val bw = w / 8; val bh = h / 8
+    def dcOf(bx: Int, by: Int, c: Int): Int = {
+      val v = blockVal(bx, by, c)
+      require(v >= 0 && v <= 255)
+      8 * (v - 128)
+    }
+    // every DC scan walks the same interleaved MCU order (all comps 1×1
+    // ⇒ one block per component per MCU); `body` emits one block
+    def dcScan(resetPred: () => Unit)(body: (Int, Int, Int, BitWriter) => Unit): Array[Byte] = {
+      val bwr = new BitWriter
+      var rst = 0; var since = 0
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        if (restartInterval > 0 && since == restartInterval) {
+          bwr.padToMarker(); bwr.writeMarker(0xd0 + rst)
+          rst = (rst + 1) & 7; resetPred(); since = 0
+        }
+        for (c <- 0 until nc) body(bx, by, c, bwr)
+        since += 1
+      }
+      bwr.finish()
+    }
+    // scan 1: DC first at Al=4 — huffman-coded diffs of dc >> 4
+    sos(1 to nc, 0, 0, 0, 4)
+    val pred = new Array[Int](nc)
+    out.write(dcScan(() => java.util.Arrays.fill(pred, 0)) { (bx, by, c, bwr) =>
+      val t = dcOf(bx, by, c) >> 4
+      val diff = t - pred(c); pred(c) = t
+      val s = dcCategory(diff)
+      require(s <= 11)
+      bwr.write(s, 4)
+      if (s > 0) bwr.write(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    })
+    // scans 2–5: DC refinement, the raw bit (dc >> Al) & 1 per block
+    for (al <- 3 to 0 by -1) {
+      sos(1 to nc, 0, 0, al + 1, al)
+      out.write(dcScan(() => ()) { (bx, by, c, bwr) =>
+        bwr.write((dcOf(bx, by, c) >> al) & 1, 1)
+      })
+    }
+    // AC scans per component: pure EOB runs (ACs all zero) — the first
+    // pass at Al=1, then the Ah=1→Al=0 refinement (no correction bits:
+    // the band history is all-zero)
+    def emitEobRuns(bwr: BitWriter, blocks: Int): Unit = {
+      var n = blocks
+      while (n > 0) {
+        var r = 0
+        while (r < 14 && (1 << (r + 1)) <= n) r += 1
+        val len = math.min(n, (1 << (r + 1)) - 1)
+        bwr.write(r, 4) // flat AC table: EOBn category r codes as r
+        if (r > 0) bwr.write(len - (1 << r), r)
+        n -= len
+      }
+    }
+    for (al <- 1 to 0 by -1; c <- 1 to nc) {
+      sos(Seq(c), 1, 63, if (al == 1) 0 else 1, al)
+      val bwr = new BitWriter
+      var remaining = bw * bh
+      var rst = 0
+      val per = if (restartInterval > 0) restartInterval else remaining
+      while (remaining > 0) {
+        val n = math.min(per, remaining)
+        emitEobRuns(bwr, n)
+        remaining -= n
+        if (remaining > 0) {
+          bwr.padToMarker(); bwr.writeMarker(0xd0 + rst); rst = (rst + 1) & 7
+        }
+      }
+      out.write(bwr.finish())
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }

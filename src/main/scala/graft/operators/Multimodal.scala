@@ -1283,6 +1283,30 @@ object Multimodal {
     spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
   }
 
+  /** m16: the [[jpegPixelStats]] aggregate surface over PROGRESSIVE
+    * (SOF2) streams — [[Jpeg.encodeJpegProgressive]] writes nine-scan
+    * files (interleaved DC first at point transform 4, four successive
+    * DC refinements, per-component AC first + refinement as EOB runs,
+    * RSTn resync in every scan) whose constant tiles keep the
+    * multi-scan codec integer-exact; [[Jpeg.decode]] accumulates the
+    * scans' coefficients and reconstructs at EOI. The oracle is the
+    * same 8-grid tile-formula recompute shape as m08 over m16's own
+    * dimension schedule — any spectral-selection, successive-
+    * approximation, EOB-run or scan-sequencing error diverges. */
+  def jpegProgressiveStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 8 * (1 + (id % 4).toInt); val h = 8 * (1 + (id % 3).toInt)
+        val bytes = Jpeg.encodeJpegProgressive(w, h, 3,
+          (bx, by, c) => jpegPixelValue(id, bx, by, c), restartInterval = 2)
+        Jpeg.decode(bytes).map(jpegStatsRow(id, _))
+      }
+    }
+    spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
+  }
+
   // ---------- stored-binary media path (m00 table + m14/m15) ----------
 
   /** The m00 media table's schema: payload as an opaque parquet BINARY

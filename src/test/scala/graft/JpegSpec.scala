@@ -108,7 +108,9 @@ class JpegSpec extends SparkSpec {
   test("out-of-scope and malformed streams are rejected, not misdecoded") {
     val ok = Jpeg.encodeJpeg(8, 8, 1, (_, _, _) => 100)
     assert(Jpeg.decode(ok).isDefined)
-    // progressive frame marker
+    // SOF patched to progressive over a BASELINE scan header: the
+    // sequential (0,63) band is illegal in a progressive scan (DC
+    // scans are the band (0,0)) — rejected, not misdecoded
     val prog = ok.clone()
     val sofAt = ok.indices.find(i => (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
@@ -346,5 +348,118 @@ class JpegSpec extends SparkSpec {
     val Some(d) = Jpeg.decode(real)
     assert(d.width == 48 && d.height == 48)
     assert(d.planes(0)(0) == 10)
+  }
+
+  test("progressive encoder round-trip is integer-exact (gray and 4:4:4, with and without DRI)") {
+    // 9 scans each: DC first at Al=4 (real diffs), DC refine 3..0
+    // (Al=4 reaches below the ×8 FDCT factor, so refined bits carry
+    // data), AC first Al=1 + refine Al=0 per component (EOB runs)
+    def px(bx: Int, by: Int, c: Int) = (7 + bx * 31 + by * 17 + c * 5) % 256
+    for (ri <- Seq(0, 2); (w, h, nc) <- Seq((8, 8, 1), (24, 16, 3), (32, 24, 3))) {
+      val bytes = Jpeg.encodeJpegProgressive(w, h, nc, px, restartInterval = ri)
+      val Some(d) = Jpeg.decode(bytes)
+      assert((d.width, d.height, d.planes.length) == ((w, h, nc)))
+      for (c <- 0 until nc; y <- 0 until h; x <- 0 until w)
+        assert(d.planes(c)(y * w + x) == px(x / 8, y / 8, c),
+          s"ri=$ri ${w}x$h c=$c ($x,$y)")
+    }
+    // the SOF really is SOF2 (a silently-baseline encoder would make
+    // this whole test vacuous)
+    val b = Jpeg.encodeJpegProgressive(8, 8, 1, px)
+    assert(b.indices.exists(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc2))
+    assert(!b.indices.exists(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0))
+  }
+
+  test("progressive 4:2:0: interleaved DC over MCU-padded grids + non-interleaved AC sub-grid") {
+    // hand-built scans over a 16×16 4:2:0 frame (Y 2×2 ⇒ four Y blocks
+    // + Cb + Cr per MCU; one MCU total). DC first Al=0 full precision,
+    // AC bands empty via single EOBs — pins that interleaved DC block
+    // order is Y00 Y10 Y01 Y11 Cb Cr and that chroma upsamples ×2.
+    val dhtAc = seg(0xc4,
+      Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    val sof = seg(0xc2, Seq(8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // Y tiles 130,132,134,136 (raster), Cb 140, Cr 150 → dc = 8(v−128):
+    // Y 16,32,48,64 diffs 16,16,16,16 (cat 5, bits 10000); predictors
+    // are PER SCAN COMPONENT, so Cb dc 96 diffs from 0 (cat 7, bits
+    // 1100000) and Cr dc 176 likewise (cat 8, bits 10110000).
+    // flat DC table: cat s codes as s in 4 bits
+    val dcScan = pack("0101 10000 " * 4 + "0111 1100000 " + "1000 10110000")
+    // AC scans: one per component, each a single EOB ('0') per block —
+    // Y has FOUR blocks in its own 2×2 non-interleaved grid, chroma one
+    val acY = pack("0 0 0 0")
+    val acC = pack("0")
+    val jpeg = bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++
+      seg(0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00)) ++ dcScan ++
+      seg(0xda, Seq(1, 1, 0x00, 1, 63, 0x00)) ++ acY ++
+      seg(0xda, Seq(1, 2, 0x00, 1, 63, 0x00)) ++ acC ++
+      seg(0xda, Seq(1, 3, 0x00, 1, 63, 0x00)) ++ acC ++
+      Seq(0xff, 0xd9))
+    val Some(d) = Jpeg.decode(jpeg)
+    assert((d.width, d.height) == ((16, 16)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expY = Seq(130, 132, 134, 136)((y / 8) * 2 + x / 8)
+      assert(d.planes(0)(y * 16 + x) == expY, s"Y ($x,$y)")
+      assert(d.planes(1)(y * 16 + x) == 140, s"Cb ($x,$y)")
+      assert(d.planes(2)(y * 16 + x) == 150, s"Cr ($x,$y)")
+    }
+  }
+
+  test("hand-packed AC refinement: correction bit on nonzero history + new ±1 coefficient") {
+    // 8×8 gray. Scan 1: DC first Al=0 (dc=16, cat 5 '0101'+'10000').
+    // Scan 2: AC first Ss=1..63 Al=1 — (r=0,s=1) code '01', positive
+    // bit '1' → coef@z1 = +1<<1 = 2; then EOB '00'.
+    // Scan 3: AC refine Ah=1 Al=0 — (r=0,s=1) '01' + sign '1'
+    // (newVal=+1), then ONE correction bit '1' for the nonzero-history
+    // z1 (2 → 3), newVal lands on z2; EOB '00' → eobrun covers the
+    // rest (all zero: no correction bits).
+    // AC table: length-2 codes 00=EOB, 01=(0,1).
+    val dhtAc = seg(0xc4,
+      Seq(0x10) ++ Seq(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00, 0x01))
+    val sof = seg(0xc2, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val jpeg = bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++
+      seg(0xda, Seq(1, 1, 0x00, 0, 0, 0x00)) ++ pack("0101 10000") ++
+      seg(0xda, Seq(1, 1, 0x00, 1, 63, 0x01)) ++ pack("01 1 00") ++
+      seg(0xda, Seq(1, 1, 0x00, 1, 63, 0x10)) ++ pack("01 1 1 00") ++
+      Seq(0xff, 0xd9))
+    val Some(d) = Jpeg.decode(jpeg)
+    // expected: coefficients z0=16, z1=3, z2=1 → raster f(0)=16, f(1)=3
+    // (zigzag 1 → raster 1), f(8)=1 (zigzag 2 → raster 8); pixels via
+    // the decoder's own (separately pinned) IDCT + level shift
+    val f = new Array[Int](64)
+    f(0) = 16; f(1) = 3; f(8) = 1
+    val exp = Jpeg.idct8x8(f).map(v => math.max(0, math.min(255, v + 128)))
+    assert(d.planes(0).toSeq == exp.toSeq)
+  }
+
+  test("malformed progressive streams reject: bad bands, AC-first file, band overrun") {
+    val ok = Jpeg.encodeJpegProgressive(8, 8, 1, (_, _, _) => 100)
+    assert(Jpeg.decode(ok).isDefined)
+    val dhtAc = seg(0xc4,
+      Seq(0x10) ++ Seq(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00, 0x01))
+    val sof2 = seg(0xc2, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    def file(scans: Seq[Int]): Array[Byte] =
+      bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof2 ++ scans ++ Seq(0xff, 0xd9))
+    // DC band with Se > 0 — the (0, >0) band exists only in sequential
+    assert(Jpeg.decode(file(
+      seg(0xda, Seq(1, 1, 0x00, 0, 63, 0x00)) ++ pack("0101 10000"))).isEmpty)
+    // first scan is an AC scan: DC-first (G.1.1.1.1) violated — also
+    // the allocation guard's footing, so it must reject
+    assert(Jpeg.decode(file(
+      seg(0xda, Seq(1, 1, 0x00, 1, 63, 0x00)) ++ pack("00"))).isEmpty)
+    // Ah ≠ Al + 1 in a refinement
+    assert(Jpeg.decode(file(
+      seg(0xda, Seq(1, 1, 0x00, 0, 0, 0x00)) ++ pack("0101 10000") ++
+      seg(0xda, Seq(1, 1, 0x00, 0, 0, 0x31)) ++ pack("0"))).isEmpty)
+    // AC first scan whose coefficient run crosses the band end:
+    // Ss=62..63 band, (r=2,s=1) would land at 65 — needs a code for
+    // rs=0x21: extend the table (length-2: 00=EOB, 01=(2,1))
+    val dhtAc2 = seg(0xc4,
+      Seq(0x10) ++ Seq(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00, 0x21))
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc2 ++ sof2 ++
+      seg(0xda, Seq(1, 1, 0x00, 0, 0, 0x00)) ++ pack("0101 10000") ++
+      seg(0xda, Seq(1, 1, 0x00, 62, 63, 0x00)) ++ pack("01 1") ++
+      Seq(0xff, 0xd9))).isEmpty)
+    // truncated mid-scan: DC refinement promised but no EOI/marker data
+    assert(Jpeg.decode(ok.dropRight(6)).isEmpty)
   }
 }
