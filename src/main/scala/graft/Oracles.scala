@@ -2885,6 +2885,37 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(sum((y*pw + x + 1) * (yv + 2*cb + 3*cr)) % 1000000007 AS BIGINT) AS wsum
         |FROM px GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
 
+    // m17: the widened PNG scope — engine builds ADAM7-interlaced
+    // 4-bit-palette PNGs (seven independently-filtered passes, packed
+    // MSB-first indices, PLTE) and decodes them back; the oracle
+    // recomputes each pixel as palette[(id*43 + y*13 + x*5) % 16] with
+    // palette[j] channel c = (j*19 + c*7 + 3) % 256 — bytes never seen.
+    "m17_png_palette_adam7_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CAST(6 + d.doc_id % 7 AS INTEGER) AS pw,
+        |         CAST(5 + d.doc_id % 6 AS INTEGER) AS ph,
+        |         y.y, x.x,
+        |         ((d.doc_id*43 + y.y*13 + x.x*5) % 16) AS j
+        |  FROM documents d, range(10) y(y), range(12) x(x)
+        |  WHERE y.y < 5 + d.doc_id % 6 AND x.x < 6 + d.doc_id % 7),
+        |ch AS (
+        |  SELECT doc_id, pw, ph, y, x,
+        |         (j*19 + 3) % 256 AS r,
+        |         (j*19 + 10) % 256 AS g,
+        |         (j*19 + 17) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(r) AS INTEGER) AS r_min, CAST(max(r) AS INTEGER) AS r_max,
+        |  CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS r_mean_ppm,
+        |  CAST(min(g) AS INTEGER) AS g_min, CAST(max(g) AS INTEGER) AS g_max,
+        |  CAST(sum(g) * 1000000 // count(*) AS BIGINT) AS g_mean_ppm,
+        |  CAST(min(b) AS INTEGER) AS b_min, CAST(max(b) AS INTEGER) AS b_max,
+        |  CAST(sum(b) * 1000000 // count(*) AS BIGINT) AS b_mean_ppm,
+        |  CAST(sum((y*pw + x + 1) * (r + 2*g + 3*b)) % 1000000007 AS BIGINT) AS wsum
+        |FROM ch GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
+
     // m16: the PROGRESSIVE decoder scope — engine encodes nine-scan
     // SOF2 files (DC first + 4 successive-approximation refinements,
     // per-component AC EOB-run scans, DRI=2 resync throughout) and

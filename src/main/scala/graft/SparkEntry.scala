@@ -305,6 +305,8 @@ object SparkEntry {
     // progressive (SOF2) scope: multi-scan spectral selection +
     // successive approximation, decoded through the same general path
     "m16_jpeg_progressive_stats" -> ((s, d) => Multimodal.jpegProgressiveStats(Tables.documents(s, d))),
+    // widened PNG scope: Adam7 interlacing + 4-bit palette expansion
+    "m17_png_palette_adam7_stats" -> ((s, d) => Multimodal.pngPaletteStats(Tables.documents(s, d))),
     // content-addressable dedup keys over decoded, canonicalized media
     "m13_media_fingerprints"  -> ((s, d) => Multimodal.mediaFingerprints(Tables.documents(s, d))),
     // the STORED-binary path: payloads sunk once to a parquet BINARY

@@ -654,25 +654,41 @@ object Multimodal {
   private[graft] def buildPng(id: Long, w: Int, h: Int): Array[Byte] =
     buildPngFrom(w, h, (x, y, c) => pngPixelValue(id, x, y, c))
 
-  /** [[buildPng]] generalized over the pixel function — lets the
-    * cross-format canonicalization test encode the SAME pixel matrix
-    * as both a PNG and a BMP ([[buildBmpFrom]]). */
-  private[graft] def buildPngFrom(w: Int, h: Int,
-                                  px: (Int, Int, Int) => Int): Array[Byte] = {
-    val bpp = 3
-    val stride = w * bpp
-    val recon = new Array[Int](h * stride)
-    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
-      recon(y * stride + x * bpp + c) = px(x, y, c)
-    val raw = new Array[Byte](h * (1 + stride))
-    for (y <- 0 until h) {
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt).array()
+  }
+
+  private def pngDeflate(raw: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    out.toByteArray
+  }
+
+  /** Filter one (sub)image's unfiltered byte rows — row y carries
+    * filter type y % 5 so every image exercises ALL FIVE §9.2 filters;
+    * `bpp` is the filter distance. Inverse direction (§9: filt =
+    * orig − predictor mod 256). */
+  private def pngFilterRows(rows: Array[Array[Int]], bpp: Int): Array[Byte] = {
+    if (rows.isEmpty) return Array.emptyByteArray
+    val rb = rows(0).length
+    val out = new Array[Byte](rows.length * (1 + rb))
+    for (y <- rows.indices) {
       val ft = y % 5
-      raw(y * (1 + stride)) = ft.toByte
-      for (i <- 0 until stride) {
-        val cur = recon(y * stride + i)
-        val a = if (i >= bpp) recon(y * stride + i - bpp) else 0
-        val b = if (y > 0) recon((y - 1) * stride + i) else 0
-        val cc = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) else 0
+      out(y * (1 + rb)) = ft.toByte
+      for (i <- 0 until rb) {
+        val cur = rows(y)(i)
+        val a = if (i >= bpp) rows(y)(i - bpp) else 0
+        val b = if (y > 0) rows(y - 1)(i) else 0
+        val cc = if (y > 0 && i >= bpp) rows(y - 1)(i - bpp) else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -680,47 +696,149 @@ object Multimodal {
           case 3 => (a + b) / 2
           case _ => paeth(a, b, cc)
         }
-        raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+        out(y * (1 + rb) + 1 + i) = ((cur - pred) & 0xff).toByte
       }
     }
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val t = typ.getBytes("US-ASCII")
-      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
-      bb.putInt(data.length).put(t).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(t); crc.update(data)
-      bb.putInt(crc.getValue.toInt).array()
-    }
+    out
+  }
+
+  private def pngFile(w: Int, h: Int, depth: Int, colorType: Int,
+                      interlace: Int, plte: Option[Array[Int]],
+                      idatRaw: Array[Byte]): Array[Byte] = {
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    sig ++ pngChunk("IHDR", ihdr) ++
+      plte.map(p => pngChunk("PLTE", p.map(_.toByte))).getOrElse(Array.emptyByteArray) ++
+      pngChunk("IDAT", pngDeflate(idatRaw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** [[buildPng]] generalized over the pixel function — lets the
+    * cross-format canonicalization test encode the SAME pixel matrix
+    * as both a PNG and a BMP ([[buildBmpFrom]]). */
+  private[graft] def buildPngFrom(w: Int, h: Int,
+                                  px: (Int, Int, Int) => Int): Array[Byte] = {
+    val rows = Array.tabulate(h, w * 3)((y, i) => px(i / 3, y, i % 3))
+    pngFile(w, h, 8, 2, 0, None, pngFilterRows(rows, 3))
+  }
+
+  /** [[buildPngFrom]] with ADAM7 interlacing (§8.2): the same pixel
+    * matrix serialized as seven independently-filtered sub-images in
+    * pass order — so `decodePng(buildPngAdam7From(...))` must equal
+    * `decodePng(buildPngFrom(...))` exactly, which is the test. */
+  private[graft] def buildPngAdam7From(w: Int, h: Int,
+                                       px: (Int, Int, Int) => Int): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream()
+    for ((xs, ys, dx, dy) <- Adam7) {
+      val pw = math.max(0, (w - xs + dx - 1) / dx)
+      val ph = math.max(0, (h - ys + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val rows = Array.tabulate(ph, pw * 3) { (row, i) =>
+          px(xs + (i / 3) * dx, ys + row * dy, i % 3)
+        }
+        raw.write(pngFilterRows(rows, 3))
+      }
+    }
+    pngFile(w, h, 8, 2, 1, None, raw.toByteArray)
+  }
+
+  /** A COMPLETE palette (color type 3) PNG: PLTE chunk + packed
+    * `depth`-bit indices (MSB-first within each byte, rows padded to a
+    * byte boundary, §7.2), optionally Adam7-interlaced. `palette` is
+    * flat RGB triples; `idxAt(x, y)` must fit `depth` bits. */
+  private[graft] def buildPngPalette(w: Int, h: Int, depth: Int,
+                                     palette: Array[Int],
+                                     idxAt: (Int, Int) => Int,
+                                     interlace: Boolean = false): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8)
+    require(palette.length % 3 == 0 && palette.length <= 768)
+    def packRows(xs: Int, ys: Int, dx: Int, dy: Int, pw: Int, ph: Int): Array[Array[Int]] =
+      Array.tabulate(ph) { row =>
+        val rb = (pw * depth + 7) / 8
+        val bytes = new Array[Int](rb)
+        for (i <- 0 until pw) {
+          val idx = idxAt(xs + i * dx, ys + row * dy)
+          require(idx >= 0 && idx < (1 << depth) && idx * 3 < palette.length)
+          val bitPos = i * depth
+          bytes(bitPos >> 3) |= idx << (8 - depth - (bitPos & 7))
+        }
+        bytes
+      }
+    val raw = new java.io.ByteArrayOutputStream()
+    val passes = if (interlace) Adam7 else Seq((0, 0, 1, 1))
+    for ((xs, ys, dx, dy) <- passes) {
+      val pw = math.max(0, (w - xs + dx - 1) / dx)
+      val ph = math.max(0, (h - ys + dy - 1) / dy)
+      if (pw > 0 && ph > 0)
+        raw.write(pngFilterRows(packRows(xs, ys, dx, dy, pw, ph), 1))
+    }
+    pngFile(w, h, depth, 3, if (interlace) 1 else 0, Some(palette), raw.toByteArray)
+  }
+
+  // Adam7 pass grid (PNG §8.2): (xStart, yStart, xStep, yStep) ×7
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Un-filter `rows` scanlines of `rowBytes` bytes (filter distance
+    * `bpp`) from `raw` at `pos0` — §9.2's five filters over one
+    * (sub)image; Adam7 passes each reconstruct independently. */
+  private def unfilterRows(raw: Array[Byte], pos0: Int, rows: Int,
+                           rowBytes: Int, bpp: Int): Option[Array[Int]] = {
+    val recon = new Array[Int](rows * rowBytes)
+    var pos = pos0
+    var y = 0
+    while (y < rows) {
+      val ft = raw(pos) & 0xff; pos += 1
+      if (ft > 4) return None
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(pos) & 0xff; pos += 1
+        val a = if (i >= bpp) recon(y * rowBytes + i - bpp) else 0
+        val up = if (y > 0) recon((y - 1) * rowBytes + i) else 0
+        val cD = if (y > 0 && i >= bpp) recon((y - 1) * rowBytes + i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case _ => paeth(a, up, cD)
+        }
+        recon(y * rowBytes + i) = (x + pred) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    Some(recon)
   }
 
   /** FULL PNG pixel decode in pure JVM — the real thing, not a header
     * probe: chunk walk with CRC-32 VERIFICATION on every chunk, IDAT
     * concatenation (§5.6 allows splitting), zlib inflate
-    * (java.util.zip.Inflater), and per-scanline filter reconstruction —
-    * all five filter types of §9.2, byte-level with the bpp offset.
-    * Returns (width, height, channels, pixels) with pixels in image
-    * order (top row first), channels = 3 for color type 2 (RGB) or 4
-    * for color type 6 (RGBA — lets the spec pin the decoder against the
-    * canonical published 1×1 transparent PNG). None for anything else:
-    * non-8-bit depth, palette/interlaced images, CRC mismatch, inflated
-    * size mismatch, truncation. */
+    * (java.util.zip.Inflater), per-scanline filter reconstruction (all
+    * five §9.2 filters, byte-level with the bpp offset), ADAM7
+    * de-interlacing (§8.2 — seven independently-filtered sub-images
+    * scattered back by the pass grid), and PALETTE expansion (color
+    * type 3 + PLTE, §11.2.3) at bit depths 1/2/4/8 with MSB-first
+    * sub-byte index unpacking (§7.2). Returns (width, height,
+    * channels, pixels) with pixels in image order (top row first):
+    * channels = 3 for color types 2 (RGB) and 3 (palette, expanded to
+    * RGB), 4 for color type 6 (RGBA — lets the spec pin the decoder
+    * against the canonical published 1×1 transparent PNG). None for
+    * anything else: non-8-bit depth on truecolor, grayscale color
+    * types, out-of-range palette index, missing/oversized PLTE, CRC
+    * mismatch, inflated size mismatch, truncation. (tRNS on palette
+    * images is ignored — the decode family carries no palette-alpha.) */
   private[graft] def decodePng(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
     if (b.length < 8 || (0 until 8).exists(i => (b(i) & 0xff) != sig(i))) return None
     def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0
+    var depth = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     var o = 8
     var sawIhdr = false; var sawIend = false
@@ -737,12 +855,24 @@ object Multimodal {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(o + 8); h = be32(o + 12)
-          val depth = b(o + 16) & 0xff; val colorType = b(o + 17) & 0xff
-          val (comp, filt, interlace) = (b(o + 18) & 0xff, b(o + 19) & 0xff, b(o + 20) & 0xff)
-          if (depth != 8 || comp != 0 || filt != 0 || interlace != 0) return None
-          channels = colorType match { case 2 => 3; case 6 => 4; case _ => return None }
+          depth = b(o + 16) & 0xff; colorType = b(o + 17) & 0xff
+          val (comp, filt) = (b(o + 18) & 0xff, b(o + 19) & 0xff)
+          interlace = b(o + 20) & 0xff
+          if (comp != 0 || filt != 0 || interlace > 1) return None
+          colorType match {
+            case 2 | 6 => if (depth != 8) return None
+            case 3 => // §11.2.2: palette depths 1/2/4/8
+              if (depth != 1 && depth != 2 && depth != 4 && depth != 8) return None
+            case _ => return None
+          }
           if (w <= 0 || h <= 0) return None
           sawIhdr = true
+        case "PLTE" =>
+          if (colorType != 3) () // legal but unused for truecolor; skip
+          else {
+            if (len % 3 != 0 || len == 0 || len > 768 || palette != null) return None
+            palette = Array.tabulate(len)(i => b(o + 8 + i) & 0xff)
+          }
         case "IDAT" => idat.write(b, o + 8, len)
         case "IEND" => sawIend = true
         case _ => () // ancillary chunk: CRC checked above, content skipped
@@ -750,15 +880,30 @@ object Multimodal {
       o += 12 + len
     }
     if (!sawIhdr || !sawIend) return None
+    if (colorType == 3 && palette == null) return None
+    // samples per pixel in the CODED stream (palette codes indices)
+    val sampPerPx = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val bitsPerPx = sampPerPx * depth
+    val bppFilter = math.max(1, bitsPerPx / 8) // §9.2: filter distance, ≥1
+    def rowBytesOf(pw: Int): Int = ((pw.toLong * bitsPerPx + 7) / 8).toInt
+    val passes =
+      if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, dx, dy) = p
+      (math.max(0, (w - xs + dx - 1) / dx), math.max(0, (h - ys + dy - 1) / dy))
+    }
     // size guards BEFORE allocating (decodeBmp's treatment): a crafted
     // IHDR with huge dims would overflow the Int stride/raw-length math
     // (NegativeArraySizeException) or allocate multi-GB buffers. Deflate
     // expands at most ~1032:1, so a raw size past that bound can never
     // inflate fully anyway — reject it without allocating.
-    val strideL = w.toLong * channels
-    val rawLenL = h.toLong * (1 + strideL)
-    if (rawLenL > Int.MaxValue || rawLenL > 1032L * idat.size + 64) return None
-    val stride = strideL.toInt
+    val rawLenL = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + rowBytesOf(pw).toLong)
+    }.sum
+    if (rawLenL == 0 || rawLenL > Int.MaxValue ||
+        rawLenL > 1032L * idat.size + 64) return None
+    if (w.toLong * h * 3 > Int.MaxValue) return None
     val raw = new Array[Byte](rawLenL.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -777,31 +922,47 @@ object Multimodal {
       if (got != raw.length || !inflater.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
-    val recon = new Array[Int](h * stride)
+    val outCh = if (colorType == 6) 4 else 3
+    val out = new Array[Int](w * h * outCh)
     var pos = 0
-    var y = 0
-    while (y < h) {
-      val ft = raw(pos) & 0xff; pos += 1
-      if (ft > 4) return None
-      var i = 0
-      while (i < stride) {
-        val x = raw(pos) & 0xff; pos += 1
-        val a = if (i >= channels) recon(y * stride + i - channels) else 0
-        val up = if (y > 0) recon((y - 1) * stride + i) else 0
-        val cD = if (y > 0 && i >= channels) recon((y - 1) * stride + i - channels) else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => up
-          case 3 => (a + up) / 2
-          case _ => paeth(a, up, cD)
+    for (p <- passes) {
+      val (xs, ys, dx, dy) = p
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = rowBytesOf(pw)
+        val recon = unfilterRows(raw, pos, ph, rowBytes, bppFilter) match {
+          case Some(r) => r
+          case None => return None
         }
-        recon(y * stride + i) = (x + pred) & 0xff
-        i += 1
+        pos += ph * (1 + rowBytes)
+        var row = 0
+        while (row < ph) {
+          val y = ys + row * dy
+          var i = 0
+          while (i < pw) {
+            val x = xs + i * dx
+            val d = (y * w + x) * outCh
+            if (colorType == 3) {
+              // MSB-first packed index (§7.2)
+              val bitPos = i * depth
+              val byteV = recon(row * rowBytes + (bitPos >> 3))
+              val idx = (byteV >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)
+              if (idx * 3 + 2 >= palette.length) return None
+              out(d) = palette(idx * 3)
+              out(d + 1) = palette(idx * 3 + 1)
+              out(d + 2) = palette(idx * 3 + 2)
+            } else {
+              val s = row * rowBytes + i * sampPerPx
+              var c = 0
+              while (c < outCh) { out(d + c) = recon(s + c); c += 1 }
+            }
+            i += 1
+          }
+          row += 1
+        }
       }
-      y += 1
     }
-    Some((w, h, channels, recon))
+    Some((w, h, outCh, out))
   }
 
   /** Media column of REAL PNG files (see [[buildPng]]) — built in
@@ -847,37 +1008,69 @@ object Multimodal {
     * filter-reconstruction or stride error diverges), and the spec pins
     * the decoder against the canonical published 1×1 transparent PNG
     * plus a hand-verified per-filter fixture. */
+  /** Per-channel (stored order) stats row over a 3-channel interleaved
+    * raster — the ONE contract m07 and m17 share, single-sourced so
+    * the two queries' loops cannot drift from their oracles. */
+  private def rgbStatsRow(id: Long, w: Int, h: Int, px: Array[Int]): Row = {
+    val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
+    val sums = new Array[Long](3)
+    var wsum = 0L
+    var p = 0
+    while (p < w * h) {
+      val y = p / w; val x = p % w
+      var c = 0
+      while (c < 3) {
+        val v = px(p * 3 + c)
+        if (v < mins(c)) mins(c) = v
+        if (v > maxs(c)) maxs(c) = v
+        sums(c) += v
+        c += 1
+      }
+      wsum = (wsum + (y.toLong * w + x + 1) *
+        (px(p * 3) + 2L * px(p * 3 + 1) + 3L * px(p * 3 + 2))) % 1000000007L
+      p += 1
+    }
+    val n = w.toLong * h
+    Row(id, w, h, n,
+      mins(0), maxs(0), sums(0) * 1000000L / n,
+      mins(1), maxs(1), sums(1) * 1000000L / n,
+      mins(2), maxs(2), sums(2) * 1000000L / n,
+      wsum)
+  }
+
   def pngPixelStats(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val rdd = attachPngMedia(docs).rdd.mapPartitions { rows =>
       rows.flatMap { row =>
         val id = row.getLong(0)
         decodePng(row.getAs[Array[Byte]](1)).collect {
-          case (w, h, 3, px) =>
-            val mins = Array(256, 256, 256); val maxs = Array(-1, -1, -1)
-            val sums = new Array[Long](3)
-            var wsum = 0L
-            var p = 0
-            while (p < w * h) {
-              val y = p / w; val x = p % w
-              var c = 0
-              while (c < 3) {
-                val v = px(p * 3 + c)
-                if (v < mins(c)) mins(c) = v
-                if (v > maxs(c)) maxs(c) = v
-                sums(c) += v
-                c += 1
-              }
-              wsum = (wsum + (y.toLong * w + x + 1) *
-                (px(p * 3) + 2L * px(p * 3 + 1) + 3L * px(p * 3 + 2))) % 1000000007L
-              p += 1
-            }
-            val n = w.toLong * h
-            Row(id, w, h, n,
-              mins(0), maxs(0), sums(0) * 1000000L / n,
-              mins(1), maxs(1), sums(1) * 1000000L / n,
-              mins(2), maxs(2), sums(2) * 1000000L / n,
-              wsum)
+          case (w, h, 3, px) => rgbStatsRow(id, w, h, px)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, pngStatsSchema).orderBy("doc_id")
+  }
+
+  /** m17: the m07 aggregate surface over the WIDENED PNG scope —
+    * ADAM7-interlaced PALETTE images at bit depth 4 ([[buildPngPalette]]
+    * → [[decodePng]]: seven independently-filtered passes, MSB-first
+    * sub-byte index unpacking, PLTE expansion to RGB). Dims 6–12 ×
+    * 5–10 sweep images smaller than one 8×8 Adam7 macro-tile, so
+    * several passes are empty or single-pixel — the layout edge cases.
+    * The oracle recomputes every pixel as palette[idx formula] without
+    * seeing bytes: a pass-grid, packing-order or palette-expansion
+    * error diverges. */
+  def pngPaletteStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        val w = 6 + (id % 7).toInt; val h = 5 + (id % 6).toInt
+        val palette = Array.tabulate(48)(i => ((i / 3) * 19 + (i % 3) * 7 + 3) % 256)
+        val bytes = buildPngPalette(w, h, 4, palette,
+          (x, y) => ((id * 43 + y * 13 + x * 5) % 16).toInt, interlace = true)
+        decodePng(bytes).collect {
+          case (ww, hh, 3, px) => rgbStatsRow(id, ww, hh, px)
         }
       }
     }

@@ -559,6 +559,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(media(5L)).contains((10, 3, 24)))
   }
 
+  test("Adam7: the interlaced encoding of a pixel matrix decodes identically to the linear one") {
+    def px(x: Int, y: Int, c: Int) = (x * 29 + y * 23 + c * 11 + 1) % 256
+    // dims crossing the 8×8 Adam7 macro-tile boundary both ways, plus
+    // tiny images where most passes are empty or single-pixel
+    for ((w, h) <- Seq((1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (17, 13))) {
+      val linear = Multimodal.decodePng(Multimodal.buildPngFrom(w, h, px))
+      val interlaced = Multimodal.decodePng(Multimodal.buildPngAdam7From(w, h, px))
+      assert(linear.isDefined && interlaced.isDefined, s"${w}x$h")
+      assert(linear.get._4.toSeq == interlaced.get._4.toSeq, s"${w}x$h")
+      assert(linear.get._4(0) == 1) // and both really carry the formula
+    }
+  }
+
+  test("palette PNG: PLTE expansion at depths 1/2/4/8, sub-byte MSB-first packing, rejects") {
+    // depth 4, 16-entry palette — indices sweep all entries
+    val pal = Array.tabulate(48)(i => ((i / 3) * 19 + (i % 3) * 7 + 3) % 256)
+    def idx(x: Int, y: Int) = (y * 13 + x * 5) % 16
+    for (interlace <- Seq(false, true)) {
+      val Some((w, h, ch, px)) = Multimodal.decodePng(
+        Multimodal.buildPngPalette(11, 7, 4, pal, idx, interlace))
+      assert((w, h, ch) == ((11, 7, 3)))
+      for (y <- 0 until 7; x <- 0 until 11; c <- 0 until 3)
+        assert(px((y * 11 + x) * 3 + c) == pal(idx(x, y) * 3 + c),
+          s"interlace=$interlace ($x,$y,$c)")
+    }
+    // depth 1: two-entry palette, 13 px wide (rows pad to byte bounds)
+    val pal2 = Array(10, 20, 30, 200, 210, 220)
+    val Some((_, _, _, px1)) = Multimodal.decodePng(
+      Multimodal.buildPngPalette(13, 4, 1, pal2, (x, y) => (x + y) % 2))
+    for (y <- 0 until 4; x <- 0 until 13)
+      assert(px1((y * 13 + x) * 3) == (if ((x + y) % 2 == 0) 10 else 200))
+    // depth 2 and 8
+    val pal4 = Array.tabulate(12)(i => i * 17 % 256)
+    val Some((_, _, _, px2)) = Multimodal.decodePng(
+      Multimodal.buildPngPalette(5, 3, 2, pal4, (x, y) => (x * 3 + y) % 4))
+    assert(px2.toSeq == (for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      yield pal4(((x * 3 + y) % 4) * 3 + c)))
+    val Some((_, _, _, px8)) = Multimodal.decodePng(
+      Multimodal.buildPngPalette(3, 2, 8, pal, (x, y) => (x + y * 3) % 16))
+    assert(px8((1 * 3 + 2) * 3 + 1) == pal(((2 + 3) % 16) * 3 + 1))
+    // rejects, hand-assembled so exactly ONE thing is wrong per case
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val o = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](256)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def ihdr(colorType: Int) = chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(1).putInt(1).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    // a valid 1×1 depth-8 palette image: index 1 of a 2-entry PLTE
+    val plte2 = chunk("PLTE", Array[Byte](1, 2, 3, 40, 50, 60))
+    val idat1 = chunk("IDAT", deflate(Array[Byte](0, 1))) // filter 0, idx 1
+    val iend = chunk("IEND", Array.emptyByteArray)
+    val good = sig ++ ihdr(3) ++ plte2 ++ idat1 ++ iend
+    assert(Multimodal.decodePng(good).map(_._4.toSeq).contains(Seq(40, 50, 60)))
+    // index 5 over the same 2-entry PLTE: out of range → reject, no AIOOBE
+    val over = sig ++ ihdr(3) ++ plte2 ++
+      chunk("IDAT", deflate(Array[Byte](0, 5))) ++ iend
+    assert(Multimodal.decodePng(over).isEmpty)
+    // color type 3 with NO PLTE at all → reject
+    assert(Multimodal.decodePng(sig ++ ihdr(3) ++ idat1 ++ iend).isEmpty)
+    // PLTE length not a multiple of 3 → reject
+    val badPlte = chunk("PLTE", Array[Byte](1, 2, 3, 4))
+    assert(Multimodal.decodePng(sig ++ ihdr(3) ++ badPlte ++ idat1 ++ iend).isEmpty)
+  }
+
   test("stored-binary path: sink → scan → decode equals the in-body m02/m13 results") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_store").toString
     Multimodal.sinkMedia(manyDocs, s"$dir/m00")

@@ -23,6 +23,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
     return out
 
+def run_oracle(con, name, sql):
+    """Execute one oracle. p25's one-shot form (the recursive
+    connected-components closure COMPOSED with the LM-scoring CTEs)
+    exceeds DuckDB's temp spill at sf1 (>37 GB before ENOSPC at 50k
+    docs — CORRECTNESS_SF1.md), while each half alone fits (p09/p16
+    pass). Stage it: materialize the curation survivors into a temp
+    table, then run the LM half against it. Same rows, bounded spill."""
+    if name == "p25_curated_chunks_lm" and "ptoks AS (" in sql:
+        i = sql.find("ptoks AS (")
+        prefix = sql[:i].rstrip().rstrip(",")
+        con.sql("DROP TABLE IF EXISTS _p25_surv")
+        con.sql("CREATE TEMP TABLE _p25_surv AS " + prefix + " SELECT doc_id FROM surv")
+        return con.sql("WITH surv AS (SELECT doc_id FROM _p25_surv),\n" + sql[i:]).df()
+    return con.sql(sql).df()
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -41,7 +56,7 @@ def main(sf_dir, out_dir):
             print(f"  ~ {name}: no oracle, rows={len(got)}" + (" !! EMPTY" if len(got) == 0 else ""))
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            exp = run_oracle(con, name, oracle[name])
         except Exception as e:
             n_fail += 1
             print(f"  ✗ {name}: ORACLE SQL ERROR: {str(e)[:200]}")
