@@ -256,9 +256,15 @@ object Jpeg {
             var p = seg
             while (p < o + 2 + len) {
               val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
-              if (pq != 0 || tq > 3 || p + 65 > o + 2 + len) return None
-              quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
-              p += 65
+              // pq = 1 is the 16-bit-entry form (B.2.4.1, big-endian) —
+              // legal with 8-bit samples and emitted by some encoders
+              // at very low quantization
+              val eb = if (pq == 1) 2 else 1
+              if (pq > 1 || tq > 3 || p + 1 + 64 * eb > o + 2 + len) return None
+              quant(tq) =
+                if (pq == 0) Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+                else Array.tabulate(64)(k => be16(b, p + 1 + 2 * k))
+              p += 1 + 64 * eb
             }
           case 0xc4 => // DHT: one or more tables
             var p = seg

@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * end-to-end against formulas the DuckDB side recomputes independently:
   *   - pixel decodes: uncompressed 24-bpp BMP ([[decodeBmp]] — stride,
   *     padding, bottom-up, BGR) and full PNG ([[decodePng]] — zlib
-  *     inflate, CRC verification, all five scanline filters) (m06/m07);
-  *   - entropy decode: baseline JPEG ([[Jpeg.decode]] — huffman scan
-  *     decode, dequantize, IDCT; 8-bit SOF0, sampling factors {1,2}
-  *     incl. 4:2:0, restart intervals) (m08 4:4:4, m12 4:2:0+DRI);
-  *   - audio decode: RIFF/WAVE PCM16 ([[Wav.decodeWav]] — chunk
-  *     walk, de-interleave, sign extension, m09);
+  *     inflate, CRC verification, all five scanline filters, Adam7
+  *     interlacing, palette + grayscale color types at sub-byte
+  *     depths) (m06/m07/m17);
+  *   - entropy decode: baseline AND progressive JPEG ([[Jpeg.decode]]
+  *     — huffman scan decode, dequantize (8/16-bit DQT), IDCT; 8-bit
+  *     SOF0/SOF2, sampling factors {1,2} incl. 4:2:0, restart
+  *     intervals, multi-scan spectral selection + successive
+  *     approximation) (m08 4:4:4, m12 4:2:0+DRI, m16 progressive);
+  *   - audio decode: RIFF/WAVE PCM 8/16/24-bit ([[Wav.decodeWav]] —
+  *     chunk walk, de-interleave, sign extension, m09);
   *   - video container walk + frame decode: uncompressed AVI
   *     ([[Avi]] — RIFF hdrl/movi walk, frame extraction by offset
   *     seek, DIB pixel decode, m10);
@@ -26,8 +30,9 @@ import org.apache.spark.sql.types._
   *     feature extraction ([[extractFeatures]], m02) and per-modality
   *     resize/resample ([[resizeMedia]], m04) decode real BMP/PNG/JPEG/
   *     WAV/AVI files end-to-end. Out of scope (decoders return None):
-  *     progressive/arithmetic JPEG, compressed video/audio codecs —
-  *     real codec libraries slot into the same mapPartitions bodies.
+  *     arithmetic/hierarchical JPEG, 12-bit samples, 16-bit PNG,
+  *     float PCM, compressed video/audio codecs — real codec
+  *     libraries slot into the same mapPartitions bodies.
   *     m01/m03 are the intentionally payload-FREE stages: m01's whole
   *     point is answering from typed metadata with the binary column
   *     pruned out of the scan (its synthetic byte_len/dims metadata is
@@ -744,6 +749,47 @@ object Multimodal {
     pngFile(w, h, 8, 2, 1, None, raw.toByteArray)
   }
 
+  /** A grayscale (color type 0) PNG at `depth` ∈ {1,2,4,8}: samples
+    * packed MSB-first below 8 bits (§7.2), optionally Adam7-interlaced.
+    * `sampleAt(x, y)` must fit `depth` bits. */
+  private[graft] def buildPngGray(w: Int, h: Int, depth: Int,
+                                  sampleAt: (Int, Int) => Int,
+                                  interlace: Boolean = false): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8)
+    val raw = new java.io.ByteArrayOutputStream()
+    val passes = if (interlace) Adam7 else Seq((0, 0, 1, 1))
+    for ((xs, ys, dx, dy) <- passes) {
+      val pw = math.max(0, (w - xs + dx - 1) / dx)
+      val ph = math.max(0, (h - ys + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val rows = Array.tabulate(ph) { row =>
+          val rb = (pw * depth + 7) / 8
+          val bytes = new Array[Int](rb)
+          for (i <- 0 until pw) {
+            val v = sampleAt(xs + i * dx, ys + row * dy)
+            require(v >= 0 && v < (1 << depth))
+            val bitPos = i * depth
+            bytes(bitPos >> 3) |= v << (8 - depth - (bitPos & 7))
+          }
+          bytes
+        }
+        raw.write(pngFilterRows(rows, 1))
+      }
+    }
+    pngFile(w, h, depth, 0, if (interlace) 1 else 0, None, raw.toByteArray)
+  }
+
+  /** An 8-bit gray+alpha (color type 4) PNG; `ga(x, y)` returns the
+    * (gray, alpha) byte pair. */
+  private[graft] def buildPngGrayAlpha(w: Int, h: Int,
+                                       ga: (Int, Int) => (Int, Int)): Array[Byte] = {
+    val rows = Array.tabulate(h, w * 2) { (y, i) =>
+      val (g, a) = ga(i / 2, y)
+      if (i % 2 == 0) g else a
+    }
+    pngFile(w, h, 8, 4, 0, None, pngFilterRows(rows, 2))
+  }
+
   /** A COMPLETE palette (color type 3) PNG: PLTE chunk + packed
     * `depth`-bit indices (MSB-first within each byte, rows padded to a
     * byte boundary, §7.2), optionally Adam7-interlaced. `palette` is
@@ -822,15 +868,17 @@ object Multimodal {
     * de-interlacing (§8.2 — seven independently-filtered sub-images
     * scattered back by the pass grid), and PALETTE expansion (color
     * type 3 + PLTE, §11.2.3) at bit depths 1/2/4/8 with MSB-first
-    * sub-byte index unpacking (§7.2). Returns (width, height,
-    * channels, pixels) with pixels in image order (top row first):
-    * channels = 3 for color types 2 (RGB) and 3 (palette, expanded to
-    * RGB), 4 for color type 6 (RGBA — lets the spec pin the decoder
-    * against the canonical published 1×1 transparent PNG). None for
-    * anything else: non-8-bit depth on truecolor, grayscale color
-    * types, out-of-range palette index, missing/oversized PLTE, CRC
-    * mismatch, inflated size mismatch, truncation. (tRNS on palette
-    * images is ignored — the decode family carries no palette-alpha.) */
+    * sub-byte index unpacking (§7.2), and GRAYSCALE color types 0
+    * (depths 1/2/4/8, samples returned RAW at the coded depth) and 4
+    * (8-bit gray+alpha). Returns (width, height, channels, pixels)
+    * with pixels in image order (top row first): channels = 1 (gray),
+    * 2 (gray+alpha), 3 for color types 2 (RGB) and 3 (palette,
+    * expanded to RGB), 4 for color type 6 (RGBA — lets the spec pin
+    * the decoder against the canonical published 1×1 transparent PNG).
+    * None for anything else: non-8-bit truecolor/gray-alpha depth,
+    * 16-bit samples, out-of-range palette index, missing/oversized
+    * PLTE, CRC mismatch, inflated size mismatch, truncation. (tRNS is
+    * ignored — the decode family carries no palette/keyed alpha.) */
   private[graft] def decodePng(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
     if (b.length < 8 || (0 until 8).exists(i => (b(i) & 0xff) != sig(i))) return None
@@ -860,8 +908,8 @@ object Multimodal {
           interlace = b(o + 20) & 0xff
           if (comp != 0 || filt != 0 || interlace > 1) return None
           colorType match {
-            case 2 | 6 => if (depth != 8) return None
-            case 3 => // §11.2.2: palette depths 1/2/4/8
+            case 2 | 6 | 4 => if (depth != 8) return None
+            case 0 | 3 => // §11.2.2: gray/palette sub-byte depths
               if (depth != 1 && depth != 2 && depth != 4 && depth != 8) return None
             case _ => return None
           }
@@ -882,7 +930,9 @@ object Multimodal {
     if (!sawIhdr || !sawIend) return None
     if (colorType == 3 && palette == null) return None
     // samples per pixel in the CODED stream (palette codes indices)
-    val sampPerPx = colorType match { case 2 => 3; case 6 => 4; case _ => 1 }
+    val sampPerPx = colorType match {
+      case 2 => 3; case 6 => 4; case 4 => 2; case _ => 1
+    }
     val bitsPerPx = sampPerPx * depth
     val bppFilter = math.max(1, bitsPerPx / 8) // §9.2: filter distance, ≥1
     def rowBytesOf(pw: Int): Int = ((pw.toLong * bitsPerPx + 7) / 8).toInt
@@ -922,7 +972,9 @@ object Multimodal {
       if (got != raw.length || !inflater.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
-    val outCh = if (colorType == 6) 4 else 3
+    val outCh = colorType match {
+      case 6 => 4; case 4 => 2; case 0 => 1; case _ => 3
+    }
     val out = new Array[Int](w * h * outCh)
     var pos = 0
     for (p <- passes) {
@@ -942,15 +994,20 @@ object Multimodal {
           while (i < pw) {
             val x = xs + i * dx
             val d = (y * w + x) * outCh
-            if (colorType == 3) {
-              // MSB-first packed index (§7.2)
+            if (colorType == 3 || (colorType == 0 && depth < 8)) {
+              // MSB-first packed sample (§7.2): a palette index, or a
+              // sub-byte grayscale sample (returned RAW, 0..2^depth−1 —
+              // display rescaling is a consumer choice)
               val bitPos = i * depth
               val byteV = recon(row * rowBytes + (bitPos >> 3))
-              val idx = (byteV >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)
-              if (idx * 3 + 2 >= palette.length) return None
-              out(d) = palette(idx * 3)
-              out(d + 1) = palette(idx * 3 + 1)
-              out(d + 2) = palette(idx * 3 + 2)
+              val v = (byteV >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)
+              if (colorType == 0) out(d) = v
+              else {
+                if (v * 3 + 2 >= palette.length) return None
+                out(d) = palette(v * 3)
+                out(d + 1) = palette(v * 3 + 1)
+                out(d + 2) = palette(v * 3 + 2)
+              }
             } else {
               val s = row * rowBytes + i * sampPerPx
               var c = 0

@@ -1,21 +1,25 @@
 package graft.operators
 
-/** RIFF/WAVE PCM16 codec in pure JVM — the AUDIO member of the
+/** RIFF/WAVE PCM codec in pure JVM — the AUDIO member of the
   * real-decode family (BMP m06, PNG m07, JPEG m08): [[encodeWav]]
   * writes complete spec-valid WAV files (RIFF header, `fmt ` chunk,
-  * interleaved little-endian PCM16 `data` chunk), [[decodeWav]] walks
+  * interleaved little-endian PCM `data` chunk), [[decodeWav]] walks
   * the chunk list back (skipping ancillary chunks by their declared
   * size, word-aligned per the RIFF spec), validates the format, and
-  * de-interleaves the samples per channel. Scope: PCM (format 1),
-  * 16-bit, 1–2 channels; anything else — compressed formats, other bit
-  * depths, truncated or lying chunk sizes — returns None, never throws
-  * (the mapPartitions decode-stage contract shared by the image
-  * decoders). */
+  * de-interleaves the samples per channel. Scope: PCM (format 1) at
+  * the three integer widths real WAV files carry — 8-bit (UNSIGNED on
+  * disk per the format's convention, returned centered: v−128),
+  * 16-bit and 24-bit (both signed little-endian) — 1–2 channels;
+  * anything else — compressed formats, float/32-bit, truncated or
+  * lying chunk sizes — returns None, never throws (the mapPartitions
+  * decode-stage contract shared by the image decoders). */
 object Wav {
 
   /** (channels, sampleRate, samples) — samples(ch)(i), de-interleaved,
-    * each value a signed 16-bit amplitude. */
-  final case class Pcm(channels: Int, sampleRate: Int, samples: Array[Array[Int]])
+    * each value a SIGNED amplitude at the file's bit width (8-bit files
+    * are centered from their on-disk unsigned form). */
+  final case class Pcm(channels: Int, sampleRate: Int,
+                       samples: Array[Array[Int]], bits: Int = 16)
 
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
@@ -45,8 +49,10 @@ object Wav {
       }
       o += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
-    if (channels < 1 || channels > 2 || bits != 16 || rate <= 0 ||
-        dataOff < 0 || blockAlign != channels * 2) return None
+    if (channels < 1 || channels > 2 || rate <= 0 || dataOff < 0 ||
+        (bits != 8 && bits != 16 && bits != 24)) return None
+    val bytesPer = bits / 8
+    if (blockAlign != channels * bytesPer) return None
     if (dataLen % blockAlign != 0) return None
     val n = dataLen / blockAlign
     val out = Array.fill(channels)(new Array[Int](n))
@@ -54,36 +60,52 @@ object Wav {
     while (i < n) {
       var c = 0
       while (c < channels) {
-        val v = le16(b, dataOff + i * blockAlign + c * 2)
-        out(c)(i) = (v << 16) >> 16 // sign-extend the 16-bit sample
+        val p = dataOff + i * blockAlign + c * bytesPer
+        out(c)(i) = bits match {
+          case 8 => (b(p) & 0xff) - 128 // stored unsigned, center it
+          case 16 => (le16(b, p) << 16) >> 16 // sign-extend
+          case _ => // 24-bit LE signed
+            val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16)
+            (v << 8) >> 8
+        }
         c += 1
       }
       i += 1
     }
-    Some(Pcm(channels, rate, out))
+    Some(Pcm(channels, rate, out, bits))
   }
 
-  /** Complete PCM16 WAV: `sample(i, ch)` must return a signed 16-bit
-    * value for frame i of channel ch. */
+  /** Complete PCM WAV at `bits` ∈ {8, 16, 24}: `sample(i, ch)` must
+    * return a SIGNED value fitting the width for frame i of channel ch
+    * (8-bit files store it offset by +128 per the format). */
   def encodeWav(nFrames: Int, channels: Int, sampleRate: Int,
-                sample: (Int, Int) => Int): Array[Byte] = {
+                sample: (Int, Int) => Int, bits: Int = 16): Array[Byte] = {
     require(channels == 1 || channels == 2)
-    val dataLen = nFrames * channels * 2
+    require(bits == 8 || bits == 16 || bits == 24)
+    val bytesPer = bits / 8
+    val dataLen = nFrames * channels * bytesPer
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(channels.toShort).putInt(sampleRate)
-      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .putInt(sampleRate * channels * bytesPer)
+      .putShort((channels * bytesPer).toShort).putShort(bits.toShort)
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val lo = -(1 << (bits - 1)); val hi = (1 << (bits - 1)) - 1
     var i = 0
     while (i < nFrames) {
       var c = 0
       while (c < channels) {
         val v = sample(i, c)
-        require(v >= -32768 && v <= 32767)
-        bb.putShort(v.toShort)
+        require(v >= lo && v <= hi)
+        bits match {
+          case 8 => bb.put((v + 128).toByte)
+          case 16 => bb.putShort(v.toShort)
+          case _ =>
+            bb.put(v.toByte).put((v >> 8).toByte).put((v >> 16).toByte)
+        }
         c += 1
       }
       i += 1

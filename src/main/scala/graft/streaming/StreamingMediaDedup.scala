@@ -96,10 +96,22 @@ object StreamingMediaDedup {
       }.sum
     }.toOption
 
+  /** The two corpus shapes the gate ingests, as fingerprint plans:
+    * [[Multimodal.mediaFingerprints]] for (doc_id, …) relations whose
+    * payloads the engine synthesizes in-body (the test/bench shape),
+    * [[Multimodal.fingerprintsFromBinary]] for relations carrying the
+    * m00 stored-media schema (doc_id, kind, format, media BINARY) —
+    * the production shape, where each micro-batch's bytes arrive in a
+    * binary column and are decoded map-only. Both are
+    * (kind, fingerprint)-keyed, so the index and verdict semantics are
+    * identical; StreamingSpec pins the two paths verdict-equal. */
+  type FingerprintFn = DataFrame => DataFrame
+
   /** Seed the fingerprint index from the initial corpus (batch_id=-1). */
-  def seed(docs: DataFrame, indexDir: String): Unit = {
+  def seed(docs: DataFrame, indexDir: String,
+           fingerprints: FingerprintFn = Multimodal.mediaFingerprints): Unit = {
     val spark = docs.sparkSession
-    Multimodal.mediaFingerprints(docs)
+    fingerprints(docs)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
     // count the WRITTEN shard (parquet metadata count), not the decode
     // plan — the one-time seed cost, O(seed corpus footers)
@@ -113,7 +125,9 @@ object StreamingMediaDedup {
     * without going through the sink. */
   private[graft] def verdictBatch(batch: DataFrame, batchId: Long,
                                   indexDir: String,
-                                  broadcastMaxRows: Long): DataFrame = {
+                                  broadcastMaxRows: Long,
+                                  fingerprints: FingerprintFn =
+                                    Multimodal.mediaFingerprints): DataFrame = {
     val spark = batch.sparkSession
     spark.catalog.refreshByPath(indexDir)
     val stored = spark.read.parquet(indexDir)
@@ -127,7 +141,7 @@ object StreamingMediaDedup {
       .getOrElse(stored.count())
     val probe =
       if (storedRows <= broadcastMaxRows) broadcast(stored) else stored
-    val fps = Multimodal.mediaFingerprints(batch)
+    val fps = fingerprints(batch)
     // batch-local keep-first: min doc_id per (kind, fingerprint)
     val w = Window.partitionBy("kind", "fingerprint")
     fps
@@ -143,9 +157,11 @@ object StreamingMediaDedup {
     * (doc_id, kind, format, fingerprint, is_dup). */
   def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
                   outDir: String,
-                  broadcastMaxRows: Long = DefaultBroadcastMaxRows): Unit = {
+                  broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+                  fingerprints: FingerprintFn = Multimodal.mediaFingerprints): Unit = {
     val spark = batch.sparkSession
-    val verdicts = verdictBatch(batch, batchId, indexDir, broadcastMaxRows)
+    val verdicts = verdictBatch(batch, batchId, indexDir, broadcastMaxRows,
+      fingerprints)
     verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     spark.catalog.refreshByPath(outDir)
     spark.read.parquet(s"$outDir/batch_id=$batchId")
@@ -163,10 +179,12 @@ object StreamingMediaDedup {
   def start(docs: DataFrame, indexDir: String, outDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            broadcastMaxRows: Long = DefaultBroadcastMaxRows): StreamingQuery =
+            broadcastMaxRows: Long = DefaultBroadcastMaxRows,
+            fingerprints: FingerprintFn = Multimodal.mediaFingerprints): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, indexDir, outDir, broadcastMaxRows)
+        ingestBatch(batch, batchId, indexDir, outDir, broadcastMaxRows,
+          fingerprints)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

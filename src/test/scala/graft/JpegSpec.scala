@@ -307,6 +307,31 @@ class JpegSpec extends SparkSpec {
     assert(d.width == 8 && d.height == 8)
   }
 
+  test("16-bit DQT (pq=1): big-endian entries parse and dequantize; pq>1 rejects") {
+    val dhtAc = seg(0xc4,
+      Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
+    val sof = seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val sos = seg(0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    // same hand-packed scan as the DC-only fixture (dc raw value 16);
+    // DQT entries are 16-BIT with DC quant = 256 (bytes 01 00 — a
+    // byte-width or endianness mistake reads 1 or misaligns the table):
+    // coefficient 16·256 = 4096 → idct 512 → +128 clamps to 255
+    val dqt16 = seg(0xdb, Seq(0x10) ++ Seq(1, 0) ++
+      (1 until 64).flatMap(_ => Seq(0, 1)))
+    val jpeg = bytes(Seq(0xff, 0xd8) ++ dqt16 ++ dhtDc ++ dhtAc ++ sof ++ sos ++
+      Seq(0x58, 0x3f, 0xff, 0xd9))
+    val Some(d) = Jpeg.decode(jpeg)
+    assert(d.planes(0).forall(_ == 255), s"got ${d.planes(0).take(4).toSeq}")
+    // precision nibble past 1 is out of spec — reject
+    val dqtBad = seg(0xdb, Seq(0x20) ++ Seq.fill(64)(1))
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqtBad ++ dhtDc ++ dhtAc ++
+      sof ++ sos ++ Seq(0x58, 0x3f, 0xff, 0xd9))).isEmpty)
+    // a 16-bit table truncated by its own segment length — reject
+    val dqtShort = seg(0xdb, Seq(0x10) ++ Seq.fill(100)(1))
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqtShort ++ dhtDc ++ dhtAc ++
+      sof ++ sos ++ Seq(0x58, 0x3f, 0xff, 0xd9))).isEmpty)
+  }
+
   test("crafted-dims guard: a SOF claiming huge dimensions rejects before allocating") {
     val ok = Jpeg.encodeJpeg(8, 8, 1, (_, _, _) => 100)
     assert(Jpeg.decode(ok).isDefined) // the unpatched stream decodes

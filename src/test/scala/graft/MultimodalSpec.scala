@@ -374,6 +374,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.decodeWav("not remotely a wave file......................................".getBytes).isEmpty)
   }
 
+  test("WAV 8-bit and 24-bit PCM: round-trips, byte conventions, rejects") {
+    import graft.operators.Wav
+    // 8-bit: stored UNSIGNED (offset +128), returned centered
+    def s8(i: Int, c: Int) = ((i * 37 + c * 11) % 256) - 128
+    val b8 = Wav.encodeWav(20, 2, 8000, s8, bits = 8)
+    // on-disk byte of frame 0 ch 0 must be s8+128 (the unsigned form)
+    assert((b8(44) & 0xff) == s8(0, 0) + 128)
+    val Some(p8) = Wav.decodeWav(b8)
+    assert(p8.bits == 8 && p8.channels == 2)
+    for (c <- 0 until 2; i <- 0 until 20) assert(p8.samples(c)(i) == s8(i, c))
+    // 24-bit: little-endian signed, sign extension from bit 23
+    def s24(i: Int, c: Int) = (i * 1000003 + c * 777) % (1 << 23) *
+      (if (i % 2 == 0) 1 else -1)
+    val b24 = Wav.encodeWav(15, 1, 48000, s24, bits = 24)
+    val Some(p24) = Wav.decodeWav(b24)
+    assert(p24.bits == 24 && p24.sampleRate == 48000)
+    for (i <- 0 until 15) assert(p24.samples(0)(i) == s24(i, 0), s"i=$i")
+    // a hand-patched negative extreme: bytes 00 00 80 = -(1<<23)
+    val one = Wav.encodeWav(1, 1, 8000, (_, _) => 0, bits = 24)
+    one(44) = 0; one(45) = 0; one(46) = 0x80.toByte
+    assert(Wav.decodeWav(one).get.samples(0)(0) == -(1 << 23))
+    // unsupported widths reject: patch bits=12 into the fmt chunk
+    // (blockAlign left at 3 ⇒ fmt-consistency reject, not a throw)
+    val bad = one.clone(); bad(34) = 12
+    assert(Wav.decodeWav(bad).isEmpty)
+  }
+
   test("WAV build→decode round-trip recovers the sample formula; stats query matches") {
     import graft.operators.Wav
     for (id <- Seq(0L, 1L, 5L)) {
@@ -633,6 +660,35 @@ class MultimodalSpec extends SparkSpec {
     // PLTE length not a multiple of 3 → reject
     val badPlte = chunk("PLTE", Array[Byte](1, 2, 3, 4))
     assert(Multimodal.decodePng(sig ++ ihdr(3) ++ badPlte ++ idat1 ++ iend).isEmpty)
+  }
+
+  test("grayscale PNG: color types 0 (depths 1/2/4/8, raw samples) and 4 (gray+alpha)") {
+    // depth 8 gray, linear and Adam7 — both must carry the formula
+    def g(x: Int, y: Int) = (x * 41 + y * 29 + 5) % 256
+    for (interlace <- Seq(false, true)) {
+      val Some((w, h, ch, px)) = Multimodal.decodePng(
+        Multimodal.buildPngGray(9, 6, 8, g, interlace))
+      assert((w, h, ch) == ((9, 6, 1)), s"interlace=$interlace")
+      for (y <- 0 until 6; x <- 0 until 9)
+        assert(px(y * 9 + x) == g(x, y), s"interlace=$interlace ($x,$y)")
+    }
+    // sub-byte depths return RAW coded samples (no display rescale)
+    for (d <- Seq(1, 2, 4)) {
+      val max = (1 << d) - 1
+      val Some((_, _, ch, px)) = Multimodal.decodePng(
+        Multimodal.buildPngGray(11, 3, d, (x, y) => (x + y) % (max + 1)))
+      assert(ch == 1)
+      for (y <- 0 until 3; x <- 0 until 11)
+        assert(px(y * 11 + x) == (x + y) % (max + 1), s"depth=$d ($x,$y)")
+    }
+    // color type 4: (gray, alpha) byte pairs, channels = 2
+    val Some((_, _, ch4, px4)) = Multimodal.decodePng(
+      Multimodal.buildPngGrayAlpha(5, 4, (x, y) => ((x * 7 + y) % 256, (y * 50 + x) % 256)))
+    assert(ch4 == 2)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      assert(px4((y * 5 + x) * 2) == (x * 7 + y) % 256)
+      assert(px4((y * 5 + x) * 2 + 1) == (y * 50 + x) % 256)
+    }
   }
 
   test("stored-binary path: sink → scan → decode equals the in-body m02/m13 results") {

@@ -505,6 +505,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("media dedup over STORED binary batches: the m00-schema path verdicts equal the in-body path") {
+    import graft.streaming.StreamingMediaDedup
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_bin").toString
+    val ids1 = Seq(0L, 9L, 1L)
+    val ids2 = Seq(11520L, 3L, 2L) // 11520 re-encodes doc 0's content
+    val allIds = ids1 ++ ids2
+    // the m00 stored-media table is the stream's source of truth: each
+    // micro-batch carries (doc_id, kind, format, media BINARY) rows
+    Multimodal.sinkMedia(
+      df("doc_id BIGINT, text STRING", allIds.map(org.apache.spark.sql.Row(_, "t"))),
+      s"$dir/m00")
+    val byId = spark.read.parquet(s"$dir/m00").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getAs[Array[Byte]](3)))).toMap
+    StreamingMediaDedup.seed(
+      df("doc_id BIGINT, kind STRING, format STRING, media BINARY", Seq.empty),
+      s"$dir/idx", fingerprints = Multimodal.fingerprintsFromBinary)
+    val input = MemoryStream[(Long, String, String, Array[Byte])]
+    val stream = input.toDS().toDF("doc_id", "kind", "format", "media")
+    val q = StreamingMediaDedup.start(stream, s"$dir/idx", s"$dir/out", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      fingerprints = Multimodal.fingerprintsFromBinary)
+    def feed(ids: Seq[Long]): Unit = {
+      input.addData(ids.map(id => {
+        val (k, f, m) = byId(id); (id, k, f, m)
+      }): _*)
+      q.processAllAvailable()
+    }
+    try { feed(ids1); feed(ids2) } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // reference: the IN-BODY path's batch keep-first form on the same ids
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kind", "fingerprint")
+    val batch = Multimodal.mediaFingerprints(
+      df("doc_id BIGINT, text STRING", allIds.map(org.apache.spark.sql.Row(_, "t"))))
+      .withColumn("is_dup", col("doc_id") =!=
+        org.apache.spark.sql.functions.min(col("doc_id")).over(w))
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch)
+    assert(streamed(11520L) && !streamed(0L)) // re-encoded content caught
+    assert(spark.read.parquet(s"$dir/idx").count() == 5)
+  }
+
   test("media dedup gate is O(1) per batch: building the verdict plan runs no Spark job") {
     import graft.streaming.StreamingMediaDedup
     import java.util.concurrent.atomic.AtomicInteger
