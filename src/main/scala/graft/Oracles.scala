@@ -2405,6 +2405,43 @@ FROM allc a JOIN topc c USING(domain)"""
         |FROM ws LEFT JOIN bg ON ws.doc_id = bg.doc_id
         |ORDER BY ws.doc_id""".stripMargin,
 
+    // t12: duplicate-substring extents — sliding 8-token shingles at
+    // every position, duplicated iff the shingle occurs at >= 2
+    // (doc, pos) sites anywhere; per-doc islands merge positions whose
+    // [pos, pos+7] coverage is contiguous (gap > 8 breaks); spans
+    // report count / longest / covered tokens / ppm fraction. lag's
+    // leading NULL compares NULL > 8 -> CASE 0 on both engines.
+    "t12_dup_span_extents" ->
+      """WITH sh AS (
+        |  SELECT doc_id, len(w) AS total_tokens, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(w[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+        |       unnest(generate_series(1, len(w) - 7)) t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (
+        |  SELECT s.doc_id, s.total_tokens, s.pos
+        |  FROM sh s JOIN (SELECT seg FROM sh GROUP BY seg HAVING count(*) > 1) k
+        |    USING (seg)),
+        |brk AS (
+        |  SELECT doc_id, total_tokens, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM dup),
+        |runs AS (
+        |  SELECT doc_id, total_tokens, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        |  FROM brk),
+        |spans AS (
+        |  SELECT doc_id, total_tokens, run_id,
+        |         min(pos) AS s, max(pos) + 7 AS e
+        |  FROM runs GROUP BY doc_id, total_tokens, run_id)
+        |SELECT doc_id, CAST(total_tokens AS INTEGER) AS total_tokens,
+        |  count(*) AS n_dup_spans,
+        |  CAST(max(e - s + 1) AS BIGINT) AS max_span_tokens,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(e - s + 1) * 1000000 // total_tokens AS BIGINT) AS dup_frac_ppm
+        |FROM spans GROUP BY doc_id, total_tokens ORDER BY doc_id""".stripMargin,
+
     // C4-style span dedup: keep the globally first occurrence of each
     // 8-word span ((doc_id, pos) argmin as a packed-long min), scrub
     // repeats, reassemble in span order. string_agg skips the NULL

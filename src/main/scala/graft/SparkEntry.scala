@@ -249,6 +249,9 @@ object SparkEntry {
     "t08_repetition_rules"    -> ((s, d) => TextAnalysis.repetitionRules(Tables.documents(s, d))),
     "t09_pii_scrub"           -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "t11_span_dedup"          -> ((s, d) => TextAnalysis.spanDedup(Tables.documents(s, d))),
+    // duplicate-substring extents: sliding shingles, any alignment,
+    // maximal per-doc spans (the exact-substring duplication report)
+    "t12_dup_span_extents"    -> ((s, d) => TextAnalysis.dupSpanExtents(Tables.documents(s, d))),
     // training-data pipeline: deterministic hash sampling over documents
     "p06_hash_sample"         -> ((s, d) => Sampling.hashSample(Tables.documents(s, d))),
     "p07_stratified_summary"  -> ((s, d) => Sampling.stratifiedSummary(Tables.documents(s, d))),

@@ -364,4 +364,79 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_segs"), col("n_kept"),
         when(col("n_kept") > 0, col("_h")).as("clean_hash"))
       .orderBy("doc_id")
+
+  /** t12: duplicate-substring EXTENTS — the exact-substring duplication
+    * report (Lee et al.'s "Deduplicating Training Data Makes Language
+    * Models Better" framing), distinct from [[spanDedup]]'s
+    * fixed-chunk form: shingles SLIDE over every token position, so a
+    * repeated passage is found at ANY alignment and reported as one
+    * maximal extent, where the chunked form only sees repeats that land
+    * on its stride. Pipeline: sliding `window`-token shingles at every
+    * position → global occurrence count per shingle (a position is
+    * "duplicated" iff its shingle occurs at ≥ 2 (doc, pos) sites
+    * anywhere, within-doc repeats included) → per-doc gaps-and-islands
+    * merge of duplicated positions whose token coverage
+    * [pos, pos+window−1] is contiguous (gap > window breaks) → one row
+    * per doc carrying span count, longest extent, covered tokens and
+    * the ppm fraction. Docs with no duplicated span emit no row.
+    *
+    * Scale shape: shingling is projection + explode (rides the scan);
+    * the only corpus-wide shuffle is the shingle-count `groupBy` —
+    * map-side combined and skew-neutral (the `row_number over
+    * (partition by seg)` alternative would buffer a boilerplate span's
+    * millions of sites in one window partition); the island merge is a
+    * window PARTITIONED BY doc (never global). [[dupSpanExtentsHashed]]
+    * is the production twin keying the count on xxhash64. */
+  def dupSpanExtents(docs: DataFrame, window: Int = 8): DataFrame =
+    dupExtentsFrom(slidingShingles(docs, window), window)
+
+  /** Production twin of [[dupSpanExtents]]: the corpus-scale count
+    * keyed on `xxhash64(seg)` — 8-byte keys through the exchange
+    * instead of ~window·word-length strings (the [[spanDedupHashed]]
+    * trade; collision odds ~|positions|²/2^64). Not DuckDB-mirrorable →
+    * no driver query; the spec pins it equal to the exact form. */
+  private[graft] def dupSpanExtentsHashed(docs: DataFrame, window: Int = 8): DataFrame =
+    dupExtentsFrom(
+      slidingShingles(docs, window).withColumn("seg", xxhash64(col("seg"))),
+      window)
+
+  /** (doc_id, total_tokens, pos, seg) at every position 0..len−window. */
+  private def slidingShingles(docs: DataFrame, window: Int): DataFrame = {
+    require(window > 0)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= window)
+      .select(col("doc_id"), size(col("w")).as("total_tokens"),
+        explode(transform(sequence(lit(0), size(col("w")) - window),
+          p => struct(p.as("pos"),
+            concat_ws(" ", slice(col("w"), p + 1, lit(window))).as("seg")))).as("ps"))
+      .select(col("doc_id"), col("total_tokens"),
+        col("ps.pos").as("pos"), col("ps.seg").as("seg"))
+  }
+
+  private def dupExtentsFrom(sh: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupSegs = sh.groupBy("seg").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val dup = sh.join(dupSegs, Seq("seg"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      // coverage [pos, pos+window−1]: a gap > window in positions
+      // leaves an uncovered token between the two intervals
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > window, 1).otherwise(0))
+      .withColumn("run_id", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "total_tokens", "run_id")
+      .agg(min("pos").as("start_pos"),
+        (max(col("pos")) + lit(window - 1)).as("end_pos"))
+    spans
+      .groupBy("doc_id", "total_tokens")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max(col("end_pos") - col("start_pos") + 1).cast("long").as("max_span_tokens"),
+        sum(col("end_pos") - col("start_pos") + 1).cast("long").as("dup_tokens"))
+      .withColumn("dup_frac_ppm",
+        expr("dup_tokens * CAST(1000000 AS BIGINT) div total_tokens"))
+      .orderBy("doc_id")
+  }
 }

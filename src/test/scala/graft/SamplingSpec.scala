@@ -195,6 +195,46 @@ class SamplingSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("dup-span extents: any-alignment sliding detection, island merge, chunk form's blind spot") {
+    // doc 0 and doc 1 share the passage "p q r s" — but at DIFFERENT
+    // token offsets (0 vs 1), the alignment the fixed-chunk spanDedup
+    // form cannot see at window 4 (chunks "p q r s"/"w p q r" differ)
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "p q r s a b c d"),
+      Row(1L, "w p q r s x y z"),
+      Row(2L, "m n o u v k l t")))     // no shared 4-gram anywhere
+    val out = TextAnalysis.dupSpanExtents(d, window = 4).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // each doc has exactly ONE duplicated position (the "p q r s"
+    // shingle), so one 4-token extent; doc 2 emits no row
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == ((8, 1L, 4L, 4L, 4L * 1000000 / 8)))
+    assert(out(1L) == ((8, 1L, 4L, 4L, 4L * 1000000 / 8)))
+    // the chunked form at the same window indeed misses it (doc 1 keeps
+    // all its chunks) — the gap t12 exists to close
+    val chunked = TextAnalysis.spanDedup(d, window = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(chunked(1L)._1 == chunked(1L)._2, "chunk form must be blind here")
+    // island merge: two overlapping duplicated shingles fuse into ONE
+    // maximal extent ("p q r s t": positions 0 and 1 both duplicated)
+    val d2 = df("doc_id BIGINT, text STRING", Seq(
+      Row(0L, "p q r s t a b c"),
+      Row(1L, "x p q r s t y z")))
+    val merged = TextAnalysis.dupSpanExtents(d2, window = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(merged(0L) == ((1L, 5L)), "one fused 5-token extent")
+    // within-doc repetition counts as duplication too
+    val d3 = df("doc_id BIGINT, text STRING",
+      Seq(Row(0L, "a b c d x x a b c d")))
+    val self = TextAnalysis.dupSpanExtents(d3, window = 4).collect()
+    assert(self.length == 1 && self(0).getLong(2) == 2L) // two extents
+    // the xxhash64-keyed production twin returns the identical relation
+    val exact = TextAnalysis.dupSpanExtents(d, 4).collect().map(_.toSeq).toSet
+    val hashed = TextAnalysis.dupSpanExtentsHashed(d, 4).collect().map(_.toSeq).toSet
+    assert(hashed == exact)
+  }
+
   test("temperature sampling: rarest group keeps all, larger groups flatten toward share^alpha") {
     // 320 en vs 40 de (8:1): rate_de = 1, rate_en = 8^(0.3-1) ≈ 0.233
     val d = df(
