@@ -299,4 +299,29 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val smjKeys = "SortMergeJoin.*band_key".r.findAllIn(plan)
     assert(smjKeys.isEmpty, "the band join must broadcast the eval side")
   }
+
+  test("t12 dup-span extents: one doc-keyed exchange feeds both windows AND the span aggregates") {
+    val out = graft.operators.TextAnalysis.dupSpanExtents(
+      Tables.documents(spark, dir))
+    val plan = executed(out)
+    val s = plan.toString
+    // the break-flag and run-id windows are both doc-partitioned: they
+    // must stack on ONE sort with no exchange between them, and the
+    // run/doc aggregates downstream reuse that same partitioning — so
+    // the only doc_id-keyed exchange in the whole plan is the one
+    // under the windows (plus the final presentation orderBy's range
+    // exchange). A refactor that re-keys any stage would add one.
+    val docHashExchanges = collect(plan) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") &&
+           e.outputPartitioning.toString.contains("doc_id") => e
+    }
+    assert(docHashExchanges.size == 1,
+      s"expected exactly one doc_id hash exchange:\n${s.take(1200)}")
+    assert(s.contains("Window"), "island merge is the per-doc window pair")
+    // the corpus-wide shingle count is aggregate-shaped (map-side
+    // combined partial + final), never a per-shingle window
+    assert(!"Window.*seg".r.findAllIn(s).hasNext,
+      "no window partitioned by shingle")
+  }
 }
