@@ -401,7 +401,7 @@ object TextAnalysis {
       window)
 
   /** (doc_id, total_tokens, pos, seg) at every position 0..len−window. */
-  private def slidingShingles(docs: DataFrame, window: Int): DataFrame = {
+  private[graft] def slidingShingles(docs: DataFrame, window: Int): DataFrame = {
     require(window > 0)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -415,10 +415,16 @@ object TextAnalysis {
   }
 
   private def dupExtentsFrom(sh: DataFrame, window: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dupSegs = sh.groupBy("seg").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
-    val dup = sh.join(dupSegs, Seq("seg"))
+    mergeExtents(sh.join(dupSegs, Seq("seg")), window)
+  }
+
+  /** Merge duplicated positions (doc_id, total_tokens, pos) into
+    * maximal extents and aggregate the per-doc report — the island
+    * stage [[dupSpanExtents]] and its streaming twin share. */
+  private[graft] def mergeExtents(dup: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dup
       // coverage [pos, pos+window−1]: a gap > window in positions

@@ -505,6 +505,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dup extents: each batch's report equals the batch operator over the union-so-far") {
+    import graft.streaming.StreamingDupExtents
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_ext").toString
+    StreamingDupExtents.seed(spark, s"$dir/sh")
+    // batch 1: docs 0/1 share "p q r s" at different offsets; batch 2:
+    // doc 5 repeats doc 0's passage (cross-batch, shifted again), doc 6
+    // repeats ITSELF within one doc, doc 7 is clean
+    val b1 = Seq(
+      (0L, "p q r s a b c d"),
+      (1L, "w p q r s x y z"))
+    val b2 = Seq(
+      (5L, "m m p q r s t u"),
+      (6L, "e f g h k k e f g h"),
+      (7L, "one two three four five six seven eight"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = StreamingDupExtents.start(stream, s"$dir/sh", s"$dir/out", s"$dir/ckpt",
+      window = 4, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rel(rows: Seq[org.apache.spark.sql.Row]): Set[Seq[Any]] = rows.map(_.toSeq).toSet
+    val mk = (rows: Seq[(Long, String)]) =>
+      df("doc_id BIGINT, text STRING", rows.map(r => org.apache.spark.sql.Row(r._1, r._2)))
+    // batch 1's shard == batch operator over batch 1 alone
+    val shard1 = spark.read.parquet(s"$dir/out/batch_id=0")
+      .select("doc_id", "total_tokens", "n_dup_spans", "max_span_tokens",
+        "dup_tokens", "dup_frac_ppm").collect()
+    assert(rel(shard1) == rel(
+      TextAnalysis.dupSpanExtents(mk(b1), window = 4).collect()))
+    // batch 2's shard == batch operator over the UNION, restricted to
+    // batch 2's docs — the exact (not conditional) ingest equivalence
+    val shard2 = spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id", "total_tokens", "n_dup_spans", "max_span_tokens",
+        "dup_tokens", "dup_frac_ppm").collect()
+    val unionRef = TextAnalysis.dupSpanExtents(mk(b1 ++ b2), window = 4)
+      .filter(col("doc_id") >= 5L).collect()
+    assert(rel(shard2) == rel(unionRef))
+    // and the content is as designed: 5 caught cross-batch, 6 caught
+    // within-doc, 7 absent
+    val ids2 = shard2.map(_.getLong(0)).toSet
+    assert(ids2 == Set(5L, 6L))
+    // replay idempotence: re-running batch 1 rewrites the same shard
+    StreamingDupExtents.ingestBatch(mk(b2), 1L, s"$dir/sh", s"$dir/out", window = 4)
+    assert(rel(spark.read.parquet(s"$dir/out/batch_id=1")
+      .select("doc_id", "total_tokens", "n_dup_spans", "max_span_tokens",
+        "dup_tokens", "dup_frac_ppm").collect()) == rel(unionRef))
+  }
+
   test("media dedup over STORED binary batches: the m00-schema path verdicts equal the in-body path") {
     import graft.streaming.StreamingMediaDedup
     import graft.operators.Multimodal
