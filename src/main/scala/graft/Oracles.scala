@@ -2953,6 +2953,26 @@ FROM allc a JOIN topc c USING(domain)"""
         |  CAST(sum((y*pw + x + 1) * (r + 2*g + 3*b)) % 1000000007 AS BIGINT) AS wsum
         |FROM ch GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
 
+    // m18: the grayscale PNG arm — engine builds Adam7-interlaced
+    // color-type-0 PNGs at depth 2 (MSB-first packed samples) and
+    // decodes them back RAW; the oracle recomputes every sample from
+    // (id*29 + y*7 + x*3) % 4 over the grid, bytes never seen.
+    "m18_png_gray_stats" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |         CAST(5 + d.doc_id % 9 AS INTEGER) AS pw,
+        |         CAST(4 + d.doc_id % 7 AS INTEGER) AS ph,
+        |         y.y * (5 + d.doc_id % 9) + x.x AS i,
+        |         (d.doc_id*29 + y.y*7 + x.x*3) % 4 AS v
+        |  FROM documents d, range(10) y(y), range(13) x(x)
+        |  WHERE y.y < 4 + d.doc_id % 7 AND x.x < 5 + d.doc_id % 9)
+        |SELECT doc_id, pw AS width, ph AS height,
+        |  count(*) AS n_px,
+        |  CAST(min(v) AS INTEGER) AS s_min, CAST(max(v) AS INTEGER) AS s_max,
+        |  CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS s_mean_ppm,
+        |  CAST(sum((i + 1) * v) AS BIGINT) AS s_wsum
+        |FROM s GROUP BY doc_id, pw, ph ORDER BY doc_id""".stripMargin,
+
     // m16: the PROGRESSIVE decoder scope — engine encodes nine-scan
     // SOF2 files (DC first + 4 successive-approximation refinements,
     // per-component AC EOB-run scans, DRI=2 resync throughout) and

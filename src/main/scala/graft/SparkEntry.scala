@@ -310,6 +310,8 @@ object SparkEntry {
     "m16_jpeg_progressive_stats" -> ((s, d) => Multimodal.jpegProgressiveStats(Tables.documents(s, d))),
     // widened PNG scope: Adam7 interlacing + 4-bit palette expansion
     "m17_png_palette_adam7_stats" -> ((s, d) => Multimodal.pngPaletteStats(Tables.documents(s, d))),
+    // the grayscale arm: Adam7 color type 0 at depth 2, raw samples
+    "m18_png_gray_stats" -> ((s, d) => Multimodal.pngGrayStats(Tables.documents(s, d))),
     // content-addressable dedup keys over decoded, canonicalized media
     "m13_media_fingerprints"  -> ((s, d) => Multimodal.mediaFingerprints(Tables.documents(s, d))),
     // the STORED-binary path: payloads sunk once to a parquet BINARY

@@ -1557,6 +1557,52 @@ object Multimodal {
     spark.createDataFrame(rdd, jpegStatsSchema).orderBy("doc_id")
   }
 
+  private val grayStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("s_min", IntegerType, nullable = false),
+    StructField("s_max", IntegerType, nullable = false),
+    StructField("s_mean_ppm", LongType, nullable = false),
+    StructField("s_wsum", LongType, nullable = false)))
+
+  /** m18: the GRAYSCALE PNG arm end-to-end — Adam7-interlaced color
+    * type 0 at bit depth 2 ([[buildPngGray]] → [[decodePng]]): seven
+    * independently-filtered passes of MSB-first packed 2-bit samples,
+    * returned RAW (0..3, no display rescale). Stats over the sample
+    * raster (i = y·w + x): n / min / max / truncating mean_ppm /
+    * Σ(i+1)·v. The oracle recomputes every sample from the formula —
+    * a pass-grid, packing or rescaling error diverges. */
+  def pngGrayStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        val w = 5 + (id % 9).toInt; val h = 4 + (id % 7).toInt
+        val bytes = buildPngGray(w, h, 2,
+          (x, y) => ((id * 29 + y * 7 + x * 3) % 4).toInt, interlace = true)
+        decodePng(bytes).collect {
+          case (ww, hh, 1, px) =>
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var sum = 0L; var wsum = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              wsum += (i + 1L) * v
+              i += 1
+            }
+            Row(id, ww, hh, px.length.toLong, mn, mx,
+              sum * 1000000L / px.length, wsum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, grayStatsSchema).orderBy("doc_id")
+  }
+
   // ---------- stored-binary media path (m00 table + m14/m15) ----------
 
   /** The m00 media table's schema: payload as an opaque parquet BINARY
