@@ -307,6 +307,40 @@ class JpegSpec extends SparkSpec {
     assert(d.width == 8 && d.height == 8)
   }
 
+  test("deep canonical huffman tables: codes at lengths 2..13 and 16, and 16-bit exhaustion") {
+    // real-world tables are DEEP (the standard AC tables put 125 codes
+    // at length 16); the flat fixtures elsewhere never push the
+    // mincode/maxcode walk past 4 bits. DC table: cats 0..11 at one
+    // code per length 2..13 — canonical codes 00, 010, 0110, 01110, …
+    // (each next = (prev+1)<<1, T.81 Annex C).
+    val dcDeep = seg(0xc4, Seq(0x00) ++
+      Seq(0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0) ++ (0 to 11))
+    // AC table: ONE code, EOB, at length 16 → '0000000000000000'
+    val acDeep = seg(0xc4, Seq(0x10) ++
+      Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1) ++ Seq(0x00))
+    val sof = seg(0xc0, Seq(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val sos = seg(0xda, Seq(1, 1, 0x00, 0, 63, 0))
+    // dc for 130 = 16, cat 5 → its code sits at length 7 ('0111110':
+    // cats map to lengths 2..13 in order) + bits '10000', then the
+    // 16-zero EOB
+    val scan = pack("0111110 10000 " + "0" * 16)
+    val Some(d) = Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dcDeep ++ acDeep ++
+      sof ++ sos ++ scan ++ Seq(0xff, 0xd9)))
+    assert(d.planes(0).forall(_ == 130), s"got ${d.planes(0).take(4).toSeq}")
+    // the DEEPEST DC code (cat 11, length 13 '0111111111110'): diff
+    // 1024 → bits '10000000000' → dc 1024 → idct 128 → +128 clamps 255
+    val scan11 = pack("0111111111110 10000000000 " + "0" * 16)
+    val Some(d11) = Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dcDeep ++ acDeep ++
+      sof ++ sos ++ scan11 ++ Seq(0xff, 0xd9)))
+    assert(d11.planes(0).forall(_ == 255))
+    // 16-bit exhaustion: alternating bits match NO code in the deep AC
+    // table (and contain no 0xFF byte, so the reader stays alive and
+    // the CANONICAL WALK itself must stop at length 16 and reject)
+    val bad = pack("0111110 10000 " + "10" * 8)
+    assert(Jpeg.decode(bytes(Seq(0xff, 0xd8) ++ dqt ++ dcDeep ++ acDeep ++
+      sof ++ sos ++ bad ++ Seq(0xff, 0xd9))).isEmpty)
+  }
+
   test("16-bit DQT (pq=1): big-endian entries parse and dequantize; pq>1 rejects") {
     val dhtAc = seg(0xc4,
       Seq(0x10) ++ Seq(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(0x00))
