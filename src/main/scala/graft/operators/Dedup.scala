@@ -156,11 +156,24 @@ object Dedup {
   private def signaturesFrom(sh: DataFrame, k: Int): DataFrame = {
     require(k % 4 == 0, s"k must be a multiple of 4 (got $k)")
     val hashed = sh.select(col("doc_id") +:
-      (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col("s"))).as(s"m$m")): _*)
+      (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col(s"s"))).as(s"m$m")): _*)
+    // min over the PARSED 32-bit slice (a long), not the 8-char hex
+    // string: min(string) has an immutable aggregation buffer, which
+    // drops the whole signature aggregate out of HashAggregate into
+    // SortAggregate — a map-side AND reduce-side sort of the entire
+    // shingle stream on every signature build (measured: the dominant
+    // stage of d14, which rebuilds signatures per execution). Numeric
+    // min == lexicographic min here because the slices are fixed-width
+    // lowercase hex, so re-rendering the min back to hex (lpad(lower(
+    // hex()))) reproduces the EXACT bytes the string form produced and
+    // every downstream band key / oracle hash is unchanged.
     val mins = (0 until k).map { i =>
-      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+      min(expr(s"cast(conv(substr(m${i / 4}, ${(i % 4) * 8 + 1}, 8), 16, 10) as bigint)")
+        ).as(s"l$i")
     }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val agg = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    agg.select(col("doc_id") +: (0 until k).map(i =>
+      lpad(lower(hex(col(s"l$i"))), 8, "0").as(s"h$i")): _*)
   }
 
   /** MinHash signature: k independent hash mins per doc in ONE aggregate

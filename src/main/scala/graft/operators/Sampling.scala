@@ -274,7 +274,15 @@ object Sampling {
     * 100 TB nothing but the doc-keyed aggregate shuffles, and that is
     * |doc × distinct-bucket| ≤ |tokens|. */
   def dsirScores(docs: DataFrame, targetPred: Column): DataFrame = {
-    val bb = bucketCounts(docs, targetPred)
+    // localCheckpoint: `bb` feeds BOTH the distribution estimate (which
+    // executes immediately — distOf collects ≤ 4096 rows to localize
+    // the model) and the returned scoring plan. Without pinning it, the
+    // gram explode + md5 bucketing + (doc, bucket) aggregate — the one
+    // corpus-scale stage in the DSIR path — ran twice per call, once
+    // under each consumer. bb is |doc × distinct-bucket| rows (tiny
+    // next to the gram stream), the materialize-the-sliver shape p25
+    // already uses for its survivor set.
+    val bb = bucketCounts(docs, targetPred).localCheckpoint()
     scoreOf(bb, distOf(bb))
   }
 
@@ -372,14 +380,19 @@ object Sampling {
     * later batch scores against (the [[dsirDistribution]] pattern). */
   def lmModel(docs: DataFrame, refPred: Column): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    val ref = docs.filter(refPred)
-    val uni = ref.select(explode(graft.functions.word_ngrams(toks, 1)).as("g"))
-      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
-      .withColumn("kind", lit("uni"))
-    val bi = ref.select(explode(graft.functions.word_ngrams(toks, 2)).as("g"))
-      .groupBy(bucketOf(col("g")).as("bucket")).agg(count(lit(1)).as("c"))
-      .withColumn("kind", lit("bi"))
-    uni.unionByName(bi).select("kind", "bucket", "c")
+    // ONE scan + explode of the reference slice, not one per gram order
+    // (the union form scanned and tokenized `ref` twice): 1-grams and
+    // 2-grams ride the same exploded stream, and the gram order is
+    // recovered exactly from the joiner — a 1-gram is a single
+    // space-split token (never contains ' '), a 2-gram always carries
+    // the ' ' word_ngrams joins with. Same (kind, bucket, c) rows.
+    docs.filter(refPred)
+      .select(explode(concat(graft.functions.word_ngrams(toks, 1),
+        graft.functions.word_ngrams(toks, 2))).as("g"))
+      .groupBy(when(col("g").contains(" "), "bi").otherwise("uni").as("kind"),
+        bucketOf(col("g")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select("kind", "bucket", "c")
   }
 
   /** Score `docs` against an ALREADY-ESTIMATED model (frozen-model form —
@@ -395,12 +408,23 @@ object Sampling {
     import spark.implicits._
     val rows = model.select(col("kind"), col("bucket").cast("long"),
       col("c").cast("long")).as[(String, Long, Long)].collect()
-    val uniRows = rows.collect { case ("uni", b, c) => (b, c) }.toSeq
-    val biRows = rows.collect { case ("bi", b, c) => (b, c) }.toSeq
-    val tTot = uniRows.map(_._2).sum.toDouble
+    val tTot = rows.collect { case ("uni", _, c) => c }.sum.toDouble
     val B = DsirBuckets.toDouble
-    val uniDf = broadcast(uniRows.toDF("bucket", "c1"))
-    val biDf = broadcast(biRows.toDF("bucket", "c2"))
+    // the model as two DENSE 4096-long array LITERALS, indexed in-row
+    // with element_at: the bucket space is fixed and tiny, so the three
+    // broadcast hash joins the sparse form needed (one per bucketed
+    // column, each a probe + coalesce over the corpus-scale pair
+    // stream) collapse into pure projection arithmetic — absent
+    // buckets hold 0, exactly what coalesce(c, 0) produced.
+    val c1Arr = new Array[Long](DsirBuckets)
+    val c2Arr = new Array[Long](DsirBuckets)
+    rows.foreach {
+      case ("uni", b, c) => c1Arr(b.toInt) = c
+      case ("bi", b, c) => c2Arr(b.toInt) = c
+      case _ => ()
+    }
+    def look(arr: Array[Long], bucket: Column): Column =
+      element_at(lit(arr), (bucket + 1).cast("int"))
     val toks = split(lower(col("text")), " ")
     // word_bigram_structs emits (gram, prev, cur) in one native pass, so
     // no re-`split` of the gram string it was concatenated from runs in
@@ -413,13 +437,10 @@ object Sampling {
         bucketOf(col("bi.prev")).as("bprev"),
         bucketOf(col("bi.cur")).as("bcur"))
     val lp = pairs
-      .join(biDf.select(col("bucket").as("b2"), col("c2")), Seq("b2"), "left")
-      .join(uniDf.select(col("bucket").as("bprev"), col("c1").as("cprev")), Seq("bprev"), "left")
-      .join(uniDf.select(col("bucket").as("bcur"), col("c1").as("ccur")), Seq("bcur"), "left")
       .select(col("doc_id"),
-        log(lit(lambda) * (coalesce(col("c2"), lit(0L)) + 1.0)
-            / (coalesce(col("cprev"), lit(0L)) + B)
-          + lit(1.0 - lambda) * (coalesce(col("ccur"), lit(0L)) + 1.0)
+        log(lit(lambda) * (look(c2Arr, col("b2")) + 1.0)
+            / (look(c1Arr, col("bprev")) + B)
+          + lit(1.0 - lambda) * (look(c1Arr, col("bcur")) + 1.0)
             / (tTot + B)).as("lp"))
     lp.groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"), round(-sum(col("lp")) / count(lit(1)), 6).as("nll"))
@@ -456,8 +477,6 @@ object Sampling {
     * self-scoring is two corpus passes and a streaming batch scores in
     * ONE. */
   private def scoreOf(bb: DataFrame, dist: DataFrame): DataFrame = {
-    val spark = bb.sparkSession
-    import spark.implicits._
     val B = DsirBuckets.toDouble
     val rows = dist.select(col("bucket").cast("long"),
       col("rawc").cast("long"), coalesce(col("tgtc"), lit(0L)).cast("long"))
@@ -465,12 +484,18 @@ object Sampling {
     val rtot = rows.map(_.getLong(1)).sum.toDouble
     val ttot = rows.map(_.getLong(2)).sum.toDouble
     val default = math.log((rtot + B) / (ttot + B))
-    val logr = rows.toSeq.map(r => (r.getLong(0),
-      math.log((r.getLong(2) + 1.0) / (ttot + B))
-        - math.log((r.getLong(1) + 1.0) / (rtot + B))))
-      .toDF("bucket", "logr")
-    bb.join(broadcast(logr), Seq("bucket"), "left")
-      .withColumn("_lr", coalesce(col("logr"), lit(default)))
+    // dense 4096-double array literal indexed with element_at — the
+    // broadcast-join + coalesce form probed a hash relation per bb row;
+    // the fixed bucket space makes the lookup pure projection
+    // arithmetic. Buckets the distribution never saw hold the Laplace
+    // default, exactly what the join's null branch produced.
+    val logrArr = Array.fill(DsirBuckets)(default)
+    rows.foreach { r =>
+      logrArr(r.getLong(0).toInt) =
+        math.log((r.getLong(2) + 1.0) / (ttot + B)) -
+          math.log((r.getLong(1) + 1.0) / (rtot + B))
+    }
+    bb.withColumn("_lr", element_at(lit(logrArr), (col("bucket") + 1).cast("int")))
       .groupBy("doc_id")
       .agg(sum("c").as("n_feats"),
         round(sum(col("c") * col("_lr")), 6).as("score"))

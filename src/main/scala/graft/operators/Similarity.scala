@@ -290,21 +290,72 @@ object Similarity {
     }
   }
 
+  /** Centroid tables localized to the driver — they are k×dim doubles by
+    * construction (trained on the driver, or read back from the stored
+    * index's k-row parquet), the same O(k·dim) the broadcast form
+    * shipped. Sorted by cell so argmin scans resolve ties to the
+    * smallest cell, exactly like the old window's (key asc, cell asc). */
+  private def centroidRows(cents: DataFrame): Seq[(Int, Seq[Double])] = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    cents.select(col("cell").cast("int"), col("centv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Sequential Σx² — the same left-fold order [[graft.functions
+    * .DotProduct]] uses, so `lit(selfDot(c))` is bit-identical to the
+    * `dot(centv, centv)` column the join form computed. */
+  private def selfDot(v: Seq[Double]): Double = {
+    var s = 0.0; val it = v.iterator
+    while (it.hasNext) { val x = it.next(); s += x * x }
+    s
+  }
+
+  /** `least`/`greatest` demand ≥ 2 arguments; a 1-cell table's best key
+    * is that key. */
+  private def minOf(keys: Seq[Column]): Column =
+    if (keys.size == 1) keys.head else least(keys: _*)
+  private def maxOf(keys: Seq[Column]): Column =
+    if (keys.size == 1) keys.head else greatest(keys: _*)
+
+  /** IN-ROW argmin over per-centroid key columns (`keys(i)` must be the
+    * i-th centroid's comparison key, cells ascending): first-match scan
+    * `when(keys(i) === best, cell_i)` in ascending-cell order — min key
+    * wins, ties resolve to the smallest cell, null keys (null
+    * embedding) fall through to the first cell — all EXACTLY the
+    * row_number-over-(key asc, cell asc) verdicts of the join+window
+    * form this replaces. The point is the plan shape: cell assignment
+    * becomes pure projection arithmetic riding the scan, where the old
+    * form fanned the corpus k× through a crossJoin and shuffled that
+    * k×-payload relation into a per-vector window sort (two exchanges
+    * of k× the embedding bytes — the one corpus-scale shuffle IVF
+    * assignment is supposed to avoid). */
+  private def argminCell(keys: Seq[Column], cells: Seq[Int],
+                         best: Column): Column =
+    cells.indices.foldRight(lit(cells.head): Column) { (i, rest) =>
+      when(keys(i) === best, lit(cells(i))).otherwise(rest)
+    }
+
   /** Nearest-centroid cell id per vector — exposed for balance/recall
-    * diagnostics. */
+    * diagnostics. Argmin is in-row over the localized centroid table
+    * (see [[argminCell]]); the join+window form this replaces shuffled
+    * k× the corpus through the argmin window. */
   def assignToCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = centroidRows(cents)
+    if (cs.isEmpty) return emb.select(col("vec_id"), lit(0).as("cell"))
+      .where(lit(false))
     // centroids are double arrays (k-means means); dot_product widens
     // each side independently, so the float embeddings dot them directly
-    val vecs = emb.select(col("vec_id"), col("embedding").as("dv"))
-    val c = cents.select(col("cell"), col("centv"))
-    val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
-    vecs.join(broadcast(c), expr("true"))
-      .select(col("vec_id"), col("cell"),
-        (dot(col("dv"), col("dv"))
-          - lit(2.0) * dot(col("dv"), col("centv"))
-          + dot(col("centv"), col("centv"))).as("dist2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "cell")
+    val dists = cs.map { case (cell, cv) =>
+      (dot(col("dv"), col("dv"))
+        - lit(2.0) * dot(col("dv"), lit(cv.toArray))
+        + lit(selfDot(cv))).as(s"_d$cell")
+    }
+    emb.select(col("vec_id") +: col("embedding").as("dv") +: Nil: _*)
+      .select(col("vec_id") +: dists: _*)
+      .select(col("vec_id"),
+        argminCell(cs.map(c => col(s"_d${c._1}")), cs.map(_._1),
+          minOf(cs.map(c => col(s"_d${c._1}")))).as("cell"))
   }
 
   /** IVF with TRAINED cells: k-means centroids replace the stub
@@ -333,14 +384,25 @@ object Similarity {
     * ([[assignToCells]] is the label-only light form — diagnostics like
     * the SSE probe shouldn't drag 64 floats through the argmin window.) */
   def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val vecs = emb.select(col("vec_id"), col("embedding"),
-      col("embedding").as("dv"), norm(col("embedding")).as("vn"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
-    vecs.join(broadcast(cents), expr("true"))
-      .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
-        dist2(col("dv")).as("dist2"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select("vec_id", "embedding", "vn", "cell")
+    val cs = centroidRows(cents)
+    if (cs.isEmpty)
+      return emb.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("vn"), lit(0).as("cell")).where(lit(false))
+    // in-row argmin (see [[argminCell]]): the write-time assignment job
+    // is map-only — the old crossJoin(centroids) + row_number window
+    // fanned every vector k× WITH its embedding payload and shuffled
+    // that relation twice (window exchange + sort) for a verdict that
+    // is a per-row function of the vector and k driver-known constants
+    val dists = cs.map { case (cell, cv) =>
+      (dot(col("embedding"), col("embedding"))
+        - lit(2.0) * dot(col("embedding"), lit(cv.toArray))
+        + lit(selfDot(cv))).as(s"_d$cell")
+    }
+    emb.select(col("vec_id") +: col("embedding") +:
+        norm(col("embedding")).as("vn") +: dists: _*)
+      .select(col("vec_id"), col("embedding"), col("vn"),
+        argminCell(cs.map(c => col(s"_d${c._1}")), cs.map(_._1),
+          minOf(cs.map(c => col(s"_d${c._1}")))).as("cell"))
   }
 
   /** IVF search over an ALREADY-ASSIGNED corpus: probe the `nProbe`
@@ -418,18 +480,37 @@ object Similarity {
     * candidate join — is the real production shape. */
   def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("centv"),
-        norm(col("embedding")).as("centn"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // stub centroids localize like the trained ones (nCells rows) —
+    // float embeddings widen element-wise, exactly what dot_product did
+    val cs: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val cents = cs.toDF("cell", "centv")
+      .select(col("cell"), col("centv"),
+        sqrt(dot(col("centv"), col("centv"))).as("centn"))
     val vecs = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vn"))
-    // cell assignment: nearest centroid per vector (broadcast × argmax)
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
-    val assigned = vecs.join(broadcast(cents), expr("true"))
-      .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
-        (dot(col("embedding"), col("centv")) / (col("vn") * col("centn"))).as("sim"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select("vec_id", "embedding", "vn", "cell")
+    // cell assignment: nearest centroid per vector — in-row argmax over
+    // the localized stub centroids ([[argminCell]] semantics: max sim,
+    // ties to the smallest cell), replacing the broadcast crossJoin +
+    // row_number window that fanned the corpus nCells× and shuffled it
+    val assigned =
+      if (cs.isEmpty)
+        vecs.select(col("vec_id"), col("embedding"), col("vn"),
+          lit(0).as("cell")).where(lit(false))
+      else {
+        val sims = cs.map { case (cell, cv) =>
+          (dot(col("embedding"), lit(cv.toArray))
+            / (col("vn") * lit(math.sqrt(selfDot(cv))))).as(s"_s$cell")
+        }
+        vecs.select(col("vec_id") +: col("embedding") +: col("vn") +: sims: _*)
+          .select(col("vec_id"), col("embedding"), col("vn"),
+            argminCell(cs.map(c => col(s"_s${c._1}")), cs.map(_._1),
+              maxOf(cs.map(c => col(s"_s${c._1}")))).as("cell"))
+      }
     // probe list: nProbe nearest cells per query
     val q = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("vn").as("qn"))
@@ -538,18 +619,43 @@ object Similarity {
     * by (vec_id, subspace). */
   def pqEncode(emb: DataFrame, books: DataFrame, m: Int): DataFrame = {
     val sub = embeddingDim(emb) / m
-    val subs = array((0 until m).map(i => struct(lit(i).as("subspace"),
-      slice(col("embedding"), i * sub + 1, sub).as("sv"))): _*)
-    val sliced = emb.select(col("vec_id"), explode(subs).as("s"))
-      .select(col("vec_id"), col("s.subspace").as("subspace"),
-        col("s.sv").as("dv"))
-    val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist2"), asc("cell"))
-    sliced.join(broadcast(books), Seq("subspace"))
-      .select(col("vec_id"), col("subspace"), col("cell"),
-        (dot(col("dv"), col("dv")) - lit(2.0) * dot(col("dv"), col("centv"))
-          + dot(col("centv"), col("centv"))).as("dist2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("subspace"), col("cell").as("code"))
+    val spark = books.sparkSession
+    import spark.implicits._
+    // the codebook is m·codes rows by construction — localize it and
+    // encode IN-ROW ([[argminCell]] per subspace): one projection per
+    // vector computing all m argmins, where the old form exploded every
+    // vector m× (subvector payloads attached), broadcast-joined the
+    // books for a codes× fan-out, and shuffled that m·codes×-fanned
+    // relation into a (vec_id, subspace) window sort. Encoding now
+    // rides the scan; same dist2 op order, same (dist2, cell) asc
+    // tie-break, so codes are bit-identical.
+    val bk: Seq[(Int, Int, Seq[Double])] = books
+      .select(col("subspace").cast("int"), col("cell").cast("int"), col("centv"))
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2)).toSeq
+    if (bk.isEmpty)
+      return emb.select(col("vec_id"), lit(0).as("subspace"),
+        lit(0).as("code")).where(lit(false))
+    val bySub: Seq[(Int, Seq[(Int, Seq[Double])])] =
+      bk.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toSeq.sortBy(_._1)
+    val dvCols = bySub.map { case (i, _) =>
+      slice(col("embedding"), i * sub + 1, sub).as(s"_dv$i")
+    }
+    val distCols = for {
+      (i, entries) <- bySub
+      (cell, cv) <- entries
+    } yield (dot(col(s"_dv$i"), col(s"_dv$i"))
+      - lit(2.0) * dot(col(s"_dv$i"), lit(cv.toArray))
+      + lit(selfDot(cv))).as(s"_d${i}_$cell")
+    val codeStructs = bySub.map { case (i, entries) =>
+      val keys = entries.map(e => col(s"_d${i}_${e._1}"))
+      struct(lit(i).as("subspace"),
+        argminCell(keys, entries.map(_._1), minOf(keys)).as("code"))
+    }
+    emb.select(col("vec_id") +: dvCols: _*)
+      .select(col("vec_id") +: distCols: _*)
+      .select(col("vec_id"), explode(array(codeStructs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.subspace").as("subspace"),
+        col("sc.code").as("code"))
   }
 
   /** PQ-ADC kNN with exact re-ranking — the compressed-index scale path.

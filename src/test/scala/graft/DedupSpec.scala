@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists { case (i, j) => i == 3L || j == 3L }) // unrelated never pairs
   }
 
+  test("long-min signature re-rendering equals the string-min form byte-for-byte") {
+    // round 14 moved the MinHash aggregate from min(8-hex-char string)
+    // to min(parsed 32-bit long) so it hash-aggregates instead of
+    // sort-aggregating; the re-rendered hex (lpad(lower(hex(min))))
+    // must reproduce the string form's bytes EXACTLY or every band key
+    // (and the oracle hash of every dedup query) shifts
+    import org.apache.spark.sql.functions._
+    val k = 16
+    val sh = Dedup.wordShingles(corpus)
+    val hashed = sh.select(col("doc_id") +:
+      (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col("s"))).as(s"m$m")): _*)
+    val strMins = (0 until k).map { i =>
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    val legacy = hashed.groupBy("doc_id").agg(strMins.head, strMins.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val current = Dedup.minhashSignatures(corpus)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(current.toSeq == legacy.toSeq)
+  }
+
   test("xxhash64 candidate path: plan twin of the md5 family, exact dups always pair") {
     val xx = rowsOf(Dedup.lshCandidatesXx(corpus)).map(r => (r(0), r(1))).toSet
     assert(xx.contains((0L, 1L)))             // identical signatures under ANY hash

@@ -256,35 +256,74 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("LeftAnti") && plan.contains("Broadcast"), plan.take(800))
   }
 
-  test("p22 DSIR scoring: bucket table broadcasts, no Window anywhere") {
-    // the language-model side must stay a broadcast sliver (<= 4096-row
-    // distribution table) and the per-doc score a map-side join over the
-    // doc-keyed aggregate; a Window here would mean the global rank
-    // leaked into the scoring plan (the rank lives in the two-pass
-    // zipWithIndex, outside this plan)
+  test("p22 DSIR scoring: model lookup is in-row (no join at all), no Window") {
+    // the language-model side (<= 4096-row distribution) enters the
+    // scoring plan as a dense array LITERAL indexed with element_at —
+    // round 14 removed the broadcast hash join the sparse form needed;
+    // a Window here would mean the global rank leaked into the scoring
+    // plan (the rank lives in the two-pass zipWithIndex, outside this
+    // plan), and ANY join would mean the model stopped being a literal
     val scored = graft.operators.Sampling.dsirScores(
       Tables.documents(spark, dir),
       org.apache.spark.sql.functions.col("lang") === "en")
     val plan = executed(scored).toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("element_at"), plan.take(800))
+    assert(!plan.contains("Join"), "the model lookup must be in-row, not a join")
     assert(!plan.contains("Window"), "dsirScores must not plan a Window")
-    assert(!plan.contains("SortMergeJoin"),
-      "the distribution join must broadcast, not sort-merge")
   }
 
-  test("p24 perplexity scoring: all three model joins broadcast, no Window") {
-    // the unigram table joins twice (prev + cur context) and the bigram
-    // table once — every one against a <= 4096-row LocalRelation; the
-    // tercile rank lives in the two-pass zipWithIndex outside this plan
+  test("p24 perplexity scoring: model lookups in-row (no joins), no Window") {
+    // the unigram counts are consulted twice (prev + cur context) and
+    // the bigram counts once — all three as element_at over dense
+    // 4096-long array literals; round 14 removed the three broadcast
+    // hash joins the sparse form probed per exploded pair. The tercile
+    // rank lives in the two-pass zipWithIndex outside this plan.
     val docs = Tables.documents(spark, dir)
     val scored = graft.operators.Sampling.lmScoreAgainst(docs,
       graft.operators.Sampling.lmModel(docs,
         org.apache.spark.sql.functions.col("lang") === "en"))
     val plan = executed(scored).toString
-    assert(plan.split("BroadcastHashJoin").length >= 4,
-      s"expected 3 broadcast model joins:\n${plan.take(800)}")
-    assert(!plan.contains("SortMergeJoin"), "model joins must broadcast")
+    assert(plan.split("element_at").length >= 4,
+      s"expected 3 in-row model lookups:\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "model lookups must be in-row, not joins")
     assert(!plan.contains("Window"), "no Window in the scoring plan")
+  }
+
+  test("minhash signature aggregate is hash-based, not sort-based") {
+    // min over the PARSED 32-bit slice (a long) keeps the signature
+    // aggregate in HashAggregate; min(string) has an immutable buffer
+    // and dropped the whole aggregate into SortAggregate — a map- AND
+    // reduce-side sort of the entire shingle stream on every signature
+    // build (round 14's d14 fix). The re-rendered hex is pinned
+    // byte-equal to the string form in DedupSpec.
+    val plan = executed(graft.operators.Dedup.minhashSignatures(
+      Tables.documents(spark, dir))).toString
+    assert(!plan.contains("SortAggregate"),
+      "signature mins must stay hash-aggregated")
+    assert(plan.contains("HashAggregate"), plan.take(500))
+  }
+
+  test("IVF cell assignment is in-row: no window, no join, no fan-out") {
+    // round 14: assignment used to crossJoin the broadcast centroids
+    // (k× fan-out with the embedding payload attached) and resolve the
+    // argmin through a row_number window — two exchanges of k× the
+    // corpus bytes for a verdict that is a per-row function of the
+    // vector and k driver-known constants
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.operators.Similarity.kmeansCentroids(emb, 4, 1)
+    val plan = executed(graft.operators.Similarity.assignCells(emb, cents)).toString
+    assert(!plan.contains("Window"), "assignment must not window")
+    assert(!plan.contains("Join"), "assignment must not join")
+    assert(!plan.contains("Exchange"), "assignment must ride the scan")
+  }
+
+  test("PQ encoding is in-row: no window, no join, no subspace fan-out") {
+    val emb = Tables.embeddings(spark, dir)
+    val books = graft.operators.Similarity.pqCodebooks(emb, 4, 4, 1)
+    val plan = executed(graft.operators.Similarity.pqEncode(emb, books, 4)).toString
+    assert(!plan.contains("Window"), "encoding must not window")
+    assert(!plan.contains("Join"), "encoding must not join")
+    assert(!plan.contains("Exchange"), "encoding must ride the scan")
   }
 
   test("d14 fuzzy decontamination: eval side broadcast, train side never " +
