@@ -165,7 +165,10 @@ object SparkEntry {
     // never a range-predicate nested loop
     "j15_range_join_sessions" -> ((s, d) => {
       val p = prep(s, d)
-      val sessions = Streaks.sessionize(p, 1800)
+      // unordered session relation: the range join consumes it as a
+      // bag, so the public surface's global sort (range exchange +
+      // sampling pass) would be pure waste here
+      val sessions = Streaks.sessionizeCore(p, 1800)
         .select(col("client"), col("session_no"),
           col("session_start"), col("session_end"))
       val blocked = p.filter(col("status_type") === "Blocked")

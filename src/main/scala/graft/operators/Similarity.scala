@@ -311,30 +311,36 @@ object Similarity {
     s
   }
 
-  /** `least`/`greatest` demand ≥ 2 arguments; a 1-cell table's best key
-    * is that key. */
-  private def minOf(keys: Seq[Column]): Column =
-    if (keys.size == 1) keys.head else least(keys: _*)
-  private def maxOf(keys: Seq[Column]): Column =
-    if (keys.size == 1) keys.head else greatest(keys: _*)
-
-  /** IN-ROW argmin over per-centroid key columns (`keys(i)` must be the
-    * i-th centroid's comparison key, cells ascending): first-match scan
-    * `when(keys(i) === best, cell_i)` in ascending-cell order — min key
-    * wins, ties resolve to the smallest cell, null keys (null
-    * embedding) fall through to the first cell — all EXACTLY the
+  /** IN-ROW argmin over per-centroid key expressions (`keys(i)` = the
+    * i-th centroid's comparison key, cells ascending):
+    * `array_min(array(struct(key, cell))).cell` — struct ordering is
+    * (key asc, cell asc), i.e. min key wins and ties resolve to the
+    * smallest cell; null keys (null embedding) sort first exactly like
+    * the window's NULLS FIRST — all EXACTLY the
     * row_number-over-(key asc, cell asc) verdicts of the join+window
-    * form this replaces. The point is the plan shape: cell assignment
-    * becomes pure projection arithmetic riding the scan, where the old
-    * form fanned the corpus k× through a crossJoin and shuffled that
-    * k×-payload relation into a per-vector window sort (two exchanges
-    * of k× the embedding bytes — the one corpus-scale shuffle IVF
-    * assignment is supposed to avoid). */
-  private def argminCell(keys: Seq[Column], cells: Seq[Int],
-                         best: Column): Column =
-    cells.indices.foldRight(lit(cells.head): Column) { (i, rest) =>
-      when(keys(i) === best, lit(cells(i))).otherwise(rest)
-    }
+    * form this replaces, and each key expression appears ONCE in one
+    * projection (a first-match `when(key === least(...))` scan was
+    * tried first and cost real driver time: 16 keys × a duplicated
+    * 16-arg least = thousands of expression nodes per plan). The point
+    * is the plan shape: cell assignment becomes pure projection
+    * arithmetic riding the scan, where the old form fanned the corpus
+    * k× through a crossJoin and shuffled that k×-payload relation into
+    * a per-vector window sort (two exchanges of k× the embedding bytes
+    * — the one corpus-scale shuffle IVF assignment is supposed to
+    * avoid). */
+  private def argminCell(keys: Seq[Column], cells: Seq[Int]): Column =
+    // the coalesce is a semantic no-op (the struct array is non-empty by
+    // construction, so array_min never returns null) but it matters for
+    // the PLAN: it makes the cell column provably non-nullable, so when
+    // a downstream join keys on it, InferFiltersFromConstraints does NOT
+    // add isnotnull(cell) — which would inline this whole expression
+    // (k× dot products + array_min) into a scan-level data filter and
+    // re-evaluate it per row, interpreted (measured: 0.66 s of a 0.72 s
+    // single-task stage before the coalesce)
+    coalesce(
+      array_min(array(keys.zip(cells).map { case (k, c) =>
+        struct(k.as("k"), lit(c).as("cell")) }: _*)).getField("cell"),
+      lit(cells.head))
 
   /** Nearest-centroid cell id per vector — exposed for balance/recall
     * diagnostics. Argmin is in-row over the localized centroid table
@@ -346,16 +352,12 @@ object Similarity {
       .where(lit(false))
     // centroids are double arrays (k-means means); dot_product widens
     // each side independently, so the float embeddings dot them directly
-    val dists = cs.map { case (cell, cv) =>
-      (dot(col("dv"), col("dv"))
-        - lit(2.0) * dot(col("dv"), lit(cv.toArray))
-        + lit(selfDot(cv))).as(s"_d$cell")
+    val v = col("embedding")
+    val dists = cs.map { case (_, cv) =>
+      dot(v, v) - lit(2.0) * dot(v, lit(cv.toArray)) + lit(selfDot(cv))
     }
-    emb.select(col("vec_id") +: col("embedding").as("dv") +: Nil: _*)
-      .select(col("vec_id") +: dists: _*)
-      .select(col("vec_id"),
-        argminCell(cs.map(c => col(s"_d${c._1}")), cs.map(_._1),
-          minOf(cs.map(c => col(s"_d${c._1}")))).as("cell"))
+    emb.select(col("vec_id"),
+      argminCell(dists, cs.map(_._1)).as("cell"))
   }
 
   /** IVF with TRAINED cells: k-means centroids replace the stub
@@ -393,16 +395,13 @@ object Similarity {
     // fanned every vector k× WITH its embedding payload and shuffled
     // that relation twice (window exchange + sort) for a verdict that
     // is a per-row function of the vector and k driver-known constants
-    val dists = cs.map { case (cell, cv) =>
-      (dot(col("embedding"), col("embedding"))
-        - lit(2.0) * dot(col("embedding"), lit(cv.toArray))
-        + lit(selfDot(cv))).as(s"_d$cell")
+    val v = col("embedding")
+    val dists = cs.map { case (_, cv) =>
+      dot(v, v) - lit(2.0) * dot(v, lit(cv.toArray)) + lit(selfDot(cv))
     }
-    emb.select(col("vec_id") +: col("embedding") +:
-        norm(col("embedding")).as("vn") +: dists: _*)
-      .select(col("vec_id"), col("embedding"), col("vn"),
-        argminCell(cs.map(c => col(s"_d${c._1}")), cs.map(_._1),
-          minOf(cs.map(c => col(s"_d${c._1}")))).as("cell"))
+    emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("vn"),
+      argminCell(dists, cs.map(_._1)).as("cell"))
   }
 
   /** IVF search over an ALREADY-ASSIGNED corpus: probe the `nProbe`
@@ -493,23 +492,24 @@ object Similarity {
         sqrt(dot(col("centv"), col("centv"))).as("centn"))
     val vecs = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("vn"))
-    // cell assignment: nearest centroid per vector — in-row argmax over
-    // the localized stub centroids ([[argminCell]] semantics: max sim,
-    // ties to the smallest cell), replacing the broadcast crossJoin +
-    // row_number window that fanned the corpus nCells× and shuffled it
+    // cell assignment: nearest centroid per vector — in-row argMAX over
+    // the localized stub centroids via [[argminCell]] on the NEGATED
+    // similarity (IEEE negation reverses the double total order
+    // exactly, zeros included, so min(−sim) tie-broken by asc cell ==
+    // the old window's (sim desc, cell asc)), replacing the broadcast
+    // crossJoin + row_number window that fanned the corpus nCells× and
+    // shuffled it
     val assigned =
       if (cs.isEmpty)
         vecs.select(col("vec_id"), col("embedding"), col("vn"),
           lit(0).as("cell")).where(lit(false))
       else {
-        val sims = cs.map { case (cell, cv) =>
-          (dot(col("embedding"), lit(cv.toArray))
-            / (col("vn") * lit(math.sqrt(selfDot(cv))))).as(s"_s$cell")
+        val negSims = cs.map { case (_, cv) =>
+          -(dot(col("embedding"), lit(cv.toArray))
+            / (col("vn") * lit(math.sqrt(selfDot(cv)))))
         }
-        vecs.select(col("vec_id") +: col("embedding") +: col("vn") +: sims: _*)
-          .select(col("vec_id"), col("embedding"), col("vn"),
-            argminCell(cs.map(c => col(s"_s${c._1}")), cs.map(_._1),
-              maxOf(cs.map(c => col(s"_s${c._1}")))).as("cell"))
+        vecs.select(col("vec_id"), col("embedding"), col("vn"),
+          argminCell(negSims, cs.map(_._1)).as("cell"))
       }
     // probe list: nProbe nearest cells per query
     val q = vecs.filter(col("vec_id") < nQueries)
@@ -640,19 +640,15 @@ object Similarity {
     val dvCols = bySub.map { case (i, _) =>
       slice(col("embedding"), i * sub + 1, sub).as(s"_dv$i")
     }
-    val distCols = for {
-      (i, entries) <- bySub
-      (cell, cv) <- entries
-    } yield (dot(col(s"_dv$i"), col(s"_dv$i"))
-      - lit(2.0) * dot(col(s"_dv$i"), lit(cv.toArray))
-      + lit(selfDot(cv))).as(s"_d${i}_$cell")
     val codeStructs = bySub.map { case (i, entries) =>
-      val keys = entries.map(e => col(s"_d${i}_${e._1}"))
+      val dv = col(s"_dv$i")
+      val dists = entries.map { case (_, cv) =>
+        dot(dv, dv) - lit(2.0) * dot(dv, lit(cv.toArray)) + lit(selfDot(cv))
+      }
       struct(lit(i).as("subspace"),
-        argminCell(keys, entries.map(_._1), minOf(keys)).as("code"))
+        argminCell(dists, entries.map(_._1)).as("code"))
     }
     emb.select(col("vec_id") +: dvCols: _*)
-      .select(col("vec_id") +: distCols: _*)
       .select(col("vec_id"), explode(array(codeStructs: _*)).as("sc"))
       .select(col("vec_id"), col("sc.subspace").as("subspace"),
         col("sc.code").as("code"))
@@ -858,7 +854,18 @@ object Similarity {
   }
 
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, planes: Int = 0,
-                      tables: Int = 4): DataFrame = {
+                      tables: Int = 4): DataFrame =
+    nearDupPairsLshCore(emb, threshold, planes, tables).orderBy("i", "j")
+
+  /** The UNORDERED verified-pair relation — [[semanticClusters]]
+    * materializes this for its components pass, and a global sort
+    * there is pure waste twice over: the range exchange's sampling
+    * pass re-executes the candidate+verify chain's map stages, and the
+    * sort itself orders rows the union-find reads as a bag. Ordering
+    * lives only on the public [[nearDupPairsLsh]] surface (the
+    * [[graft.operators.Dedup]] candidatesFromBanded treatment). */
+  private def nearDupPairsLshCore(emb: DataFrame, threshold: Double,
+                                  planes: Int, tables: Int): DataFrame = {
     val dim = embeddingDim(emb)
     // auto schedule sizes off the corpus: one count(*) metadata-level job
     // (parquet row-group counts — no column IO), the price any index
@@ -882,7 +889,6 @@ object Similarity {
       .select(col("i"), col("j"),
         round(pairCos(col("va"), col("vb"), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") > threshold)
-      .orderBy("i", "j")
   }
 
   /** Round-9's single-table blocking, retained ONLY as the quadratic
@@ -923,7 +929,7 @@ object Similarity {
   def semanticClusters(emb: DataFrame, threshold: Double = 0.4,
                        planes: Int = 0, tables: Int = 4,
                        maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairsLsh(emb, threshold, planes, tables).select("i", "j")
+    val pairs = nearDupPairsLshCore(emb, threshold, planes, tables).select("i", "j")
     val labels = ConnectedComponents.minLabelOverEndpoints(pairs, maxIter)
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_vecs"))
     labels.join(sizes, Seq("label"))

@@ -100,18 +100,25 @@ object Stats {
     val dc = prep.groupBy("domain", "client").agg(
       count(lit(1)).as("all_pair_cnt"),
       count(when(col("status_type") === statusType, 1)).as("class_pair_cnt"))
+    // The per-domain TOP CLIENT rides the SAME per-domain aggregate as
+    // the totals: min over a (−class_cnt, client) struct is "max count,
+    // ties to the asc client" — exactly the top1 the old second branch
+    // computed by re-joining dc against the argmax domain. That branch
+    // was a SECOND full events scan + (domain, client) aggregate per
+    // execution: the broadcast join's pushed filter made its dc subtree
+    // non-identical to the first, so exchange reuse never fired. The
+    // struct min makes this aggregate sort-based, but its input is the
+    // |domain × client| sliver, not the corpus — the old form sorted
+    // nothing and instead re-read EVERYTHING.
     val d = dc.groupBy("domain").agg(
       sum("class_pair_cnt").as("class_cnt"),
-      sum("all_pair_cnt").as("all_cnt"))
+      sum("all_pair_cnt").as("all_cnt"),
+      min(when(col("class_pair_cnt") > 0,
+        struct((-col("class_pair_cnt")).as("neg"), col("client")))).as("_tc"))
       .filter(col("class_cnt") > 0) // argmax candidates = domains with ≥1 class row
-    val top = top1(d, "domain", "class_cnt")
-    val topClientForDomain = top1(
-      dc.join(broadcast(top.select("domain")), Seq("domain"))
-        .filter(col("class_pair_cnt") > 0)
-        .select(col("domain"), col("client"), col("class_pair_cnt").as("client_cnt")),
-      "client", "client_cnt")
-    top.join(topClientForDomain, Seq("domain"))
-      .select("domain", "class_cnt", "all_cnt", "client", "client_cnt")
+    top1(d, "domain", "class_cnt")
+      .select(col("domain"), col("class_cnt"), col("all_cnt"),
+        col("_tc.client").as("client"), (-col("_tc.neg")).as("client_cnt"))
   }
 
   /** A6: most persistent client — top (client, domain) pair among Blocked

@@ -360,7 +360,16 @@ object Streaks {
     * the window is partitioned by client, so unlike W1-W4 it parallelizes
     * across the cluster with no global order. Returns per-session rows
     * (client, session_no, n_events, start/end). */
-  def sessionize(prep: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+  def sessionize(prep: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    sessionizeCore(prep, gapSeconds).orderBy("client", "session_no")
+
+  /** The UNORDERED session relation — what JOIN/aggregate consumers
+    * (j15's range join, [[sessionSummary]]) read: the public surface's
+    * global sort costs them a range exchange (whose partitioner adds a
+    * sampling pass over the input) plus a sort that a hash join or
+    * aggregate immediately discards. Ordering lives only on the public
+    * [[sessionize]], the Dedup candidatesFromBanded treatment. */
+  private[graft] def sessionizeCore(prep: DataFrame, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy("client").orderBy("ts", "id")
     val acc = Window.partitionBy("client").orderBy("ts", "id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -373,13 +382,12 @@ object Streaks {
       .groupBy("client", "session_no")
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
-      .orderBy("client", "session_no")
   }
 
   /** Per-client session summary — sessions per client + mean session
     * length, the aggregate a dashboard would show. */
   def sessionSummary(prep: DataFrame, gapSeconds: Long = 1800): DataFrame =
-    sessionize(prep, gapSeconds)
+    sessionizeCore(prep, gapSeconds)
       .groupBy("client")
       .agg(count(lit(1)).as("n_sessions"),
         round(avg(col("n_events")), 4).as("avg_session_events"),
