@@ -156,24 +156,24 @@ object Dedup {
   private def signaturesFrom(sh: DataFrame, k: Int): DataFrame = {
     require(k % 4 == 0, s"k must be a multiple of 4 (got $k)")
     val hashed = sh.select(col("doc_id") +:
-      (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col(s"s"))).as(s"m$m")): _*)
-    // min over the PARSED 32-bit slice (a long), not the 8-char hex
-    // string: min(string) has an immutable aggregation buffer, which
-    // drops the whole signature aggregate out of HashAggregate into
-    // SortAggregate — a map-side AND reduce-side sort of the entire
-    // shingle stream on every signature build (measured: the dominant
-    // stage of d14, which rebuilds signatures per execution). Numeric
-    // min == lexicographic min here because the slices are fixed-width
-    // lowercase hex, so re-rendering the min back to hex (lpad(lower(
-    // hex()))) reproduces the EXACT bytes the string form produced and
-    // every downstream band key / oracle hash is unchanged.
+      (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col("s"))).as(s"m$m")): _*)
+    // min over the 8-hex-char STRING slice, knowingly planned as a
+    // SortAggregate (min(string) has an immutable buffer, so the
+    // aggregate cannot stay in HashAggregate). Round 14 tried the
+    // "obvious" fix — min over cast(conv(slice,16,10) as bigint), which
+    // hash-aggregates and re-renders to identical hex — and MEASURED the
+    // full d14 pipeline ~25-40% SLOWER on every rep: the per-shingle-row
+    // conv parse (16 radix conversions × 8 chars) costs more than the
+    // sort it saves, because the shingle stream arrives DOC-CLUSTERED
+    // from the explode (each doc's rows are consecutive), so the
+    // map-side sort runs on nearly-sorted data and the partial
+    // SortAggregate collapses each doc before the exchange. Zero-copy
+    // substring slices + an adaptive sort beat numeric mins + parsing;
+    // keep the string form.
     val mins = (0 until k).map { i =>
-      min(expr(s"cast(conv(substr(m${i / 4}, ${(i % 4) * 8 + 1}, 8), 16, 10) as bigint)")
-        ).as(s"l$i")
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
     }
-    val agg = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    agg.select(col("doc_id") +: (0 until k).map(i =>
-      lpad(lower(hex(col(s"l$i"))), 8, "0").as(s"h$i")): _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash signature: k independent hash mins per doc in ONE aggregate
@@ -924,6 +924,14 @@ object Dedup {
                          bands: Int = 4): DataFrame = {
     val (evalBands, evalShingles) =
       evalFuzzyIndex(docs.filter(col("source") === evalSource), k, bands)
+    // NOT localCheckpoint'ed, measured twice now: the eval subtree does
+    // repeat under each consumer in the printed plan (band join + both
+    // semi-filtered verify legs), but a round-14 A/B (3 reps each way,
+    // one JVM) put the checkpointed form dead even to slightly slower —
+    // the eager materialization jobs cost what the recomputes cost, and
+    // exchange reuse already serves the identical aggregate subtrees at
+    // runtime (matching the earlier sf1 finding recorded on `cands`
+    // below).
     fuzzyDecontaminateAgainst(docs.filter(col("source") =!= evalSource),
       evalBands, evalShingles, threshold, k, bands)
   }

@@ -30,24 +30,30 @@ class DedupSpec extends SparkSpec {
   }
 
   test("long-min signature re-rendering equals the string-min form byte-for-byte") {
-    // round 14 moved the MinHash aggregate from min(8-hex-char string)
-    // to min(parsed 32-bit long) so it hash-aggregates instead of
-    // sort-aggregating; the re-rendered hex (lpad(lower(hex(min))))
-    // must reproduce the string form's bytes EXACTLY or every band key
-    // (and the oracle hash of every dedup query) shifts
+    // round 14 evaluated moving the MinHash aggregate from
+    // min(8-hex-char string) to min(parsed 32-bit long) — this pins the
+    // EQUIVALENCE both forms must satisfy (numeric min of the slice ==
+    // lexicographic min of its fixed-width lowercase-hex rendering), so
+    // a future swap in either direction cannot silently shift band keys.
+    // The string form is the one shipped: the long form hash-aggregates
+    // but its per-row conv parse measured slower end-to-end (see
+    // signaturesFrom's doc).
     import org.apache.spark.sql.functions._
     val k = 16
     val sh = Dedup.wordShingles(corpus)
     val hashed = sh.select(col("doc_id") +:
       (0 until k / 4).map(m => md5(concat(lit(s"$m:"), col("s"))).as(s"m$m")): _*)
-    val strMins = (0 until k).map { i =>
-      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    val longMins = (0 until k).map { i =>
+      min(expr(s"cast(conv(substr(m${i / 4}, ${(i % 4) * 8 + 1}, 8), 16, 10) as bigint)")
+        ).as(s"l$i")
     }
-    val legacy = hashed.groupBy("doc_id").agg(strMins.head, strMins.tail: _*)
+    val longForm = hashed.groupBy("doc_id").agg(longMins.head, longMins.tail: _*)
+      .select(col("doc_id") +: (0 until k).map(i =>
+        lpad(lower(hex(col(s"l$i"))), 8, "0").as(s"h$i")): _*)
       .orderBy("doc_id").collect().map(_.toSeq)
     val current = Dedup.minhashSignatures(corpus)
       .orderBy("doc_id").collect().map(_.toSeq)
-    assert(current.toSeq == legacy.toSeq)
+    assert(current.toSeq == longForm.toSeq)
   }
 
   test("xxhash64 candidate path: plan twin of the md5 family, exact dups always pair") {

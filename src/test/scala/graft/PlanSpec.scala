@@ -289,20 +289,6 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("Window"), "no Window in the scoring plan")
   }
 
-  test("minhash signature aggregate is hash-based, not sort-based") {
-    // min over the PARSED 32-bit slice (a long) keeps the signature
-    // aggregate in HashAggregate; min(string) has an immutable buffer
-    // and dropped the whole aggregate into SortAggregate — a map- AND
-    // reduce-side sort of the entire shingle stream on every signature
-    // build (round 14's d14 fix). The re-rendered hex is pinned
-    // byte-equal to the string form in DedupSpec.
-    val plan = executed(graft.operators.Dedup.minhashSignatures(
-      Tables.documents(spark, dir))).toString
-    assert(!plan.contains("SortAggregate"),
-      "signature mins must stay hash-aggregated")
-    assert(plan.contains("HashAggregate"), plan.take(500))
-  }
-
   test("IVF cell assignment is in-row: no window, no join, no fan-out") {
     // round 14: assignment used to crossJoin the broadcast centroids
     // (k× fan-out with the embedding payload attached) and resolve the
