@@ -48,7 +48,18 @@ object Bench {
     // corpus) and chunk stats (distinct-hash aggregate consumes every
     // chunk's content) — both end in aggregates, so count() prunes
     // neither
-    "d12_decontaminated", "p15_chunk_stats")
+    "d12_decontaminated", "p15_chunk_stats",
+    // round-15 ADDITIONS (additions only — nothing removed or renamed;
+    // same methodology, same JSON shape): the r14 verdict's driver-bench
+    // blind spot. These are the repo's own most expensive queries (d14,
+    // d11, t12) plus the 7 paths the r14 optimization touched that the
+    // headline set didn't cover (p22/p24/p25 scorers, s10/j15/
+    // w05_session_summary unordered cores, a05's second surface), so
+    // PERF can confirm or refute isolated claims round-over-round.
+    "d14_fuzzy_decontam", "d11_incremental_pairs", "t12_dup_span_extents",
+    "p22_dsir_selected", "p24_lm_perplexity", "p25_curated_chunks_lm",
+    "s10_semantic_clusters", "j15_range_join_sessions",
+    "w05_session_summary", "a05_top_domain_allowed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,6 +75,7 @@ object Dedup {
       pairsMemo.valuesIterator.foreach(_.unpersist(blocking = false))
       pairsMemo.clear()
     }
+    bloomMemo.synchronized(bloomMemo.clear()) // driver objects, no unpersist
     labelsMemo.synchronized {
       labelsMemo.valuesIterator.foreach(_.unpersist(blocking = false))
       labelsMemo.clear()
@@ -1012,6 +1013,13 @@ object Dedup {
 
   // ───────────────────────── Bloom-filter decontamination ─────────────────────
 
+  // eval-side Bloom filters keyed on (eval SnapshotKey, fpp) — driver
+  // objects (~1.8 bytes/shingle at fpp 1e-3), LRU-bounded like the
+  // trained-artifact memos in Similarity; cleared by [[releaseCaches]]
+  private val BloomMemoMax = 4
+  private val bloomMemo =
+    new scala.collection.mutable.LinkedHashMap[(String, Double), org.apache.spark.util.sketch.BloomFilter]
+
   /** Bloom filter over the eval side's distinct shingles — the
     * decontamination form for when the eval set OUTGROWS an exact
     * broadcast: a broadcast hash relation costs ~50-100 bytes per entry
@@ -1120,12 +1128,41 @@ object Dedup {
                                 fpp: Double = 0.001): DataFrame = {
     freshPipeline()
     val corpus = docs.filter(col("source") =!= evalSource)
+    val evalDocs = docs.filter(col("source") === evalSource)
     // ONE shingle relation serves the filter sizing, the filter build,
     // and the exact join (it previously rebuilt three times); `shared`
     // persists it and releaseCaches() reclaims it with the other
     // pipeline slivers
-    val set = shared(evalShingleSet(docs.filter(col("source") === evalSource)))
-    val bf = evalShingleBloomOf(set, fpp)
+    val set = shared(evalShingleSet(evalDocs))
+    // Trained-artifact memo (SnapshotKey discipline — the same rule as
+    // the centroid/codebook/chain memos): the filter is "built once per
+    // benchmark set" by its own doc, and it is a pure function of the
+    // eval snapshot + fpp (seedless Murmur3, exact-count sizing), so a
+    // memo hit returns bit-identical verdicts. Previously every
+    // execution re-ran the two eval-side build jobs (sizing count +
+    // build aggregate); now they run once per (eval snapshot, fpp) and
+    // land in the cold pass like every other trained artifact. The
+    // SnapshotKey includes the file listing, so an eval suite that
+    // changes under the same path keys differently — never stale.
+    val memoKey = SnapshotKey.of(evalDocs).map((_, fpp))
+    val memoHit = memoKey.flatMap { mk =>
+      bloomMemo.synchronized {
+        bloomMemo.get(mk).map { f =>
+          bloomMemo.remove(mk); bloomMemo(mk) = f // LRU touch
+          f
+        }
+      }
+    }
+    val bf = memoHit.getOrElse {
+      val built = evalShingleBloomOf(set, fpp)
+      memoKey.foreach { mk =>
+        bloomMemo.synchronized {
+          bloomMemo(mk) = built
+          while (bloomMemo.size > BloomMemoMax) bloomMemo.remove(bloomMemo.head._1)
+        }
+      }
+      built
+    }
     val exact = decontaminateAgainstPrepared(corpus, set, minOverlap)
     val bloom = decontaminateBloom(corpus, bf, minOverlap)
       .select(col("doc_id"), col("n_bloom_overlap"))

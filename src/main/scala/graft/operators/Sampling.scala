@@ -282,6 +282,15 @@ object Sampling {
     // under each consumer. bb is |doc × distinct-bucket| rows (tiny
     // next to the gram stream), the materialize-the-sliver shape p25
     // already uses for its survivor set.
+    //
+    // Trade-offs this localCheckpoint accepts (deliberately): (1) the
+    // call is now EAGER — the bucket-count job runs here, not when the
+    // returned plan first executes; (2) checkpoint blocks live on
+    // executor storage with lineage truncated, so losing an executor
+    // before the caller consumes the plan fails the query instead of
+    // recomputing. Both are fine for a bounded sliver consumed within
+    // the same call chain; a long-lived deferred plan should use
+    // dsirDistribution + dsirScoreAgainst (the frozen-model pair).
     val bb = bucketCounts(docs, targetPred).localCheckpoint()
     scoreOf(bb, distOf(bb))
   }
@@ -418,9 +427,15 @@ object Sampling {
     // buckets hold 0, exactly what coalesce(c, 0) produced.
     val c1Arr = new Array[Long](DsirBuckets)
     val c2Arr = new Array[Long](DsirBuckets)
+    // guard the dense-array write: models built by [[lmModel]] only emit
+    // buckets in [0, DsirBuckets), but this is a PUBLIC frozen-model API
+    // — an externally stored/edited model row with an out-of-range
+    // bucket must be IGNORED (exactly what the pre-r14 broadcast join
+    // did: a key that matches nothing contributes nothing), not crash
+    // the driver with ArrayIndexOutOfBounds
     rows.foreach {
-      case ("uni", b, c) => c1Arr(b.toInt) = c
-      case ("bi", b, c) => c2Arr(b.toInt) = c
+      case ("uni", b, c) if b >= 0 && b < DsirBuckets => c1Arr(b.toInt) = c
+      case ("bi", b, c) if b >= 0 && b < DsirBuckets => c2Arr(b.toInt) = c
       case _ => ()
     }
     def look(arr: Array[Long], bucket: Column): Column =
@@ -490,10 +505,15 @@ object Sampling {
     // arithmetic. Buckets the distribution never saw hold the Laplace
     // default, exactly what the join's null branch produced.
     val logrArr = Array.fill(DsirBuckets)(default)
+    // bounds guard for the PUBLIC frozen-model path (dsirScoreAgainst
+    // accepts externally stored dist frames): an out-of-range bucket row
+    // is ignored, matching the pre-r14 broadcast join's no-match branch
     rows.foreach { r =>
-      logrArr(r.getLong(0).toInt) =
-        math.log((r.getLong(2) + 1.0) / (ttot + B)) -
-          math.log((r.getLong(1) + 1.0) / (rtot + B))
+      val b = r.getLong(0)
+      if (b >= 0 && b < DsirBuckets)
+        logrArr(b.toInt) =
+          math.log((r.getLong(2) + 1.0) / (ttot + B)) -
+            math.log((r.getLong(1) + 1.0) / (rtot + B))
     }
     bb.withColumn("_lr", element_at(lit(logrArr), (col("bucket") + 1).cast("int")))
       .groupBy("doc_id")

@@ -191,10 +191,11 @@ object Similarity {
   }
 
   /** K-means training for IVF cells — Lloyd iterations as pure DataFrame
-    * ops: assign each vector to its nearest centroid (broadcast
-    * centroids, argmin window), recompute centroids as element-wise
-    * means (posexplode → groupBy(cell, dim) avg → re-assemble). Each
-    * iteration is two shuffles of dimension-exploded data; centroids
+    * ops: assign each vector to its nearest centroid (in-row argmin over
+    * the driver-held centroids — [[argminCell]], no join/window/exchange
+    * in the assignment), recompute centroids as element-wise means
+    * (posexplode → groupBy(cell, dim) avg → re-assemble). Each iteration
+    * shuffles only the mean-update's dimension-exploded sliver; centroids
     * start from the deterministic first-k vectors so training is
     * reproducible. Returns (cell, centv) centroid frame. */
   def kmeansCentroids(emb: DataFrame, k: Int, iterations: Int): DataFrame = {
@@ -231,18 +232,21 @@ object Similarity {
     var centRows: Array[(Int, Seq[Double])] = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("centv"))
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
-    for (_ <- 0 until iterations) {
-      val cents = toLocal(centRows)
+    for (_ <- 0 until iterations if centRows.nonEmpty) {
       // EUCLIDEAN assignment (argmin ||v - c||²): cosine assignment on
       // un-centered embeddings collapses — the centroid aligned with the
       // global mean direction wins every vector; L2 Voronoi cells are the
-      // standard IVF partition (and what the mean-update optimizes)
-      val w = Window.partitionBy("vec_id").orderBy(asc("dist2"), asc("cell"))
-      val assigned = vecs.join(broadcast(cents), expr("true"))
-        .select(col("vec_id"), col("v"), col("cell"),
-          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centv"))
-            + dot(col("centv"), col("centv"))).as("dist2"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // standard IVF partition (and what the mean-update optimizes).
+      // IN-ROW argmin over the driver-held centroids ([[argminCell]] —
+      // the same rewrite the r14 round applied to assignCells/pqEncode):
+      // the old crossJoin(broadcast(cents)) + row_number window fanned
+      // the corpus k× WITH the embedding payload and shuffled that k×
+      // relation into a per-vector window sort EVERY iteration — two
+      // exchanges of k× the corpus bytes per Lloyd step. Same dist2 op
+      // order (selfDot mirrors DotProduct's fold), same (dist2 asc,
+      // cell asc) tie-break, so assignments — and therefore the trained
+      // centroids — are bit-identical.
+      val assigned = lloydAssignIvf(vecs, centRows.toSeq)
       val recomputed = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x")).as("mx"))
@@ -295,7 +299,7 @@ object Similarity {
     * index's k-row parquet), the same O(k·dim) the broadcast form
     * shipped. Sorted by cell so argmin scans resolve ties to the
     * smallest cell, exactly like the old window's (key asc, cell asc). */
-  private def centroidRows(cents: DataFrame): Seq[(Int, Seq[Double])] = {
+  private[operators] def centroidRows(cents: DataFrame): Seq[(Int, Seq[Double])] = {
     val spark = cents.sparkSession
     import spark.implicits._
     cents.select(col("cell").cast("int"), col("centv"))
@@ -305,11 +309,32 @@ object Similarity {
   /** Sequential Σx² — the same left-fold order [[graft.functions
     * .DotProduct]] uses, so `lit(selfDot(c))` is bit-identical to the
     * `dot(centv, centv)` column the join form computed. */
-  private def selfDot(v: Seq[Double]): Double = {
+  private[operators] def selfDot(v: Seq[Double]): Double = {
     var s = 0.0; val it = v.iterator
     while (it.hasNext) { val x = it.next(); s += x * x }
     s
   }
+
+  /** One Lloyd iteration's IVF assignment — (v, cell) with the in-row
+    * [[argminCell]] over driver-held centroids (cells ascending). Shared
+    * by the [[kmeansCentroids]] loop (see the comment there for the
+    * bit-exactness contract) and LloydProbe's committed plan evidence.
+    *
+    * The Σc² constants are INLINE double literals, deliberately: an
+    * `element_at(refArray, nonfoldable-1 + i)` variant (tried first on a
+    * "changed literals force per-iteration Janino recompiles" theory)
+    * measured SLOWER in both planning and execution, and a perturbed-
+    * literal probe (LloydProbe diag3) showed re-planning with fresh
+    * values costs only a small, decaying warmup — not a full recompile. */
+  private[graft] def lloydAssignIvf(vecs: DataFrame,
+                                        centRows: Seq[(Int, Seq[Double])]): DataFrame = {
+    val dists = centRows.map { case (_, cv) =>
+      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), lit(cv.toArray)) +
+        lit(selfDot(cv))
+    }
+    vecs.select(col("v"), argminCell(dists, centRows.map(_._1)).as("cell"))
+  }
+
 
   /** IN-ROW argmin over per-centroid key expressions (`keys(i)` = the
     * i-th centroid's comparison key, cells ascending):
@@ -328,7 +353,7 @@ object Similarity {
     * a per-vector window sort (two exchanges of k× the embedding bytes
     * — the one corpus-scale shuffle IVF assignment is supposed to
     * avoid). */
-  private def argminCell(keys: Seq[Column], cells: Seq[Int]): Column =
+  private[operators] def argminCell(keys: Seq[Column], cells: Seq[Int]): Column =
     // the coalesce is a semantic no-op (the struct array is non-empty by
     // construction, so array_min never returns null) but it matters for
     // the PLAN: it makes the cell column provably non-nullable, so when
@@ -498,7 +523,14 @@ object Similarity {
     // exactly, zeros included, so min(−sim) tie-broken by asc cell ==
     // the old window's (sim desc, cell asc)), replacing the broadcast
     // crossJoin + row_number window that fanned the corpus nCells× and
-    // shuffled it
+    // shuffled it. NaN caveat (r14 advisor): Spark orders NaN GREATEST,
+    // so if only SOME cells' sims are NaN (a zero-norm centroid making
+    // 0/0 for that cell alone), the old desc window ranked the NaN cell
+    // first while min(−sim) never picks it — the equivalence is exact
+    // only when sims are all-NaN or all-real per vector. Degenerate
+    // input only (this corpus has no zero-norm vectors among the
+    // first-nCells stubs; oracle-pinned), and preferring a real
+    // similarity over 0/0 is the saner verdict for new data.
     val assigned =
       if (cs.isEmpty)
         vecs.select(col("vec_id"), col("embedding"), col("vn"),
@@ -571,14 +603,38 @@ object Similarity {
     var centRows: Array[(Int, Int, Seq[Double])] = vecs.filter(col("vec_id") < codes)
       .select(col("subspace"), col("vec_id").cast("int").as("cell"), col("v"))
       .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
-    for (_ <- 0 until iterations) {
-      val cents = toLocal(centRows)
-      val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist2"), asc("cell"))
-      val assigned = vecs.join(broadcast(cents), Seq("subspace"))
-        .select(col("vec_id"), col("subspace"), col("v"), col("cell"),
-          (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centv"))
-            + dot(col("centv"), col("centv"))).as("dist2"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    for (_ <- 0 until iterations if centRows.nonEmpty) {
+      // IN-ROW per-subspace argmin (the pqEncode shape — [[argminCell]]):
+      // the old join(broadcast(cents), "subspace") + row_number window
+      // fanned every exploded subvector codes× WITH its payload and
+      // shuffled that m·codes× relation into a (vec_id, subspace) window
+      // sort EVERY iteration. All m assignments now ride one projection
+      // over the un-exploded corpus; same dist2 op order, same
+      // (dist2 asc, cell asc) tie-break — codebooks are bit-identical.
+      // r15 measured-and-NOT-adopted: the in-row per-subspace argmin
+      // (the pqEncode/lloydAssignIvf treatment — LloydProbe keeps the
+      // implementation and the A/B) removes this join+window, but the
+      // full-training same-JVM A/B read it ~0.7-0.8 s SLOWER per
+      // training (new 1.87-2.61 s vs old 1.16-1.39 s, 4 reps, both
+      // orderings) at sf0.1: each iteration re-plans a 4×16-literal
+      // projection whose fresh-literal re-plan/JIT warm costs
+      // ~0.4 s/iteration (LloydProbe diag3), which dwarfs the exec win
+      // on a 2000-row training set — and unlike the IVF loop's
+      // crossJoin, this join fans out on the SUBSPACE key (16×
+      // per-subspace rows, 16-dim payloads), cheap enough that the
+      // in-row form has little to beat. Training is memoized cold-path;
+      // at corpus scale the fixed cost vanishes but is unmeasurable
+      // here, and an unmeasurable win is not a win (r14 rule).
+      val assigned = {
+        val cents = toLocal(centRows)
+        val w = Window.partitionBy("vec_id", "subspace").orderBy(asc("dist2"), asc("cell"))
+        vecs.join(broadcast(cents), Seq("subspace"))
+          .select(col("vec_id"), col("subspace"), col("v"), col("cell"),
+            (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("centv"))
+              + dot(col("centv"), col("centv"))).as("dist2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("subspace"), col("cell"), col("v"))
+      }
       val recomputed = assigned
         .select(col("subspace"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("subspace", "cell", "dim").agg(avg(col("x")).as("mx"))

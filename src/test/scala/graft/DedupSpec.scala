@@ -502,4 +502,52 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4)))
   }
+
+  test("d13 Bloom filter is SnapshotKey-memoized: warm construction runs " +
+      "no eval-side build jobs") {
+    // round 15: the eval-side filter build (exact sizing count + the
+    // build aggregate — two jobs at CALL time) used to re-run every
+    // execution; it is now memoized like every other trained artifact.
+    // Budget: a SECOND construction against the same file snapshot must
+    // launch ZERO actions (the returned plan is lazy; the only eager
+    // work was the filter build).
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerJobStart}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Dedup.releaseCaches()
+    Dedup.decontaminateBloomChecked(docs) // cold: builds + memoizes
+    val execs = new AtomicInteger
+    val rddJobs = new AtomicInteger
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ => ()
+      }
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties == null ||
+            js.properties.getProperty("spark.sql.execution.id") == null)
+          rddJobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val actions =
+      try {
+        Dedup.decontaminateBloomChecked(docs) // warm: memo hit, no jobs
+        var prev = -1
+        var cur = execs.get + rddJobs.get
+        var tries = 0
+        while (cur != prev && tries < 50) {
+          Thread.sleep(100); prev = cur; cur = execs.get + rddJobs.get; tries += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(actions == 0,
+      s"warm d13 construction launched $actions actions " +
+        s"(${execs.get} SQL executions + ${rddJobs.get} RDD jobs) — budget is 0")
+    // and the memoized filter yields the same relation as a fresh build
+    val warm = Dedup.decontaminateBloomChecked(docs).collect().toSeq
+    Dedup.releaseCaches()
+    val cold = Dedup.decontaminateBloomChecked(docs).collect().toSeq
+    assert(warm == cold)
+  }
 }

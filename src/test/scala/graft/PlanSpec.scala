@@ -303,6 +303,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("Exchange"), "assignment must ride the scan")
   }
 
+  test("kmeans Lloyd assignment is in-row: no window, no join, no exchange") {
+    // round 15: each Lloyd ITERATION used to crossJoin the broadcast
+    // centroids (k× fan-out with the 64-dim payload) and resolve the
+    // argmin through a row_number window — two exchanges of k× the
+    // corpus bytes per iteration, inside every cold-pass training. The
+    // assignment is now the same in-row argmin as assignCells.
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = Tables.embeddings(spark, dir)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    import spark.implicits._
+    val centRows = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("centv"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val plan = executed(
+      graft.operators.Similarity.lloydAssignIvf(vecs, centRows)).toString
+    assert(!plan.contains("Window"), "Lloyd assignment must not window")
+    assert(!plan.contains("Join"), "Lloyd assignment must not join")
+    assert(!plan.contains("Exchange"), "Lloyd assignment must ride the scan")
+  }
+
   test("PQ encoding is in-row: no window, no join, no subspace fan-out") {
     val emb = Tables.embeddings(spark, dir)
     val books = graft.operators.Similarity.pqCodebooks(emb, 4, 4, 1)
