@@ -335,26 +335,34 @@ object Joins {
   }
 
   /** TPC-H Q21 shape: suppliers who were the SOLE returner in
-    * multi-supplier finished orders — EXISTS (another supplier in the
-    * order) AND NOT EXISTS (another supplier who also returned), as one
-    * left-semi then one left-anti join over the same order-scoped
-    * relation. All three legs shuffle on l_orderkey, so the semi and
-    * anti reuse the returned-lines partitioning; nothing is ever
-    * materialized per-pair. countDistinct absorbs multi-line returns. */
+    * multi-supplier finished orders — "EXISTS another supplier AND NOT
+    * EXISTS another returner" restated as PER-ORDER COUNTS: an order
+    * counts for supplier s iff its distinct-returner set is exactly
+    * {s} and it has ≥ 2 distinct suppliers. The r14 semi+anti form
+    * scanned lineitem THREE times (probe + both build sides) and paid
+    * three lineitem-scale exchanges + sorts into two SortMergeJoins;
+    * this form is ONE scan and one lineitem-sliver exchange into a
+    * (order, supplier) aggregate (map-side partials collapse duplicate
+    * return lines), then per-order counts over the already-aggregated
+    * pairs. Row-for-row equal to the join form: a `sole` row (o, s)
+    * existed iff returners(o) = {s} (anti leg) and |suppliers(o)| ≥ 2
+    * (semi leg: some x ≠ s supplies o), and its countDistinct(orderkey)
+    * is this form's one-row-per-qualifying-order count; `max(when(ret))`
+    * of a singleton returner set IS that returner. Oracle hash-identical
+    * (r15). */
   def soleReturnedSupplier(s: SparkSession, dir: String, n: Int = 10): DataFrame = {
     val fOrders = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
     val lf = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
       .join(fOrders, col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
-    val r = lf.filter(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
-    val others = lf.select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
-    val rOthers = r.select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
-    val sole = r
-      .join(others, col("l_orderkey") === col("x_orderkey") &&
-        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-      .join(rOthers, col("l_orderkey") === col("y_orderkey") &&
-        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
-    sole.groupBy("l_suppkey").agg(countDistinct("l_orderkey").as("numwait"))
+    val perSupp = lf.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(sum("ret").as("n_ret"), count(lit(1)).as("n_supp"),
+        max(when(col("ret") === 1, col("l_suppkey"))).as("sole_supp"))
+    perOrder.filter(col("n_ret") === 1 && col("n_supp") >= 2)
+      .groupBy(col("sole_supp").as("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(desc("numwait"), asc("s_name")).limit(n)

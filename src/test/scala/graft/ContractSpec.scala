@@ -44,7 +44,15 @@ class ContractSpec extends AnyFunSuite {
         ",",
         """},"total_all":1234.567890123,"n_all":130,"n_failed":0,"failed":[],""" +
           """"reps":3,"spread_max":12.3456,"spread_med":0.1234,"sf":"/root/testdata/sf0.1"}""")
-    assert(worstCaseLine.length < 1500,
+    // budget 1900 of the ~2000-char capture: the r15 headline extension
+    // (43 → 53 queries, the r14 verdict's additions-only ask) outgrew the
+    // earlier 1500 pin, whose slack existed for sbt's [success] banner —
+    // suppressed since round 1 (Global/showSuccess := false) — and for
+    // log noise after the line — impossible since Bench prints after
+    // spark.stop() as the final statement. Every value here is padded
+    // (123.4568 = an 8-char 123-second query; real warm values are 6
+    // chars), so the real line runs ~100 chars shorter than this bound.
+    assert(worstCaseLine.length < 1900,
       s"bench JSON line too long for driver tail capture: ${worstCaseLine.length}")
   }
 

@@ -190,11 +190,20 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.toString.contains("NestedLoop"), "must not fall back to nested loop")
   }
 
-  test("h21 EXISTS/NOT-EXISTS compiles to one semi and one anti join on the same key") {
+  test("h21 sole-returner: one lineitem scan, per-order counts, no semi/anti sort-merge legs") {
+    // round 15: the EXISTS/NOT-EXISTS semi+anti form scanned lineitem
+    // three times (probe + both build sides — the pushed returnflag
+    // filter made the subtrees non-identical, so exchange reuse never
+    // fired) and paid two SortMergeJoins; the per-order-counts aggregate
+    // is oracle-hash-identical with one scan and no sorts
     val plan = executed(
       SparkEntry.queries("h21_sole_returned_supplier")(spark, dir)).toString
-    assert(plan.contains("LeftSemi"), plan.take(800))
-    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("LeftSemi"), plan.take(800))
+    assert(!plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(lineitemScans == 1,
+      s"h21 must scan lineitem exactly once, found $lineitemScans")
   }
 
   test("h17 correlated-avg: brand keys prune lineitem before the per-part aggregate") {
